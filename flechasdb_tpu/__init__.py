@@ -1,0 +1,61 @@
+"""flechasdb-tpu: a TPU-native serverless-friendly vector database.
+
+A ground-up rebuild of the flechasdb IndexIVFPQ engine (IVF coarse
+partitioning + product quantization with residual encoding) where every hot
+loop — k-means++ seeding, Lloyd's iterations, ADC distance tables, PQ code
+scans, top-k selection — runs as batched JAX/XLA/Pallas programs on TPU,
+while the storage format stays compatible with the reference: databases are
+content-addressed, zlib-compressed protobuf artifacts that a stateless reader
+can load lazily, partition by partition.
+
+Public surface (mirrors the reference capability checklist, README.md:40-76):
+
+* :class:`DatabaseBuilder` — build a database from a vector set.
+* :class:`Database` — in-memory database: query + attributes.
+* :func:`save_database` / :func:`load_database` — persist / lazy-load.
+* :mod:`flechasdb_tpu.asyncdb` — asyncio load & query.
+* :class:`LocalFileSystem` — pluggable content-addressed storage.
+"""
+
+from .attributes import AttributeTable, Attributes, AttributeValue
+from .errors import (
+    FlechasError,
+    InvalidArgs,
+    InvalidContext,
+    InvalidData,
+    IOError_,
+    ProtobufError,
+    VerificationFailure,
+)
+
+try:  # staged build-out: these land in later phases of the build plan
+    from .build import Database, DatabaseBuilder, QueryResult
+    from .io import FileSystem, LocalFileSystem
+    from .serialize import save_database
+    from .stored import StoredDatabase, load_database
+except ImportError:  # pragma: no cover
+    pass
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AttributeTable",
+    "Attributes",
+    "AttributeValue",
+    "Database",
+    "DatabaseBuilder",
+    "FileSystem",
+    "FlechasError",
+    "InvalidArgs",
+    "InvalidContext",
+    "InvalidData",
+    "IOError_",
+    "LocalFileSystem",
+    "ProtobufError",
+    "QueryResult",
+    "StoredDatabase",
+    "VerificationFailure",
+    "load_database",
+    "save_database",
+    "__version__",
+]

@@ -1,0 +1,79 @@
+"""Pairwise squared-distance kernels.
+
+The reference computes every distance scalar-by-scalar: ``subtract`` into a
+buffer then ``dot`` (e.g. k-means reassignment at ``kmeans.rs:279-306``, ADC
+tables at ``db/stored.rs:556-573``). On TPU all of those brute-force scans
+collapse into one algebraic identity that runs on the MXU::
+
+    ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a.b
+
+Matmuls are issued with ``preferred_element_type=float32`` and HIGHEST
+precision so f32 inputs are not silently routed through bf16 passes — distance
+comparisons drive top-k selection, so we keep full f32 accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Distance comparisons feed argmin / top-k; keep matmuls in true f32.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def sqdist(x: jax.Array, c: jax.Array) -> jax.Array:
+    """All-pairs squared Euclidean distances.
+
+    ``x: [..., N, M]``, ``c: [..., K, M]`` → ``[..., N, K]``. Leading batch
+    dims broadcast (used with a division axis for PQ). Results are clamped at
+    zero: the expanded form can go slightly negative where the reference's
+    subtract-then-dot form (``kmeans.rs:294-299``) cannot.
+    """
+    xx = jnp.sum(x * x, axis=-1)[..., :, None]
+    cc = jnp.sum(c * c, axis=-1)[..., None, :]
+    xc = jnp.matmul(
+        x, jnp.swapaxes(c, -1, -2),
+        precision=_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(xx + cc - 2.0 * xc, 0.0)
+
+
+def sqdist_one(x: jax.Array, v: jax.Array) -> jax.Array:
+    """Squared distances from every row of ``x`` to a single vector ``v``.
+
+    ``x: [..., N, M]``, ``v: [..., M]`` → ``[..., N]``. Used by k-means++
+    seeding where one new centroid updates all weights
+    (``kmeans.rs:209-219``).
+    """
+    return sqdist(x, v[..., None, :])[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def assign_chunked(x: jax.Array, c: jax.Array, *, k: int,
+                   chunk: int = 16384) -> tuple[jax.Array, jax.Array]:
+    """Nearest-centroid assignment, streamed over row chunks.
+
+    ``x: [B, N, M]``, ``c: [B, K, M]`` → ``(indices [B, N] int32,
+    min_sqdist [B, N])``. Chunking bounds the transient ``[B, chunk, K]``
+    distance tile so arbitrarily large ``N`` stays within HBM headroom; this
+    replaces the reference's per-vector reassignment loop
+    (``kmeans.rs:279-306``) with MXU-tiled matmuls.
+    """
+    b, n, m = x.shape
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    xs = x.reshape(b, -1, chunk, m).swapaxes(0, 1)  # [S, B, chunk, M]
+
+    def body(xi):
+        d = sqdist(xi, c)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32), jnp.min(d, axis=-1)
+
+    idx, dmin = jax.lax.map(body, xs)  # [S, B, chunk]
+    idx = idx.swapaxes(0, 1).reshape(b, -1)[:, :n]
+    dmin = dmin.swapaxes(0, 1).reshape(b, -1)[:, :n]
+    return idx, dmin

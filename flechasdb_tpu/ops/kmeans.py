@@ -1,0 +1,271 @@
+"""Batched k-means++ / Lloyd's clustering on TPU.
+
+Reference semantics (``src/kmeans.rs``), re-architected for the MXU:
+
+* Seeding is k-means++ (``kmeans.rs:142-229``): first centroid uniform, each
+  subsequent centroid sampled with probability proportional to the running
+  minimum squared distance, which becomes ``jax.random.categorical`` over
+  ``log(w)`` with on-device weight updates inside a ``lax.fori_loop``.
+* Lloyd's loop (``kmeans.rs:104-139``): at most ``R = 100`` rounds; each round
+  recomputes centroids as cluster means, measures the *normalized gradient*
+  ``max_k ||c_old - c_new|| / max_k ||c_new||`` and stops when it drops below
+  epsilon (1e-6 for f32, ``kmeans.rs:24-28``) — the convergence check happens
+  *after* the centroid update and *before* reassignment, exactly as in
+  ``kmeans.rs:125-137``, so returned assignments always predate the final
+  centroid update for converged runs.
+* The whole thing carries a leading batch axis ``B``: product quantization
+  trains all ``D`` division codebooks simultaneously in one compiled program
+  (the reference loops divisions sequentially, ``db/build.rs:110-118``).
+  Per-batch convergence is tracked with a ``done`` mask; converged batch
+  entries freeze while the rest continue.
+
+Deliberate divergences from the reference (documented per SURVEY §7):
+
+* Empty clusters keep their previous centroid instead of panicking
+  (``kmeans.rs:259`` asserts non-empty).
+* If every remaining seeding weight is zero (all vectors identical), sampling
+  degenerates to index 0 instead of erroring (``kmeans.rs:199`` TODO).
+* RNG is JAX's counter-based PRNG, threaded explicitly — runs are exactly
+  reproducible for a given key, but never bit-identical to Rust's
+  ``thread_rng``; parity tests compare clustering quality, not bits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .distance import assign_chunked, sqdist_one
+
+#: Maximum Lloyd's rounds (``kmeans.rs:114``).
+MAX_ROUNDS = 100
+
+#: Default convergence epsilon for f32 (``kmeans.rs:24-28``).
+DEFAULT_EPSILON = 1e-6
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+class KMeansResult(NamedTuple):
+    """Clustering output — the ``Codebook`` analogue (``kmeans.rs:62-68``).
+
+    ``centroids: [B, K, M]``; ``indices: [B, N] int32`` cluster assignment per
+    input vector; ``rounds: [B] int32`` Lloyd rounds executed; ``gradient:
+    [B]`` last normalized centroid displacement.
+    """
+    centroids: jax.Array
+    indices: jax.Array
+    rounds: jax.Array
+    gradient: jax.Array
+
+
+def _take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gathers one row per batch: ``x [B, N, M]``, ``idx [B]`` → ``[B, M]``."""
+    return jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+
+
+def plusplus_init(x: jax.Array, k: int,
+                  key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """k-means++ seeding (``kmeans.rs:142-229``).
+
+    ``x: [B, N, M]`` → ``(centroids [B, K, M], indices [B, N] int32)`` where
+    ``indices`` tracks the nearest *chosen-so-far* centroid, mirroring the
+    incremental index updates at ``kmeans.rs:209-219``.
+    """
+    b, n, m = x.shape
+    k0, k1 = jax.random.split(key)
+    batch = jnp.arange(b)
+
+    ci0 = jax.random.randint(k0, (b,), 0, n)
+    c0 = _take_rows(x, ci0)
+    centroids = jnp.zeros((b, k, m), x.dtype).at[:, 0].set(c0)
+    indices = jnp.zeros((b, n), jnp.int32)
+    if k == 1:
+        return centroids, indices
+
+    w = sqdist_one(x, c0)            # running min squared distance [B, N]
+    w = w.at[batch, ci0].set(0.0)    # chosen points are excluded (weight 0)
+
+    def step(i, state):
+        centroids, w, indices = state
+        ki = jax.random.fold_in(k1, i)
+        # sample ∝ w; log(0) = -inf excludes already-chosen points
+        ci = jax.random.categorical(ki, jnp.log(w))
+        c = _take_rows(x, ci)
+        centroids = centroids.at[:, i].set(c)
+        d = sqdist_one(x, c)
+        closer = d < w               # strict <, as in kmeans.rs:215
+        w = jnp.where(closer, d, w).at[batch, ci].set(0.0)
+        indices = jnp.where(closer, i, indices).at[batch, ci].set(i)
+        return centroids, w, indices
+
+    centroids, _, indices = jax.lax.fori_loop(
+        1, k, step, (centroids, w, indices))
+    return centroids, indices
+
+
+def _centroid_update(x: jax.Array, indices: jax.Array, old: jax.Array,
+                     k: int) -> tuple[jax.Array, jax.Array]:
+    """One centroid update (``kmeans.rs:232-276``).
+
+    Cluster sums/counts are accumulated with chunked one-hot matmuls — MXU
+    work instead of scatter-adds. Returns ``(new_centroids [B, K, M],
+    gradient [B])``. Empty clusters keep their old centroid.
+    """
+    b, n, m = x.shape
+    # Bound the transient one-hot tile to ~2^25 elements.
+    chunk = max(128, min(n, (1 << 25) // (b * (k + 1))))
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    # Padding rows get segment k, which is dropped below.
+    ip = (jnp.pad(indices, ((0, 0), (0, pad)), constant_values=k)
+          if pad else indices)
+    s = xp.shape[1] // chunk
+    xs = xp.reshape(b, s, chunk, m).swapaxes(0, 1)    # [S, B, chunk, M]
+    ids = ip.reshape(b, s, chunk).swapaxes(0, 1)      # [S, B, chunk]
+
+    def body(carry, inp):
+        sums, counts = carry
+        xi, ii = inp
+        onehot = jax.nn.one_hot(ii, k + 1, dtype=x.dtype)  # [B, chunk, K+1]
+        sums = sums + jnp.matmul(
+            onehot.swapaxes(-1, -2), xi,
+            precision=_PRECISION, preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=1)
+        return (sums, counts), None
+
+    init = (jnp.zeros((b, k + 1, m), jnp.float32),
+            jnp.zeros((b, k + 1), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(body, init, (xs, ids))
+    sums, counts = sums[:, :k], counts[:, :k]
+
+    empty = counts == 0
+    mean = sums / jnp.where(empty, 1.0, counts)[..., None]
+    new = jnp.where(empty[..., None], old, mean.astype(x.dtype))
+
+    # gradient = max_k ||Δc|| / max_k ||c_new||   (kmeans.rs:261-275)
+    dist = jnp.linalg.norm(old - new, axis=-1)     # [B, K]
+    norm = jnp.linalg.norm(new, axis=-1)           # [B, K]
+    max_norm = jnp.max(norm, axis=-1)
+    grad = jnp.where(max_norm > 0, jnp.max(dist, axis=-1) / max_norm, 0.0)
+    return new, grad
+
+
+@functools.partial(jax.jit, static_argnames=("k", "epsilon", "max_rounds"))
+def fit(x: jax.Array, k: int, key: jax.Array, *,
+        epsilon: float = DEFAULT_EPSILON,
+        max_rounds: int = MAX_ROUNDS) -> KMeansResult:
+    """k-means++ seeding followed by Lloyd's loop, fully on device.
+
+    ``x: [B, N, M]``; ``k`` is static. ``N == k`` short-circuits to
+    one-vector-per-cluster (``kmeans.rs:158-169``).
+    """
+    b, n, m = x.shape
+    if n < k:
+        raise ValueError(f"vs has fewer vectors than k: {n} < {k}")
+    if n == k:
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        return KMeansResult(x, idx, jnp.zeros((b,), jnp.int32),
+                            jnp.zeros((b,), jnp.float32))
+
+    centroids, indices = plusplus_init(x, k, key)
+
+    class S(NamedTuple):
+        centroids: jax.Array
+        indices: jax.Array
+        done: jax.Array
+        rounds: jax.Array
+        gradient: jax.Array
+        r: jax.Array
+
+    def cond(s: S):
+        return (s.r < max_rounds) & ~jnp.all(s.done)
+
+    def body(s: S):
+        new_c, grad = _centroid_update(x, s.indices, s.centroids, k)
+        newly_done = grad < epsilon
+        # Converged-before-this-round batches freeze entirely.
+        centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
+        # Reference stops *before* reassignment once converged
+        # (kmeans.rs:130-136), so freshly-converged batches keep old indices.
+        new_idx, _ = assign_chunked(x, centroids, k=k)
+        frozen = s.done | newly_done
+        indices = jnp.where(frozen[:, None], s.indices, new_idx)
+        return S(
+            centroids=centroids,
+            indices=indices,
+            done=frozen,
+            rounds=s.rounds + (~s.done).astype(jnp.int32),
+            gradient=jnp.where(s.done, s.gradient, grad),
+            r=s.r + 1,
+        )
+
+    s0 = S(centroids, indices,
+           jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
+           jnp.full((b,), jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    s = jax.lax.while_loop(cond, body, s0)
+    return KMeansResult(s.centroids, s.indices, s.rounds, s.gradient)
+
+
+def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
+                    epsilon: float = DEFAULT_EPSILON,
+                    max_rounds: int = MAX_ROUNDS) -> KMeansResult:
+    """Observable variant of :func:`fit` (``kmeans.rs:104-139``).
+
+    Runs the Lloyd loop from the host, emitting :mod:`..events` cluster events
+    each round (one device sync per round — use :func:`fit` for peak
+    throughput). Results are identical to :func:`fit` for the same key.
+    """
+    from .. import events as ev
+
+    b, n, m = x.shape
+    if n < k:
+        raise ValueError(f"vs has fewer vectors than k: {n} < {k}")
+    if n == k:
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        return KMeansResult(jnp.asarray(x), idx, jnp.zeros((b,), jnp.int32),
+                            jnp.zeros((b,), jnp.float32))
+
+    handler(ev.StartingCentroidInitialization())
+    centroids, indices = _init_jit(x, k, key)
+    jax.block_until_ready(centroids)
+    handler(ev.FinishedCentroidInitialization())
+
+    done = jnp.zeros((b,), bool)
+    rounds = jnp.zeros((b,), jnp.int32)
+    gradient = jnp.full((b,), jnp.inf, jnp.float32)
+    for r in range(max_rounds):
+        handler(ev.StartingCentroidUpdate(r))
+        centroids, indices, done, rounds, gradient, grad = _round_jit(
+            x, centroids, indices, done, rounds, gradient, k=k,
+            epsilon=epsilon)
+        grad_host = jax.device_get(grad)
+        handler(ev.FinishedCentroidUpdate(
+            r, grad_host if b > 1 else float(grad_host[0])))
+        if bool(jax.device_get(jnp.all(done))):
+            break
+        handler(ev.StartingCentroidReassignment(r))
+        jax.block_until_ready(indices)
+        handler(ev.FinishedCentroidReassignment(r))
+    return KMeansResult(centroids, indices, rounds, gradient)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _init_jit(x, k, key):
+    return plusplus_init(x, k, key)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "epsilon"))
+def _round_jit(x, centroids, indices, done, rounds, gradient, *, k, epsilon):
+    new_c, grad = _centroid_update(x, indices, centroids, k)
+    newly_done = grad < epsilon
+    centroids = jnp.where(done[:, None, None], centroids, new_c)
+    new_idx, _ = assign_chunked(x, centroids, k=k)
+    frozen = done | newly_done
+    indices = jnp.where(frozen[:, None], indices, new_idx)
+    rounds = rounds + (~done).astype(jnp.int32)
+    gradient = jnp.where(done, gradient, grad)
+    return centroids, indices, frozen, rounds, gradient, grad

@@ -1,0 +1,150 @@
+"""Clustering engine tests: quality parity vs a NumPy oracle.
+
+The reference only exercises k-means through its binaries; per SURVEY §4 we
+add what it lacks — correctness vs brute force and quality (inertia) checks —
+while pinning the reference's structural semantics (k==n shortcut, convergence
+rule, determinism under an explicit key).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flechasdb_tpu.ops import kmeans
+from flechasdb_tpu.ops.distance import assign_chunked, sqdist
+
+
+def _blobs(rng, n_per, k, m, spread=0.05):
+    centers = rng.standard_normal((k, m)).astype(np.float32) * 3
+    pts = np.concatenate([
+        c + spread * rng.standard_normal((n_per, m)).astype(np.float32)
+        for c in centers
+    ])
+    perm = rng.permutation(len(pts))
+    return pts[perm], centers
+
+
+def _inertia(x, centroids, indices):
+    return float(np.sum((x - np.asarray(centroids)[np.asarray(indices)]) ** 2))
+
+
+def test_sqdist_matches_numpy(rng):
+    x = rng.standard_normal((10, 7)).astype(np.float32)
+    c = rng.standard_normal((4, 7)).astype(np.float32)
+    expected = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    got = np.asarray(sqdist(jnp.asarray(x), jnp.asarray(c)))
+    assert np.allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_assign_chunked_matches_argmin(rng):
+    x = rng.standard_normal((1, 100, 5)).astype(np.float32)
+    c = rng.standard_normal((1, 7, 5)).astype(np.float32)
+    idx, dmin = assign_chunked(jnp.asarray(x), jnp.asarray(c), k=7, chunk=16)
+    expected = ((x[0][:, None] - c[0][None]) ** 2).sum(-1)
+    assert np.array_equal(np.asarray(idx[0]), expected.argmin(1))
+    assert np.allclose(np.asarray(dmin[0]), expected.min(1),
+                       rtol=1e-4, atol=1e-5)
+
+
+def test_recovers_well_separated_blobs(rng):
+    x, centers = _blobs(rng, 50, 5, 8)
+    res = kmeans.fit(jnp.asarray(x)[None], 5, jax.random.key(0))
+    got = np.sort(np.asarray(res.centroids[0]), axis=0)
+    # every true center recovered within the blob spread
+    d = ((np.asarray(res.centroids[0])[:, None] - centers[None]) ** 2).sum(-1)
+    assert (d.min(axis=0) < 0.1).all()
+    # each point assigned with its blob-mates
+    assert len(np.unique(np.asarray(res.indices[0]))) == 5
+    assert got.shape == (5, 8)
+
+
+def test_k_equals_n_shortcut(rng):
+    x = rng.standard_normal((1, 6, 4)).astype(np.float32)
+    res = kmeans.fit(jnp.asarray(x), 6, jax.random.key(1))
+    assert np.array_equal(np.asarray(res.centroids), x)
+    assert np.array_equal(np.asarray(res.indices[0]), np.arange(6))
+    assert int(res.rounds[0]) == 0
+
+
+def test_k_equals_one(rng):
+    x = rng.standard_normal((1, 50, 4)).astype(np.float32)
+    res = kmeans.fit(jnp.asarray(x), 1, jax.random.key(2))
+    # single cluster converges to the global mean
+    assert np.allclose(np.asarray(res.centroids[0, 0]), x[0].mean(0),
+                       rtol=1e-4, atol=1e-5)
+    assert (np.asarray(res.indices) == 0).all()
+
+
+def test_fewer_vectors_than_k_raises(rng):
+    x = jnp.asarray(rng.standard_normal((1, 3, 4)).astype(np.float32))
+    with pytest.raises(ValueError):
+        kmeans.fit(x, 5, jax.random.key(0))
+
+
+def test_deterministic_under_key(rng):
+    x = jnp.asarray(rng.standard_normal((1, 200, 6)).astype(np.float32))
+    r1 = kmeans.fit(x, 8, jax.random.key(7))
+    r2 = kmeans.fit(x, 8, jax.random.key(7))
+    assert np.array_equal(np.asarray(r1.centroids), np.asarray(r2.centroids))
+    assert np.array_equal(np.asarray(r1.indices), np.asarray(r2.indices))
+
+
+def test_batched_divisions_independent(rng):
+    """Batched PQ training must equal training each division separately."""
+    x = rng.standard_normal((3, 120, 4)).astype(np.float32)
+    key = jax.random.key(3)
+    batched = kmeans.fit(jnp.asarray(x), 4, key)
+    for d in range(3):
+        # Same key trains the same batch row identically whether alone or
+        # batched is NOT expected (keys fold differently); compare quality.
+        solo = kmeans.fit(jnp.asarray(x[d:d + 1]), 4, key)
+        ib = _inertia(x[d], batched.centroids[d], batched.indices[d])
+        io_ = _inertia(x[d], solo.centroids[0], solo.indices[0])
+        assert ib <= io_ * 1.5 + 1e-3
+
+
+def test_quality_vs_numpy_lloyd(rng):
+    """Inertia must match a plain NumPy Lloyd oracle within 10%."""
+    x, _ = _blobs(rng, 40, 6, 10, spread=0.5)
+    res = kmeans.fit(jnp.asarray(x)[None], 6, jax.random.key(11))
+    ours = _inertia(x, res.centroids[0], res.indices[0])
+
+    # oracle: numpy lloyd from random init, best of 3
+    best = np.inf
+    orng = np.random.default_rng(0)
+    for _ in range(3):
+        c = x[orng.choice(len(x), 6, replace=False)].copy()
+        for _ in range(100):
+            d = ((x[:, None] - c[None]) ** 2).sum(-1)
+            a = d.argmin(1)
+            newc = np.stack([
+                x[a == j].mean(0) if (a == j).any() else c[j]
+                for j in range(6)
+            ])
+            if np.allclose(newc, c):
+                break
+            c = newc
+        best = min(best, _inertia(x, c, d.argmin(1)))
+    assert ours <= best * 1.1
+
+
+def test_identical_vectors_do_not_crash():
+    # kmeans.rs:199 panics here; we degrade gracefully (documented).
+    x = jnp.ones((1, 10, 4), jnp.float32)
+    res = kmeans.fit(x, 3, jax.random.key(0))
+    assert np.allclose(np.asarray(res.centroids), 1.0)
+
+
+def test_events_path_matches_fast_path(rng):
+    x = jnp.asarray(rng.standard_normal((2, 150, 6)).astype(np.float32))
+    key = jax.random.key(9)
+    fast = kmeans.fit(x, 5, key)
+    seen = []
+    obs = kmeans.fit_with_events(x, 5, key, seen.append)
+    assert np.array_equal(np.asarray(fast.centroids),
+                          np.asarray(obs.centroids))
+    assert np.array_equal(np.asarray(fast.indices), np.asarray(obs.indices))
+    kinds = [type(e).__name__ for e in seen]
+    assert kinds[0] == "StartingCentroidInitialization"
+    assert "FinishedCentroidUpdate" in kinds
