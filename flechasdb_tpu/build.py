@@ -1,0 +1,308 @@
+"""Database builder and in-memory database.
+
+Reference (``src/db/build.rs``): ``DatabaseBuilder`` (defaults P=10, D=8,
+C=16, ``build.rs:44-52``) runs UUID assignment → IVF partitioning →
+sub-vector division → per-division PQ clustering (``build.rs:78-129``); the
+resulting in-memory ``Database`` supports attribute set/get
+(``build.rs:228-285``) and k-NN queries (``build.rs:293-382, 521-565``).
+
+TPU-first build pipeline — three device programs instead of ~1300 scalar
+k-means passes:
+
+1. coarse k-means++ / Lloyd over ``[N, M]`` (one batch row),
+2. residual subtraction (fused gather),
+3. *batched* PQ training: all ``D`` division codebooks in one program over
+   ``[D, N, M/D]`` (the reference loops divisions sequentially at
+   ``build.rs:110-118``).
+
+Queries run as one fused masked-scan kernel (see ``ops/adc.py``) and are
+batched: ``query_batch`` amortizes dispatch over many query vectors.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import events as ev
+from .attributes import AttributeTable, Attributes, AttributeValue, \
+    check_attribute_value
+from .errors import InvalidArgs
+from .events import EventHandler, _noop
+from .ops import kmeans
+from .ops.adc import query_masked_scan
+from .partitions import Partitions, partition
+from .vector import as_vector_set, divide_vector_set
+
+
+def _make_uuids(n: int, rng: np.random.Generator) -> List[_uuid.UUID]:
+    """Random version-4 UUIDs (``build.rs:86-91``), reproducible via rng."""
+    raw = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw[:, 6] = (raw[:, 6] & 0x0F) | 0x40  # version 4
+    raw[:, 8] = (raw[:, 8] & 0x3F) | 0x80  # RFC 4122 variant
+    return [_uuid.UUID(bytes=row.tobytes()) for row in raw]
+
+
+def _local_indices(pidx: np.ndarray, p: int) -> np.ndarray:
+    """Rank of each vector inside its partition, preserving input order.
+
+    Matches the reference's implicit ordering: a partition's members appear
+    in original input order (``build.rs:462-472``), and ``vector_index`` in
+    query results is that local rank (``build.rs:546-562``).
+    """
+    order = np.argsort(pidx, kind="stable")
+    sorted_p = pidx[order]
+    starts = np.searchsorted(sorted_p, np.arange(p), side="left")
+    local = np.empty(len(pidx), dtype=np.int32)
+    local[order] = np.arange(len(pidx), dtype=np.int32) - starts[sorted_p]
+    return local
+
+
+@dataclass
+class QueryResult:
+    """One k-NN result (``build.rs:576-587``)."""
+    partition_index: int
+    vector_id: _uuid.UUID
+    vector_index: int          # local index within the partition
+    squared_distance: float
+
+
+class DatabaseBuilder:
+    """Fluent builder (``build.rs:23-70``); defaults P=10, D=8, C=16."""
+
+    def __init__(self, vs) -> None:
+        self._vs = as_vector_set(vs).astype(np.float32)
+        self._num_partitions = 10
+        self._num_divisions = 8
+        self._num_clusters = 16
+        self._seed: Optional[int] = None
+
+    def with_partitions(self, p: int) -> "DatabaseBuilder":
+        if p <= 0:
+            raise InvalidArgs(f"num_partitions must be positive: {p}")
+        self._num_partitions = p
+        return self
+
+    def with_divisions(self, d: int) -> "DatabaseBuilder":
+        if d <= 0:
+            raise InvalidArgs(f"num_divisions must be positive: {d}")
+        self._num_divisions = d
+        return self
+
+    def with_clusters(self, c: int) -> "DatabaseBuilder":
+        if c <= 0:
+            raise InvalidArgs(f"num_clusters must be positive: {c}")
+        self._num_clusters = c
+        return self
+
+    def with_seed(self, seed: int) -> "DatabaseBuilder":
+        """Makes the build fully reproducible (clustering *and* UUIDs)."""
+        self._seed = seed
+        return self
+
+    def build(self, events: EventHandler = _noop) -> "Database":
+        """Runs the build pipeline (``build.rs:78-129``)."""
+        x = self._vs
+        n, m = x.shape
+        p, d, c = (self._num_partitions, self._num_divisions,
+                   self._num_clusters)
+        if n < p:
+            raise InvalidArgs(f"vs has fewer vectors than k: {n} < {p}")
+        if n < c:
+            raise InvalidArgs(f"vs has fewer vectors than k: {n} < {c}")
+        if m % d != 0:
+            raise InvalidArgs(f"vector size ({m}) is not divisible by {d}")
+
+        seed = (np.random.SeedSequence().entropy if self._seed is None
+                else self._seed)
+        rng = np.random.default_rng(seed)
+        key = jax.random.key(int(np.uint32(rng.integers(0, 2**32))))
+        k_coarse, k_pq = jax.random.split(key)
+
+        events(ev.StartingIdAssignment())
+        vector_ids = _make_uuids(n, rng)
+        events(ev.FinishedIdAssignment())
+
+        events(ev.StartingPartitioning())
+        cluster_events = ((lambda e: events(ev.ClusterEvent(e)))
+                          if events is not _noop else _noop)
+        parts = partition(jnp.asarray(x), p, k_coarse, events=cluster_events)
+        events(ev.FinishedPartitioning())
+
+        events(ev.StartingSubvectorDivision())
+        divided = divide_vector_set(parts.residues, d)   # [D, N, m]
+        events(ev.FinishedSubvectorDivision())
+
+        # All D division codebooks train in one batched program; emit the
+        # reference's per-division event pairs around it (build.rs:110-118).
+        for i in range(d):
+            events(ev.StartingQuantization(i))
+        if events is _noop:
+            pq = kmeans.fit(divided, c, k_pq)
+        else:
+            pq = kmeans.fit_with_events(divided, c, k_pq, cluster_events)
+        for i in range(d):
+            events(ev.FinishedQuantization(i))
+
+        pidx = np.asarray(parts.indices, dtype=np.int32)
+        return Database(
+            vector_size=m,
+            num_partitions=p,
+            num_divisions=d,
+            num_clusters=c,
+            vector_ids=vector_ids,
+            partition_centroids=np.asarray(parts.centroids),
+            partition_indices=pidx,
+            codebooks=np.asarray(pq.centroids),
+            codes=np.asarray(pq.indices, dtype=np.uint32).T.copy(),
+            residues=np.asarray(parts.residues),
+        )
+
+
+@dataclass
+class Database:
+    """In-memory database (``build.rs:156-286``).
+
+    Host state is numpy; device mirrors are created lazily on first query and
+    reused across queries (the "warm" path).
+    """
+    vector_size: int
+    num_partitions: int
+    num_divisions: int
+    num_clusters: int
+    vector_ids: List[_uuid.UUID]
+    partition_centroids: np.ndarray          # [P, M] f32
+    partition_indices: np.ndarray            # [N] int32
+    codebooks: np.ndarray                    # [D, C, m] f32
+    codes: np.ndarray                        # [N, D] uint32
+    residues: Optional[np.ndarray] = None    # [N, M] f32 (for reconstruction)
+    attribute_table: AttributeTable = field(default_factory=dict)
+
+    _local_idx: Optional[np.ndarray] = field(default=None, repr=False)
+    _dev: Optional[tuple] = field(default=None, repr=False)
+
+    # -- basic accessors (build.rs:178-224) --------------------------------
+
+    @property
+    def num_vectors(self) -> int:
+        return len(self.vector_ids)
+
+    @property
+    def subvector_size(self) -> int:
+        return self.vector_size // self.num_divisions
+
+    @property
+    def local_indices(self) -> np.ndarray:
+        if self._local_idx is None:
+            self._local_idx = _local_indices(
+                self.partition_indices, self.num_partitions)
+        return self._local_idx
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        """Original input vector i = residue + centroid
+        (``partitions.rs:68-93``)."""
+        if self.residues is None:
+            raise InvalidArgs("residues were not retained")
+        return (self.residues[i]
+                + self.partition_centroids[self.partition_indices[i]])
+
+    # -- attributes (build.rs:228-285) --------------------------------------
+
+    def get_attribute(self, vector_id: _uuid.UUID,
+                      key: str) -> Optional[AttributeValue]:
+        try:
+            attrs = self.attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    def set_attribute_at(self, i: int, attribute: Tuple[str, AttributeValue],
+                         ) -> None:
+        if not 0 <= i < self.num_vectors:
+            raise InvalidArgs(f"vector index out of bounds: {i}")
+        key, value = attribute
+        value = check_attribute_value(value)
+        vid = self.vector_ids[i]
+        self.attribute_table.setdefault(vid, {})[str(key)] = value
+
+    # -- queries (build.rs:293-382) ------------------------------------------
+
+    def _device_state(self):
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.partition_centroids),
+                jnp.asarray(self.codebooks),
+                jnp.asarray(self.codes.astype(np.int32)),
+                jnp.asarray(self.partition_indices),
+            )
+        return self._dev
+
+    def query(self, v, k: int, nprobe: int) -> List[QueryResult]:
+        return self.query_with_events(v, k, nprobe, _noop)
+
+    def query_with_events(self, v, k: int, nprobe: int,
+                          events: EventHandler) -> List[QueryResult]:
+        """Single-vector k-NN (``build.rs:307-340``)."""
+        self._validate_query(k, nprobe)
+        v = np.asarray(v, dtype=np.float32).reshape(1, -1)
+        if v.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.vector_size}")
+        events(ev.StartingPartitionSelection())
+        cents, cbs, codes, pidx = self._device_state()
+        dists, rows, probed = query_masked_scan(
+            jnp.asarray(v), cents, cbs, codes, pidx, k=k, nprobe=nprobe)
+        dists, rows, probed = (np.asarray(dists[0]), np.asarray(rows[0]),
+                               np.asarray(probed[0]))
+        events(ev.FinishedPartitionSelection())
+        for pi in probed:
+            events(ev.StartingPartitionQuery(int(pi)))
+            events(ev.FinishedPartitionQuery(int(pi)))
+        events(ev.StartingResultSelection())
+        results = self._to_results(dists, rows)
+        events(ev.FinishedResultSelection())
+        return results
+
+    def query_batch(self, vs, k: int, nprobe: int
+                    ) -> List[List[QueryResult]]:
+        """Batched k-NN — one fused device program for all queries."""
+        self._validate_query(k, nprobe)
+        vs = as_vector_set(vs).astype(np.float32)
+        if vs.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {vs.shape[1]} != {self.vector_size}")
+        cents, cbs, codes, pidx = self._device_state()
+        dists, rows, _ = query_masked_scan(
+            jnp.asarray(vs), cents, cbs, codes, pidx, k=k, nprobe=nprobe)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
+
+    def _validate_query(self, k: int, nprobe: int) -> None:
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")
+
+    def _to_results(self, dists: np.ndarray,
+                    rows: np.ndarray) -> List[QueryResult]:
+        local = self.local_indices
+        out: List[QueryResult] = []
+        for dist, row in zip(dists, rows):
+            if not np.isfinite(dist):
+                break  # fewer reachable vectors than k
+            out.append(QueryResult(
+                partition_index=int(self.partition_indices[row]),
+                vector_id=self.vector_ids[row],
+                vector_index=int(local[row]),
+                squared_distance=float(dist),
+            ))
+        return out

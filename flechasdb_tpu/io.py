@@ -1,0 +1,146 @@
+"""Content-addressed storage.
+
+Reference model (``src/io.rs``): every artifact is written through a hashing
+stream and persisted under ``URL-safe-base64(SHA-256(file bytes))`` — for
+compressed artifacts the hash covers the *compressed* bytes, because the
+hasher sits below the zlib encoder (``io.rs:126-128``). Writes are crash-safe
+via tempfile + atomic rename (``io.rs:242-256``); readers hash as they read
+and ``verify()`` against the filename stem (``io.rs:286-300``). Corruption
+surfaces as :class:`VerificationFailure`.
+
+``FileSystem`` is the extension seam (the reference's out-of-tree
+``flechasdb-s3`` proves it): implement four methods to put databases on any
+object store.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import tempfile
+import zlib
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Optional
+
+from .errors import IOError_, VerificationFailure
+
+#: zlib level matching flate2's ``Compression::default()`` (``io.rs:104``).
+COMPRESSION_LEVEL = 6
+
+
+def content_hash(data: bytes) -> str:
+    """URL-safe base64 (no padding) of SHA-256 — file naming scheme
+    (``io.rs:248-249``)."""
+    digest = hashlib.sha256(data).digest()
+    return base64.urlsafe_b64encode(digest).decode("ascii").rstrip("=")
+
+
+class HashedFileWriter:
+    """Write buffer persisted under the hash of its (stored) bytes.
+
+    With ``compress=True`` the payload is zlib-compressed and the hash covers
+    the compressed stream, matching the reference's layering
+    (``io.rs:122-129``).
+    """
+
+    def __init__(self, persist_cb, compress: bool) -> None:
+        self._persist_cb = persist_cb
+        self._compress = compress
+        self._chunks: list[bytes] = []
+        self._persisted = False
+
+    def write(self, data: bytes) -> int:
+        self._chunks.append(bytes(data))
+        return len(data)
+
+    def persist(self, extension: str = "binpb") -> str:
+        """Finalizes and stores the file; returns its content hash."""
+        if self._persisted:
+            raise IOError_("file already persisted")
+        payload = b"".join(self._chunks)
+        if self._compress:
+            payload = zlib.compress(payload, COMPRESSION_LEVEL)
+        hash_ = content_hash(payload)
+        self._persist_cb(payload, f"{hash_}.{extension}")
+        self._persisted = True
+        return hash_
+
+
+class HashedFileReader:
+    """Read buffer that can verify its content hash against its name."""
+
+    def __init__(self, raw: bytes, name: str, compressed: bool) -> None:
+        self._raw = raw
+        self._name = name
+        self._compressed = compressed
+
+    def read(self) -> bytes:
+        """Returns the (decompressed) payload."""
+        if self._compressed:
+            try:
+                return zlib.decompress(self._raw)
+            except zlib.error as e:
+                raise IOError_(f"zlib decompression failed: {e}") from e
+        return self._raw
+
+    def verify(self) -> None:
+        """Checks SHA-256 of the stored bytes against the filename stem
+        (``io.rs:286-300``)."""
+        hash_ = content_hash(self._raw)
+        stem = Path(self._name).stem
+        if hash_ != stem:
+            raise VerificationFailure(
+                f"Expected hash {stem!r}, but got {hash_}")
+
+
+class FileSystem(ABC):
+    """Storage abstraction (``io.rs:18-64``)."""
+
+    @abstractmethod
+    def create_hashed_file(self, subdir: str = "",
+                           compress: bool = False) -> HashedFileWriter:
+        """Creates a writer whose final name is the hash of its contents."""
+
+    @abstractmethod
+    def open_hashed_file(self, path: str,
+                         compressed: bool = False) -> HashedFileReader:
+        """Opens a stored file for reading/verification."""
+
+
+class LocalFileSystem(FileSystem):
+    """Local directory store: tempfile + atomic rename (``io.rs:210-256``)."""
+
+    def __init__(self, base_path) -> None:
+        self.base_path = Path(base_path)
+
+    def create_hashed_file(self, subdir: str = "",
+                           compress: bool = False) -> HashedFileWriter:
+        target_dir = self.base_path / subdir if subdir else self.base_path
+
+        def persist_cb(payload: bytes, filename: str) -> None:
+            try:
+                target_dir.mkdir(parents=True, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=target_dir)
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(payload)
+                    os.replace(tmp, target_dir / filename)
+                except BaseException:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                    raise
+            except OSError as e:
+                raise IOError_(str(e)) from e
+
+        return HashedFileWriter(persist_cb, compress)
+
+    def open_hashed_file(self, path: str,
+                         compressed: bool = False) -> HashedFileReader:
+        full = self.base_path / path
+        try:
+            raw = full.read_bytes()
+        except OSError as e:
+            raise IOError_(str(e)) from e
+        return HashedFileReader(raw, full.name, compressed)

@@ -1,0 +1,310 @@
+"""Database format messages.
+
+Wire-compatible with the reference schema (``src/protos/database.proto``) —
+same field numbers, types, and nesting, so databases serialized by the
+reference parse here and vice versa. Field-by-field:
+
+* ``Database`` (proto:6-44): sizes (1-4), ``partition_ids`` (10),
+  ``partition_centroids_id`` (11), ``codebook_ids`` (12),
+  ``attributes_log_ids`` (13), ``attribute_names`` (14).
+* ``Partition`` (proto:47-63): sizes (1-2), packed ``centroid`` (10),
+  ``encoded_vectors`` message (11), repeated ``vector_ids`` (12).
+* ``VectorSet`` / ``EncodedVectorSet`` (proto:66-85): ``vector_size`` (1),
+  packed ``data`` (10) — f32 raw / u32 varints.
+* ``AttributeValue`` (proto:88-93): oneof string (1) / uint64 (2).
+* ``AttributesLog`` (proto:96-104): ``partition_id`` (1), ``entries`` (10).
+* ``OperationSetAttribute`` (proto:107-115): ``vector_id`` (1),
+  ``name_index`` (2), ``value`` (3).
+* ``Uuid`` (proto:118-123): ``upper``/``lower`` fixed64 — the most/least
+  significant halves of the 128-bit UUID.
+
+Encoding follows canonical proto3: fields in number order, defaults skipped
+(except oneof members), repeated scalars packed. Parsers accept packed and
+unpacked forms and skip unknown fields.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field as dfield
+from typing import List, Optional, Union
+
+import numpy as np
+
+from ..errors import ProtobufError
+from . import wire
+from .wire import Writer, iter_fields
+
+
+def _expect_payload(payload: Optional[bytes], what: str) -> bytes:
+    if payload is None:
+        raise ProtobufError(f"{what}: expected length-delimited field")
+    return payload
+
+
+@dataclass
+class PUuid:
+    upper: int = 0
+    lower: int = 0
+
+    @classmethod
+    def from_uuid(cls, u: _uuid.UUID) -> "PUuid":
+        v = u.int
+        return cls(upper=v >> 64, lower=v & ((1 << 64) - 1))
+
+    def to_uuid(self) -> _uuid.UUID:
+        return _uuid.UUID(int=(self.upper << 64) | self.lower)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.fixed64_field(1, self.upper)
+        w.fixed64_field(2, self.lower)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PUuid":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_FIXED64:
+                m.upper = value
+            elif f == 2 and wt == wire.WT_FIXED64:
+                m.lower = value
+        return m
+
+
+@dataclass
+class PVectorSet:
+    """Flat f32 vector set; row i = data[i*vector_size:(i+1)*vector_size]."""
+    vector_size: int = 0
+    data: np.ndarray = dfield(default_factory=lambda: np.zeros(0, np.float32))
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        if len(self.data):
+            w.len_field(10, wire.encode_packed_floats(self.data))
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PVectorSet":
+        m = cls()
+        scalars: List[float] = []
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_VARINT:
+                m.vector_size = value
+            elif f == 10 and wt == wire.WT_LEN:
+                m.data = wire.decode_packed_floats(
+                    _expect_payload(payload, "VectorSet.data"))
+            elif f == 10 and wt == wire.WT_FIXED32:
+                scalars.append(value)
+        if scalars:
+            m.data = np.frombuffer(
+                np.array(scalars, np.uint32).tobytes(), "<f4").copy()
+        return m
+
+
+@dataclass
+class PEncodedVectorSet:
+    """Flat u32 PQ-code set, same row layout as :class:`PVectorSet`."""
+    vector_size: int = 0
+    data: np.ndarray = dfield(default_factory=lambda: np.zeros(0, np.uint32))
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        if len(self.data):
+            w.len_field(10, wire.encode_packed_u32(self.data))
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PEncodedVectorSet":
+        m = cls()
+        scalars: List[int] = []
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_VARINT:
+                m.vector_size = value
+            elif f == 10 and wt == wire.WT_LEN:
+                m.data = wire.decode_packed_u32(
+                    _expect_payload(payload, "EncodedVectorSet.data"))
+            elif f == 10 and wt == wire.WT_VARINT:
+                scalars.append(value)
+        if scalars:
+            m.data = np.array(scalars, np.uint32)
+        return m
+
+
+@dataclass
+class PPartition:
+    vector_size: int = 0
+    num_divisions: int = 0
+    centroid: np.ndarray = dfield(
+        default_factory=lambda: np.zeros(0, np.float32))
+    encoded_vectors: Optional[PEncodedVectorSet] = None
+    vector_ids: List[PUuid] = dfield(default_factory=list)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        w.varint_field(2, self.num_divisions)
+        if len(self.centroid):
+            w.len_field(10, wire.encode_packed_floats(self.centroid))
+        w.message_field(11, self.encoded_vectors)
+        for vid in self.vector_ids:
+            w.message_field(12, vid)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PPartition":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_VARINT:
+                m.vector_size = value
+            elif f == 2 and wt == wire.WT_VARINT:
+                m.num_divisions = value
+            elif f == 10 and wt == wire.WT_LEN:
+                m.centroid = wire.decode_packed_floats(
+                    _expect_payload(payload, "Partition.centroid"))
+            elif f == 11 and wt == wire.WT_LEN:
+                m.encoded_vectors = PEncodedVectorSet.decode(
+                    _expect_payload(payload, "Partition.encoded_vectors"))
+            elif f == 12 and wt == wire.WT_LEN:
+                m.vector_ids.append(PUuid.decode(
+                    _expect_payload(payload, "Partition.vector_ids")))
+        return m
+
+
+@dataclass
+class PAttributeValue:
+    """oneof: exactly one of string_value / uint64_value."""
+    value: Union[str, int, None] = None
+
+    def encode(self) -> bytes:
+        w = Writer()
+        if isinstance(self.value, str):
+            w.string_field(1, self.value, force=True)
+        elif isinstance(self.value, int):
+            # oneof members serialize even at default value
+            w.raw(wire.tag(2, wire.WT_VARINT))
+            w.raw(wire.encode_varint(self.value))
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PAttributeValue":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_LEN:
+                m.value = _expect_payload(
+                    payload, "AttributeValue").decode("utf-8")
+            elif f == 2 and wt == wire.WT_VARINT:
+                m.value = value
+        return m
+
+
+@dataclass
+class POperationSetAttribute:
+    vector_id: Optional[PUuid] = None
+    name_index: int = 0
+    value: Optional[PAttributeValue] = None
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.message_field(1, self.vector_id)
+        w.varint_field(2, self.name_index)
+        w.message_field(3, self.value)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "POperationSetAttribute":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_LEN:
+                m.vector_id = PUuid.decode(
+                    _expect_payload(payload, "vector_id"))
+            elif f == 2 and wt == wire.WT_VARINT:
+                m.name_index = value
+            elif f == 3 and wt == wire.WT_LEN:
+                m.value = PAttributeValue.decode(
+                    _expect_payload(payload, "value"))
+        return m
+
+
+@dataclass
+class PAttributesLog:
+    """Set-operation log; replay order matters (last write wins)."""
+    partition_id: str = ""
+    entries: List[POperationSetAttribute] = dfield(default_factory=list)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.string_field(1, self.partition_id)
+        for e in self.entries:
+            w.message_field(10, e)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PAttributesLog":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_LEN:
+                m.partition_id = _expect_payload(
+                    payload, "partition_id").decode("utf-8")
+            elif f == 10 and wt == wire.WT_LEN:
+                m.entries.append(POperationSetAttribute.decode(
+                    _expect_payload(payload, "entries")))
+        return m
+
+
+@dataclass
+class PDatabase:
+    vector_size: int = 0
+    num_partitions: int = 0
+    num_divisions: int = 0
+    num_codes: int = 0
+    partition_ids: List[str] = dfield(default_factory=list)
+    partition_centroids_id: str = ""
+    codebook_ids: List[str] = dfield(default_factory=list)
+    attributes_log_ids: List[str] = dfield(default_factory=list)
+    attribute_names: List[str] = dfield(default_factory=list)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        w.varint_field(2, self.num_partitions)
+        w.varint_field(3, self.num_divisions)
+        w.varint_field(4, self.num_codes)
+        for s in self.partition_ids:
+            w.string_field(10, s, force=True)
+        w.string_field(11, self.partition_centroids_id)
+        for s in self.codebook_ids:
+            w.string_field(12, s, force=True)
+        for s in self.attributes_log_ids:
+            w.string_field(13, s, force=True)
+        for s in self.attribute_names:
+            w.string_field(14, s, force=True)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PDatabase":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if wt == wire.WT_VARINT:
+                if f == 1:
+                    m.vector_size = value
+                elif f == 2:
+                    m.num_partitions = value
+                elif f == 3:
+                    m.num_divisions = value
+                elif f == 4:
+                    m.num_codes = value
+            elif wt == wire.WT_LEN:
+                if f == 10:
+                    m.partition_ids.append(payload.decode("utf-8"))
+                elif f == 11:
+                    m.partition_centroids_id = payload.decode("utf-8")
+                elif f == 12:
+                    m.codebook_ids.append(payload.decode("utf-8"))
+                elif f == 13:
+                    m.attributes_log_ids.append(payload.decode("utf-8"))
+                elif f == 14:
+                    m.attribute_names.append(payload.decode("utf-8"))
+        return m

@@ -1,0 +1,192 @@
+"""proto3 wire-format primitives.
+
+Standard encoding rules (tags, varints, length-delimited fields, packed
+repeated scalars) plus two numpy-vectorized bulk codecs:
+
+* packed ``float``  ↔ ``np.float32`` arrays — raw little-endian reinterpret,
+* packed ``uint32`` ↔ ``np.uint32`` arrays — branch-free vectorized varints.
+
+These carry the entire data volume of a database file (``VectorSet.data``,
+``EncodedVectorSet.data``, ``database.proto:66-85``), so they must not go
+through per-element Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import ProtobufError
+
+# wire types
+WT_VARINT = 0
+WT_FIXED64 = 1
+WT_LEN = 2
+WT_FIXED32 = 5
+
+
+def tag(field: int, wire_type: int) -> bytes:
+    return encode_varint((field << 3) | wire_type)
+
+
+def encode_varint(v: int) -> bytes:
+    if v < 0:
+        raise ProtobufError(f"varint must be non-negative: {v}")
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Returns ``(value, next_pos)``."""
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ProtobufError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ProtobufError("varint too long")
+
+
+def encode_packed_floats(arr: np.ndarray) -> bytes:
+    """Payload of a packed ``repeated float`` field."""
+    return np.ascontiguousarray(arr, dtype="<f4").tobytes()
+
+
+def decode_packed_floats(payload: bytes) -> np.ndarray:
+    if len(payload) % 4:
+        raise ProtobufError(
+            f"packed float payload length {len(payload)} not a multiple of 4")
+    return np.frombuffer(payload, dtype="<f4").copy()
+
+
+def encode_packed_u32(arr: np.ndarray) -> bytes:
+    """Payload of a packed ``repeated uint32`` field (vectorized varints)."""
+    v = np.ascontiguousarray(arr).astype(np.uint64)
+    if v.size == 0:
+        return b""
+    nb = (1 + (v >= 1 << 7).astype(np.int64) + (v >= 1 << 14)
+          + (v >= 1 << 21) + (v >= 1 << 28))
+    starts = np.empty_like(nb)
+    starts[0] = 0
+    np.cumsum(nb[:-1], out=starts[1:])
+    out = np.zeros(int(starts[-1] + nb[-1]), np.uint8)
+    for j in range(5):
+        mask = nb > j
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F))
+        cont = (nb[mask] - 1 > j)
+        out[starts[mask] + j] = byte.astype(np.uint8) | (
+            cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def decode_packed_u32(payload: bytes) -> np.ndarray:
+    """Decodes a packed ``repeated uint32`` payload (vectorized varints)."""
+    if not payload:
+        return np.zeros(0, np.uint32)
+    b = np.frombuffer(payload, np.uint8)
+    is_end = (b & 0x80) == 0
+    if not is_end[-1]:
+        raise ProtobufError("truncated varint in packed field")
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty(len(ends), np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    gid = np.zeros(len(b), np.int64)
+    gid[1:] = np.cumsum(is_end)[:-1]
+    offset = np.arange(len(b), dtype=np.int64) - starts[gid]
+    if (offset > 9).any():
+        raise ProtobufError("varint too long in packed field")
+    vals = (b & 0x7F).astype(np.uint64) << (7 * offset).astype(np.uint64)
+    out = np.add.reduceat(vals, starts)
+    if (out > 0xFFFFFFFF).any():
+        raise ProtobufError("uint32 overflow in packed field")
+    return out.astype(np.uint32)
+
+
+class Writer:
+    """Accumulates encoded fields; fields must be appended in order."""
+
+    def __init__(self) -> None:
+        self._parts: list[bytes] = []
+
+    def raw(self, data: bytes) -> None:
+        self._parts.append(data)
+
+    def varint_field(self, field: int, value: int) -> None:
+        """Writes a varint field, skipping the proto3 default (0)."""
+        if value:
+            self._parts.append(tag(field, WT_VARINT))
+            self._parts.append(encode_varint(value))
+
+    def fixed64_field(self, field: int, value: int) -> None:
+        if value:
+            self._parts.append(tag(field, WT_FIXED64))
+            self._parts.append(int(value).to_bytes(8, "little"))
+
+    def len_field(self, field: int, payload: bytes) -> None:
+        self._parts.append(tag(field, WT_LEN))
+        self._parts.append(encode_varint(len(payload)))
+        self._parts.append(payload)
+
+    def string_field(self, field: int, value: str,
+                     force: bool = False) -> None:
+        """Skips empty strings unless ``force`` (oneof members always
+        serialize)."""
+        if value or force:
+            self.len_field(field, value.encode("utf-8"))
+
+    def message_field(self, field: int, message) -> None:
+        if message is not None:
+            self.len_field(field, message.encode())
+
+    def getvalue(self) -> bytes:
+        return b"".join(self._parts)
+
+
+def iter_fields(buf: bytes):
+    """Yields ``(field, wire_type, value, payload)`` for each field.
+
+    ``value`` is set for VARINT/FIXED64/FIXED32; ``payload`` for LEN.
+    Unknown fields are the caller's to ignore — this parser just walks the
+    buffer.
+    """
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = decode_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == WT_VARINT:
+            value, pos = decode_varint(buf, pos)
+            yield field, wt, value, None
+        elif wt == WT_FIXED64:
+            if pos + 8 > n:
+                raise ProtobufError("truncated fixed64")
+            yield field, wt, int.from_bytes(buf[pos:pos + 8], "little"), None
+            pos += 8
+        elif wt == WT_LEN:
+            length, pos = decode_varint(buf, pos)
+            if pos + length > n:
+                raise ProtobufError("truncated length-delimited field")
+            yield field, wt, None, buf[pos:pos + length]
+            pos += length
+        elif wt == WT_FIXED32:
+            if pos + 4 > n:
+                raise ProtobufError("truncated fixed32")
+            yield field, wt, int.from_bytes(buf[pos:pos + 4], "little"), None
+            pos += 4
+        else:
+            raise ProtobufError(f"unsupported wire type {wt}")

@@ -1,0 +1,139 @@
+"""Database serialization.
+
+Artifact layout matches the reference (``src/db/build/proto.rs:25-63``):
+
+* ``partitions/<hash>.binpb``  — per-partition codes + centroid, compressed
+* ``partitions/<hash>.binpb``  — partition centroids VectorSet, *uncompressed*
+* ``codebooks/<hash>.binpb``   — per-division codebook VectorSet, uncompressed
+* ``attributes/<hash>.binpb``  — per-partition attributes log, compressed
+* ``<hash>.binpb``             — root Database manifest, compressed
+
+Every file is content-addressed (see :mod:`.io`), so the tree is immutable
+and self-verifying; the root manifest names everything else.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .build import Database
+from .io import FileSystem
+from .protos import (
+    PAttributesLog,
+    PAttributeValue,
+    PDatabase,
+    PEncodedVectorSet,
+    POperationSetAttribute,
+    PPartition,
+    PUuid,
+    PVectorSet,
+)
+
+PROTOBUF_EXTENSION = "binpb"
+
+
+def save_database(db: Database, fs: FileSystem) -> str:
+    """Serializes ``db`` into ``fs``; returns the root manifest hash.
+
+    Mirrors ``serialize_database`` (``db/build/proto.rs:25-63``): partitions
+    first, then partition centroids, codebooks, attribute logs, finally the
+    root manifest.
+    """
+    partition_ids = _save_partitions(db, fs)
+    partition_centroids_id = _save_vector_set(
+        db.partition_centroids, fs, "partitions")
+    codebook_ids = [
+        _save_vector_set(db.codebooks[d], fs, "codebooks")
+        for d in range(db.num_divisions)
+    ]
+    attribute_names = _sorted_attribute_names(db)
+    attributes_log_ids = _save_attribute_logs(
+        db, partition_ids, attribute_names, fs)
+
+    root = PDatabase(
+        vector_size=db.vector_size,
+        num_partitions=db.num_partitions,
+        num_divisions=db.num_divisions,
+        num_codes=db.num_clusters,
+        partition_ids=partition_ids,
+        partition_centroids_id=partition_centroids_id,
+        codebook_ids=codebook_ids,
+        attributes_log_ids=attributes_log_ids,
+        attribute_names=attribute_names,
+    )
+    f = fs.create_hashed_file(compress=True)
+    f.write(root.encode())
+    return f.persist(PROTOBUF_EXTENSION)
+
+
+def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
+    """One compressed file per partition (``db/build/proto.rs:66-98``).
+
+    Partition members keep their original input order — the same order the
+    reference's index-filter extraction produces (``db/build.rs:462-472``).
+    """
+    ids: List[str] = []
+    pidx = db.partition_indices
+    for pi in range(db.num_partitions):
+        members = np.nonzero(pidx == pi)[0]
+        msg = PPartition(
+            vector_size=db.vector_size,
+            num_divisions=db.num_divisions,
+            centroid=db.partition_centroids[pi],
+            encoded_vectors=PEncodedVectorSet(
+                vector_size=db.num_divisions,
+                data=db.codes[members].reshape(-1),
+            ),
+            vector_ids=[PUuid.from_uuid(db.vector_ids[i]) for i in members],
+        )
+        f = fs.create_hashed_file("partitions", compress=True)
+        f.write(msg.encode())
+        ids.append(f.persist(PROTOBUF_EXTENSION))
+    return ids
+
+
+def _save_vector_set(arr: np.ndarray, fs: FileSystem, subdir: str) -> str:
+    """Uncompressed VectorSet file (centroids / codebooks,
+    ``db/build/proto.rs:101-146``)."""
+    arr = np.asarray(arr, np.float32)
+    msg = PVectorSet(vector_size=arr.shape[-1], data=arr.reshape(-1))
+    f = fs.create_hashed_file(subdir, compress=False)
+    f.write(msg.encode())
+    return f.persist(PROTOBUF_EXTENSION)
+
+
+def _sorted_attribute_names(db: Database) -> List[str]:
+    """Attribute names are interned sorted (``db/build/proto.rs:149-158``)."""
+    names = set()
+    for attrs in db.attribute_table.values():
+        names.update(attrs.keys())
+    return sorted(names)
+
+
+def _save_attribute_logs(db: Database, partition_ids: List[str],
+                         attribute_names: List[str],
+                         fs: FileSystem) -> List[str]:
+    """One compressed set-op log per partition
+    (``db/build/proto.rs:163-205``)."""
+    name_index = {n: i for i, n in enumerate(attribute_names)}
+    ids: List[str] = []
+    pidx = db.partition_indices
+    for pi in range(db.num_partitions):
+        log = PAttributesLog(partition_id=partition_ids[pi])
+        for vi in np.nonzero(pidx == pi)[0]:
+            vid = db.vector_ids[vi]
+            attrs = db.attribute_table.get(vid)
+            if not attrs:
+                continue
+            for name, value in attrs.items():
+                log.entries.append(POperationSetAttribute(
+                    vector_id=PUuid.from_uuid(vid),
+                    name_index=name_index[name],
+                    value=PAttributeValue(value=value),
+                ))
+        f = fs.create_hashed_file("attributes", compress=True)
+        f.write(log.encode())
+        ids.append(f.persist(PROTOBUF_EXTENSION))
+    return ids

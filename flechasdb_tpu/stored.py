@@ -1,0 +1,455 @@
+"""Stored database: lazy loading + query.
+
+Reference (``src/db/stored.rs``): loading a database reads *only* the root
+manifest (~0.1 ms); partition centroids and codebooks load lazily on first
+query, each partition's codes load only when a query probes it, and per-
+partition attribute logs load only when an attribute is fetched. That is the
+serverless design point — a stateless reader touches just ``nprobe``
+partitions.
+
+This port keeps the same laziness on the host (numpy) and adds a *warm
+device path*: :meth:`StoredDatabase.preload` (or the first
+:meth:`query_batch`) pushes the whole index to TPU HBM, after which queries
+run the fused masked-scan kernel from :mod:`.ops.adc`, batched.
+
+Verification parity: root, codebooks and partitions are hash-verified on
+load; partition centroids and attribute logs are *not* — reproducing the
+reference's sync-path quirk (``db/stored.rs:190-195, 732-754`` skip
+``verify()`` while ``:665, 789, 841`` call it). Pass ``verify_all=True`` for
+the async path's stricter behaviour (``asyncdb/stored.rs:284-513``).
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+
+from . import events as ev
+from .attributes import AttributeTable, AttributeValue
+from .build import _local_indices
+from .errors import InvalidArgs, InvalidData
+from .events import EventHandler, _noop
+from .io import FileSystem
+from .protos import (
+    PAttributesLog,
+    PDatabase,
+    PPartition,
+    PVectorSet,
+)
+
+PROTOBUF_EXTENSION = "binpb"
+
+
+class StoredPartition(NamedTuple):
+    """One loaded partition (``db/stored.rs:449-454``)."""
+    codes: np.ndarray               # [L, D] uint32
+    vector_ids: List[_uuid.UUID]
+
+
+@dataclass
+class StoredQueryResult:
+    """k-NN result from a stored database (``db/stored.rs:600-612``)."""
+    db: "StoredDatabase"
+    partition_index: int
+    vector_id: _uuid.UUID
+    vector_index: int               # local index within the partition
+    squared_distance: float
+
+    def get_attribute(self, key: str) -> Optional[AttributeValue]:
+        """Lazily loads this partition's attribute log
+        (``db/stored.rs:625-638``)."""
+        return self.db._get_attribute_in_partition(
+            self.partition_index, self.vector_id, key)
+
+
+def load_database(fs: FileSystem, path: str) -> "StoredDatabase":
+    """Loads the root manifest only (``db/stored.rs:659-722``)."""
+    f = fs.open_hashed_file(path, compressed=True)
+    payload = f.read()
+    f.verify()
+    root = PDatabase.decode(payload)
+
+    if root.vector_size == 0:
+        raise InvalidData("vector_size is zero")
+    if root.num_divisions == 0:
+        raise InvalidData("num_divisions is zero")
+    if root.num_partitions == 0:
+        raise InvalidData("num_partitions is zero")
+    if root.num_codes == 0:
+        raise InvalidData("num_codes is zero")
+    if root.vector_size % root.num_divisions != 0:
+        raise InvalidData(
+            f"vector_size {root.vector_size} is not multiple of"
+            f" num_divisions {root.num_divisions}")
+    if root.num_partitions != len(root.partition_ids):
+        raise InvalidData(
+            f"num_partitions {root.num_partitions} and partition_ids.len()"
+            f" {len(root.partition_ids)} do not match")
+    if root.num_divisions != len(root.codebook_ids):
+        raise InvalidData(
+            f"num_divisions {root.num_divisions} and codebook_ids.len()"
+            f" {len(root.codebook_ids)} do not match")
+
+    return StoredDatabase(fs=fs, root=root)
+
+
+@dataclass
+class StoredDatabase:
+    """Lazily-loaded stored database (``db/stored.rs:41-57``)."""
+    fs: FileSystem
+    root: PDatabase
+    verify_all: bool = False
+
+    _partitions: List[Optional[StoredPartition]] = field(default=None,
+                                                         repr=False)
+    _partition_centroids: Optional[np.ndarray] = field(default=None,
+                                                       repr=False)
+    _codebooks: Optional[np.ndarray] = field(default=None, repr=False)
+    _attr_loaded: List[bool] = field(default=None, repr=False)
+    _attribute_table: Optional[AttributeTable] = field(default=None,
+                                                       repr=False)
+    _dev: Optional[tuple] = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        self._partitions = [None] * self.num_partitions
+        self._attr_loaded = [False] * self.num_partitions
+
+    # -- accessors (db/stored.rs:63-101) ------------------------------------
+
+    @property
+    def vector_size(self) -> int:
+        return self.root.vector_size
+
+    @property
+    def num_partitions(self) -> int:
+        return self.root.num_partitions
+
+    @property
+    def num_divisions(self) -> int:
+        return self.root.num_divisions
+
+    @property
+    def num_codes(self) -> int:
+        return self.root.num_codes
+
+    @property
+    def subvector_size(self) -> int:
+        return self.vector_size // self.num_divisions
+
+    @property
+    def attribute_names(self) -> List[str]:
+        return self.root.attribute_names
+
+    def get_partition_id(self, index: int) -> Optional[str]:
+        ids = self.root.partition_ids
+        return ids[index] if 0 <= index < len(ids) else None
+
+    def get_codebook_id(self, index: int) -> Optional[str]:
+        ids = self.root.codebook_ids
+        return ids[index] if 0 <= index < len(ids) else None
+
+    # -- lazy loaders (db/stored.rs:641-882) ---------------------------------
+
+    def _load_partition_centroids(self) -> np.ndarray:
+        """Uncompressed; sync path skips verify (``db/stored.rs:729-755``)."""
+        if self._partition_centroids is None:
+            f = self.fs.open_hashed_file(
+                f"partitions/{self.root.partition_centroids_id}"
+                f".{PROTOBUF_EXTENSION}")
+            payload = f.read()
+            if self.verify_all:
+                f.verify()
+            vs = PVectorSet.decode(payload)
+            if vs.vector_size != self.vector_size:
+                raise InvalidData(
+                    f"partition centroids vector size mismatch: expected"
+                    f" {self.vector_size}, got {vs.vector_size}")
+            if vs.vector_size == 0 or \
+                    len(vs.data) != self.num_partitions * vs.vector_size:
+                raise InvalidData(
+                    f"partition centroids data length mismatch: expected"
+                    f" {self.num_partitions}, got"
+                    f" {len(vs.data) // max(vs.vector_size, 1)}")
+            self._partition_centroids = vs.data.reshape(
+                self.num_partitions, self.vector_size)
+        return self._partition_centroids
+
+    def _load_codebooks(self) -> np.ndarray:
+        """All D codebooks, verified (``db/stored.rs:769-806``)."""
+        if self._codebooks is None:
+            cbs = []
+            for di in range(self.num_divisions):
+                f = self.fs.open_hashed_file(
+                    f"codebooks/{self.root.codebook_ids[di]}"
+                    f".{PROTOBUF_EXTENSION}")
+                payload = f.read()
+                f.verify()
+                vs = PVectorSet.decode(payload)
+                if vs.vector_size != self.subvector_size:
+                    raise InvalidData(
+                        f"vector_size is inconsistent: expected"
+                        f" {self.subvector_size} but got {vs.vector_size}")
+                if len(vs.data) != self.num_codes * vs.vector_size:
+                    raise InvalidData(
+                        f"number of codes is inconsistent: expected"
+                        f" {self.num_codes} but got"
+                        f" {len(vs.data) // max(vs.vector_size, 1)}")
+                cbs.append(vs.data.reshape(self.num_codes,
+                                           self.subvector_size))
+            self._codebooks = np.stack(cbs)     # [D, C, m]
+        return self._codebooks
+
+    def get_partition(self, index: int) -> StoredPartition:
+        """Lazily loads a partition (``db/stored.rs:269-293, 824-881``)."""
+        if not 0 <= index < self.num_partitions:
+            raise InvalidArgs(f"partition index out of bounds: {index}")
+        if self._partitions[index] is None:
+            f = self.fs.open_hashed_file(
+                f"partitions/{self.root.partition_ids[index]}"
+                f".{PROTOBUF_EXTENSION}",
+                compressed=True)
+            payload = f.read()
+            f.verify()
+            msg = PPartition.decode(payload)
+            if msg.encoded_vectors is None:
+                raise InvalidData("missing encoded vectors")
+            if msg.vector_size != self.vector_size:
+                raise InvalidData(
+                    f"vector_size {self.vector_size} and"
+                    f" partition.vector_size {msg.vector_size} do not match")
+            if msg.num_divisions != self.num_divisions:
+                raise InvalidData(
+                    f"num_divisions {self.num_divisions} and"
+                    f" partition.num_divisions {msg.num_divisions}"
+                    f" do not match")
+            evs = msg.encoded_vectors
+            if evs.vector_size != self.num_divisions or \
+                    len(evs.data) % max(evs.vector_size, 1):
+                raise InvalidData("encoded vector shape mismatch")
+            codes = evs.data.reshape(-1, self.num_divisions)
+            if len(codes) != len(msg.vector_ids):
+                raise InvalidData(
+                    f"number of vector IDs is inconsistent: expected"
+                    f" {len(codes)} but got {len(msg.vector_ids)}")
+            self._partitions[index] = StoredPartition(
+                codes=codes,
+                vector_ids=[u.to_uuid() for u in msg.vector_ids],
+            )
+        return self._partitions[index]
+
+    # -- attributes (db/stored.rs:118-260) -----------------------------------
+
+    def get_attribute(self, vector_id: _uuid.UUID,
+                      key: str) -> Optional[AttributeValue]:
+        """Loads *all* attribute logs on first use (``db/stored.rs:118-131``);
+        prefer :meth:`StoredQueryResult.get_attribute` after a query."""
+        if self._attribute_table is None:
+            for pi in range(self.num_partitions):
+                self._load_attributes_log(pi)
+        return self._get_attribute_loaded(vector_id, key)
+
+    def _get_attribute_in_partition(self, partition_index: int,
+                                    vector_id: _uuid.UUID,
+                                    key: str) -> Optional[AttributeValue]:
+        self._load_attributes_log(partition_index)
+        return self._get_attribute_loaded(vector_id, key)
+
+    def _get_attribute_loaded(self, vector_id: _uuid.UUID,
+                              key: str) -> Optional[AttributeValue]:
+        table = self._attribute_table or {}
+        try:
+            attrs = table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    def _load_attributes_log(self, partition_index: int) -> None:
+        """Replays one partition's set-op log, last write wins
+        (``db/stored.rs:185-260``); sync path skips verify (quirk)."""
+        if self._attr_loaded[partition_index]:
+            return
+        partition = self.get_partition(partition_index)
+        f = self.fs.open_hashed_file(
+            f"attributes/{self.root.attributes_log_ids[partition_index]}"
+            f".{PROTOBUF_EXTENSION}",
+            compressed=True)
+        payload = f.read()
+        if self.verify_all:
+            f.verify()
+        log = PAttributesLog.decode(payload)
+        if log.partition_id != self.root.partition_ids[partition_index]:
+            raise InvalidData(
+                f"inconsistent partition IDs: {log.partition_id} vs"
+                f" {self.root.partition_ids[partition_index]}")
+        if self._attribute_table is None:
+            self._attribute_table = {}
+        table = self._attribute_table
+        names = self.root.attribute_names
+        for i, entry in enumerate(log.entries):
+            if entry.name_index >= len(names):
+                raise InvalidData(
+                    f"attribute name index out of bounds: {entry.name_index}")
+            if entry.vector_id is None:
+                raise InvalidData(
+                    f"attributes log[{partition_index}, {i}]:"
+                    f" missing vector ID")
+            if entry.value is None or entry.value.value is None:
+                raise InvalidData(
+                    f"attributes log[{partition_index}, {i}]: missing value")
+            vid = entry.vector_id.to_uuid()
+            table.setdefault(vid, {})[names[entry.name_index]] = \
+                entry.value.value
+        # Vectors without attributes default to an empty map so lookups on
+        # existing vectors never fail (db/stored.rs:251-257).
+        for vid in partition.vector_ids:
+            table.setdefault(vid, {})
+        self._attr_loaded[partition_index] = True
+
+    # -- queries (db/stored.rs:305-442, 534-598) -----------------------------
+
+    def query(self, v, k: int, nprobe: int,
+              ) -> List[StoredQueryResult]:
+        return self.query_with_events(v, k, nprobe, _noop)
+
+    def query_with_events(self, v, k: int, nprobe: int,
+                          events: EventHandler) -> List[StoredQueryResult]:
+        """Single-vector k-NN with lazy partition loads.
+
+        Cold queries run the per-partition ADC scan on the host (they are
+        I/O-bound); once the database has been :meth:`preload`-ed, queries
+        run the fused device kernel instead.
+        """
+        self._validate_query(k, nprobe)
+        v = np.asarray(v, np.float32).reshape(-1)
+        if v.shape[0] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[0]} != {self.vector_size}")
+
+        if self._dev is not None:
+            return self._query_device(v[None], k, nprobe, events)[0]
+
+        events(ev.StartingQueryInitialization())
+        centroids = self._load_partition_centroids()
+        codebooks = self._load_codebooks()
+        events(ev.FinishedQueryInitialization())
+
+        events(ev.StartingPartitionSelection())
+        coarse = ((v[None] - centroids) ** 2).sum(-1)
+        probed = np.argsort(coarse, kind="stable")[:nprobe]
+        events(ev.FinishedPartitionSelection())
+
+        d, c, m_sub = codebooks.shape
+        candidates: List[StoredQueryResult] = []
+        for pi in probed:
+            events(ev.StartingPartitionQuery(int(pi)))
+            part = self.get_partition(int(pi))
+            local = (v - centroids[pi]).reshape(d, m_sub)
+            # ADC table [D, C] then gather-sum over member codes
+            table = ((local[:, None, :] - codebooks) ** 2).sum(-1)
+            dists = table[np.arange(d)[None, :], part.codes].sum(1)
+            # keep k best per partition (db/stored.rs:576-595)
+            order = np.argsort(dists, kind="stable")[:k]
+            candidates.extend(
+                StoredQueryResult(
+                    db=self,
+                    partition_index=int(pi),
+                    vector_id=part.vector_ids[vi],
+                    vector_index=int(vi),
+                    squared_distance=float(dists[vi]),
+                )
+                for vi in order
+            )
+            events(ev.FinishedPartitionQuery(int(pi)))
+
+        events(ev.StartingResultSelection())
+        candidates.sort(key=lambda r: r.squared_distance)
+        del candidates[k:]
+        events(ev.FinishedResultSelection())
+        return candidates
+
+    def preload(self) -> None:
+        """Loads every partition and pushes the index to the device.
+
+        After this, :meth:`query` and :meth:`query_batch` run the fused
+        masked-scan kernel — the warm serving mode.
+        """
+        import jax.numpy as jnp
+
+        centroids = self._load_partition_centroids()
+        codebooks = self._load_codebooks()
+        parts = [self.get_partition(pi) for pi in range(self.num_partitions)]
+        codes = np.concatenate([p.codes for p in parts]) \
+            if parts else np.zeros((0, self.num_divisions), np.uint32)
+        pidx = np.concatenate([
+            np.full(len(p.codes), pi, np.int32)
+            for pi, p in enumerate(parts)
+        ])
+        vector_ids = [vid for p in parts for vid in p.vector_ids]
+        local = _local_indices(pidx, self.num_partitions)
+        self._dev = (
+            jnp.asarray(centroids),
+            jnp.asarray(codebooks),
+            jnp.asarray(codes.astype(np.int32)),
+            jnp.asarray(pidx),
+            pidx,
+            local,
+            vector_ids,
+        )
+
+    def query_batch(self, vs, k: int, nprobe: int
+                    ) -> List[List[StoredQueryResult]]:
+        """Batched k-NN on device (loads everything on first use)."""
+        self._validate_query(k, nprobe)
+        if self._dev is None:
+            self.preload()
+        vs = np.asarray(vs, np.float32)
+        if vs.ndim == 1:
+            vs = vs[None]
+        if vs.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {vs.shape[1]} != {self.vector_size}")
+        return self._query_device(vs, k, nprobe, _noop)
+
+    def _query_device(self, vs: np.ndarray, k: int, nprobe: int,
+                      events: EventHandler) -> List[List[StoredQueryResult]]:
+        import jax.numpy as jnp
+
+        from .ops.adc import query_masked_scan
+
+        cents, cbs, codes, pidx_dev, pidx, local, vector_ids = self._dev
+        events(ev.StartingPartitionSelection())
+        dists, rows, probed = query_masked_scan(
+            jnp.asarray(vs), cents, cbs, codes, pidx_dev,
+            k=k, nprobe=nprobe)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        events(ev.FinishedPartitionSelection())
+        events(ev.StartingResultSelection())
+        out: List[List[StoredQueryResult]] = []
+        for b in range(len(vs)):
+            results: List[StoredQueryResult] = []
+            for dist, row in zip(dists[b], rows[b]):
+                if not np.isfinite(dist):
+                    break
+                results.append(StoredQueryResult(
+                    db=self,
+                    partition_index=int(pidx[row]),
+                    vector_id=vector_ids[row],
+                    vector_index=int(local[row]),
+                    squared_distance=float(dist),
+                ))
+            out.append(results)
+        events(ev.FinishedResultSelection())
+        return out
+
+    def _validate_query(self, k: int, nprobe: int) -> None:
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")

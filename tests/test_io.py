@@ -1,0 +1,82 @@
+"""Content-addressed IO tests (src/io.rs semantics)."""
+
+import zlib
+from pathlib import Path
+
+import pytest
+
+from flechasdb_tpu.errors import IOError_, VerificationFailure
+from flechasdb_tpu.io import LocalFileSystem, content_hash
+
+
+def test_hash_is_urlsafe_b64_sha256_no_pad():
+    # SHA-256("") = e3b0c442... ; URL-safe base64 without padding = 43 chars
+    h = content_hash(b"")
+    assert h == "47DEQpj8HBSa-_TImW-5JCeuQeRkm5NMpJWZG3hSuFU"
+    assert len(h) == 43 and "=" not in h
+
+
+def test_write_read_verify_uncompressed(tmp_path):
+    fs = LocalFileSystem(tmp_path)
+    f = fs.create_hashed_file("sub")
+    f.write(b"hello ")
+    f.write(b"world")
+    h = f.persist("binpb")
+    path = tmp_path / "sub" / f"{h}.binpb"
+    assert path.read_bytes() == b"hello world"
+    r = fs.open_hashed_file(f"sub/{h}.binpb")
+    assert r.read() == b"hello world"
+    r.verify()
+
+
+def test_compressed_hash_covers_compressed_bytes(tmp_path):
+    """io.rs:126-128 — the hash is over what hits the disk (zlib stream)."""
+    fs = LocalFileSystem(tmp_path)
+    f = fs.create_hashed_file(compress=True)
+    f.write(b"payload" * 100)
+    h = f.persist("binpb")
+    stored = (tmp_path / f"{h}.binpb").read_bytes()
+    assert content_hash(stored) == h
+    assert zlib.decompress(stored) == b"payload" * 100
+    r = fs.open_hashed_file(f"{h}.binpb", compressed=True)
+    assert r.read() == b"payload" * 100
+    r.verify()
+
+
+def test_corruption_detected(tmp_path):
+    fs = LocalFileSystem(tmp_path)
+    f = fs.create_hashed_file()
+    f.write(b"data")
+    h = f.persist("binpb")
+    p = tmp_path / f"{h}.binpb"
+    p.write_bytes(b"dat4")
+    r = fs.open_hashed_file(f"{h}.binpb")
+    r.read()
+    with pytest.raises(VerificationFailure):
+        r.verify()
+
+
+def test_missing_file_raises(tmp_path):
+    fs = LocalFileSystem(tmp_path)
+    with pytest.raises(IOError_):
+        fs.open_hashed_file("nope.binpb")
+
+
+def test_no_temp_residue(tmp_path):
+    fs = LocalFileSystem(tmp_path)
+    for _ in range(3):
+        f = fs.create_hashed_file("x", compress=True)
+        f.write(b"abc")
+        f.persist("binpb")
+    files = list((tmp_path / "x").iterdir())
+    assert len(files) == 1  # content-addressed: identical bytes dedupe
+    assert all(p.suffix == ".binpb" for p in files)
+
+
+def test_double_persist_rejected(tmp_path):
+    fs = LocalFileSystem(tmp_path)
+    f = fs.create_hashed_file()
+    f.write(b"abc")
+    f.persist("binpb")
+    with pytest.raises(IOError_):
+        f.persist("binpb")
