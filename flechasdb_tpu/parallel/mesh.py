@@ -1,0 +1,51 @@
+"""Device mesh construction and corpus sharding helpers.
+
+One mesh axis — ``"shard"`` — carries the corpus (vector/code rows). This is
+the TPU equivalent of the reference's per-partition file sharding
+(``database.proto:16-39``): independent slices of the corpus live on
+independent devices, and only ``k`` candidates per device cross the
+interconnect at query time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: Name of the corpus-sharding mesh axis.
+AXIS = "shard"
+
+
+def corpus_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """A 1-D mesh over ``devices`` (default: all) with axis :data:`AXIS`."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
+    """Pads the leading axis up to a multiple so shards divide evenly."""
+    pad = (-arr.shape[0]) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def shard_corpus(mesh: Mesh, codes: np.ndarray, pidx: np.ndarray,
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Places PQ codes and partition indices across the mesh.
+
+    ``codes: [N, D]`` and ``pidx: [N]`` are padded to a multiple of the mesh
+    size (padding rows get ``pidx = -1`` so the masked scan assigns them
+    ``+inf`` distance) and sharded row-wise.
+    """
+    n_dev = mesh.devices.size
+    codes = pad_rows(np.asarray(codes), n_dev, 0)
+    pidx = pad_rows(np.asarray(pidx, np.int32), n_dev, -1)
+    codes_s = jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
+    pidx_s = jax.device_put(pidx, NamedSharding(mesh, P(AXIS)))
+    return codes_s, pidx_s

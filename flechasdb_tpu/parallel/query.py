@@ -1,0 +1,103 @@
+"""SPMD sharded IVF-PQ query.
+
+Single-chip query is one fused program (:mod:`..ops.adc`). Across a mesh the
+corpus rows (PQ codes + owning-partition indices) shard over the ``"shard"``
+axis and the program becomes, per device:
+
+1. coarse nprobe selection + ADC tables — computed redundantly from the
+   replicated centroids/codebooks (tiny: ``[B, P, D, C]``),
+2. masked gather-sum scan over the **local** rows,
+3. local ``lax.top_k(k)``,
+4. ``all_gather`` of the ``k`` per-device candidates over ICI, then a final
+   ``top_k`` on ``[B, n_dev * k]``.
+
+Only ``n_dev × k`` (distance, row) pairs cross the interconnect — the sharded
+analogue of the reference's per-partition k-best merge (``db/stored.rs:378-
+387``), which flattens per-partition candidate lists before the global
+``n_best_by_key``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.adc import adc_tables
+from .mesh import AXIS
+
+
+def _local_scan(q, centroids, codebooks, codes, pidx, *, k, nprobe):
+    """Per-device body: scan local rows, return local top-k in global rows."""
+    b = q.shape[0]
+    p = centroids.shape[0]
+    d, c, _ = codebooks.shape
+    nloc = codes.shape[0]
+
+    coarse, tables = adc_tables(q, centroids, codebooks)
+    _, probed = jax.lax.top_k(-coarse, nprobe)            # [B, nprobe]
+
+    # Padding rows carry pidx == -1; clamp for the gather, mask below.
+    safe_pidx = jnp.maximum(pidx, 0)
+    flat = tables.reshape(b, p * d * c)
+    gidx = (safe_pidx[:, None] * (d * c)
+            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
+            + codes)                                      # [nloc, D]
+    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)
+    vdist = vdist.reshape(b, nloc, d).sum(axis=-1)        # [B, nloc]
+
+    selected = jax.vmap(
+        lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
+    keep = selected[:, safe_pidx] & (pidx >= 0)[None, :]
+    vdist = jnp.where(keep, vdist, jnp.inf)
+
+    kk = min(k, nloc)
+    neg, rows = jax.lax.top_k(-vdist, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)),
+                      constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, k - kk)))
+    base = jax.lax.axis_index(AXIS) * nloc
+    rows = rows + base
+
+    # k-best merge over ICI: k candidates per device, not the full scan.
+    negs = jax.lax.all_gather(neg, AXIS)                  # [n_dev, B, k]
+    rowss = jax.lax.all_gather(rows, AXIS)
+    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
+    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
+    mneg, sel = jax.lax.top_k(negs, k)
+    mrows = jnp.take_along_axis(rowss, sel, axis=1)
+    return -mneg, mrows.astype(jnp.int32), probed.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "k", "nprobe"))
+def query_sharded(
+    q: jax.Array,
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
+    pidx: jax.Array,
+    *,
+    mesh: Mesh,
+    k: int,
+    nprobe: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched k-NN with the corpus sharded across ``mesh``.
+
+    ``codes [N, D]`` / ``pidx [N]`` must be sharded row-wise (see
+    :func:`..parallel.mesh.shard_corpus`); ``q``, ``centroids`` and
+    ``codebooks`` are replicated. Returns the same ``(sq_distances [B, k],
+    rows [B, k], probed [B, nprobe])`` triple as the single-chip kernel, with
+    ``rows`` indexing the (padded) global corpus.
+    """
+    fn = jax.shard_map(
+        functools.partial(_local_scan, k=k, nprobe=nprobe),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(q, centroids, codebooks, codes, pidx)
