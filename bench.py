@@ -1,0 +1,91 @@
+"""Headline benchmark: the reference's build-random workload on TPU.
+
+Reference numbers (BASELINE.md, README.md:136-140): building the IVF-PQ
+database for 100,000 × 1536-d f32 random vectors (P=100, D=12, C=256) takes
+**906.5 s** on an M1 Pro CPU. Driver target: <10 s on one v5e chip.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+``vs_baseline`` is the speedup factor (reference_seconds / ours).
+Diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N, M, P, D, C = 100_000, 1536, 100, 12, 256
+BASELINE_S = 906.5
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.parallel.build import _build_step
+
+    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    x = rng.standard_normal((N, M)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    log(f"prepare {N}x{M}: {time.time() - t0:.2f}s")
+
+    # NOTE: sync points use host fetches (np.asarray), not
+    # block_until_ready — the axon PJRT plugin's block_until_ready does not
+    # actually block, so fetch-to-host is the only reliable fence.
+    xd = jax.device_put(x)
+    _ = np.asarray(xd)[:1]
+
+    # Warm-up compile on identical shapes (one-time cost per process;
+    # production builds amortize it — the reference baseline likewise
+    # excludes `cargo build`).
+    t0 = time.time()
+    warm = _build_step(xd, jax.random.key(1), p=P, d=D, c=C)
+    _ = np.asarray(warm.partition_indices)
+    log(f"compile+first build: {time.time() - t0:.2f}s")
+
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(42), p=P, d=D, c=C)
+    pops = np.unique(np.asarray(built.partition_indices)).size
+    build_s = time.time() - t0
+    log(f"build: {build_s:.3f}s  ({pops}/{P} partitions populated)")
+
+    # Secondary diagnostics: warm batched query latency (k=10, nprobe=5).
+    from flechasdb_tpu.ops.adc import query_masked_scan
+    q = jnp.asarray(x[:64])
+    codes = built.codes
+    pidx = built.partition_indices
+    dists, rows, _ = query_masked_scan(
+        q, built.partition_centroids, built.codebooks, codes, pidx,
+        k=10, nprobe=5)
+    _ = np.asarray(dists)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        dists, rows, _ = query_masked_scan(
+            q, built.partition_centroids, built.codebooks, codes, pidx,
+            k=10, nprobe=5)
+        _ = np.asarray(dists)
+    per_batch = (time.time() - t0) / reps
+    log(f"warm query batch=64: {per_batch * 1e3:.2f} ms "
+        f"({64 * reps / (per_batch * reps):.0f} qps; "
+        f"reference warm single query 1.48 ms)")
+
+    print(json.dumps({
+        "metric": f"build {N//1000}k x {M} IVF-PQ (P={P}, D={D}, C={C})",
+        "value": round(build_s, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / build_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
