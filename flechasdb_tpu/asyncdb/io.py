@@ -1,0 +1,80 @@
+"""Async content-addressed storage (read-only).
+
+Reference (``src/asyncdb/io.rs``): an async mirror of the sync ``FileSystem``
+restricted to reads — hash-as-you-read verification plus a hand-driven async
+zlib decoder over a 1 KiB ring (``asyncdb/io.rs:200-363``). There is no async
+write path (``README.md:50-52``), and we keep that scope.
+
+The asyncio translation: blocking file reads and zlib inflation run in
+worker threads (``asyncio.to_thread``); CPython's zlib releases the GIL, so
+decompression genuinely overlaps with other partition fetches — the same
+I/O-interleaving the tokio reactor provides.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import zlib
+from abc import ABC, abstractmethod
+from pathlib import Path
+
+from ..errors import IOError_, VerificationFailure
+from ..io import content_hash
+
+
+class AsyncHashedFileReader:
+    """Async counterpart of :class:`..io.HashedFileReader`
+    (``asyncdb/io.rs:42-55``)."""
+
+    def __init__(self, raw: bytes, name: str, compressed: bool) -> None:
+        self._raw = raw
+        self._name = name
+        self._compressed = compressed
+
+    async def read(self) -> bytes:
+        """Returns the (decompressed) payload; inflation runs off-loop."""
+        if self._compressed:
+            try:
+                return await asyncio.to_thread(zlib.decompress, self._raw)
+            except zlib.error as e:
+                raise IOError_(f"zlib decompression failed: {e}") from e
+        return self._raw
+
+    def verify(self) -> None:
+        """SHA-256 of stored bytes vs filename stem (``asyncdb/io.rs:161-176``).
+
+        The async path verifies *every* artifact (unlike the sync path's
+        centroids/attributes quirk, SURVEY.md §5).
+        """
+        hash_ = content_hash(self._raw)
+        stem = Path(self._name).stem
+        if hash_ != stem:
+            raise VerificationFailure(
+                f"Expected hash {stem!r}, but got {hash_}")
+
+
+class AsyncFileSystem(ABC):
+    """Read-only async storage abstraction (``asyncdb/io.rs:20-39``)."""
+
+    @abstractmethod
+    async def open_hashed_file(self, path: str,
+                               compressed: bool = False,
+                               ) -> AsyncHashedFileReader:
+        """Opens a stored file for reading/verification."""
+
+
+class AsyncLocalFileSystem(AsyncFileSystem):
+    """Local directory store (``asyncdb/io.rs:104-198``)."""
+
+    def __init__(self, base_path) -> None:
+        self.base_path = Path(base_path)
+
+    async def open_hashed_file(self, path: str,
+                               compressed: bool = False,
+                               ) -> AsyncHashedFileReader:
+        full = self.base_path / path
+        try:
+            raw = await asyncio.to_thread(full.read_bytes)
+        except OSError as e:
+            raise IOError_(str(e)) from e
+        return AsyncHashedFileReader(raw, full.name, compressed)

@@ -1,0 +1,306 @@
+"""Async stored database: concurrent lazy loading + query.
+
+Reference (``src/asyncdb/stored.rs``, ``stored/query.rs``): the tokio
+``Query`` future interleaves (a) partition-centroids load, (b) concurrent
+codebook loads, (c) concurrent nprobe partition loads, and (d) per-partition
+ADC execution as soon as each partition plus the codebooks are ready, then a
+final k-NN merge (``query.rs:208-356``). Once-only concurrent loads use
+``tokio::sync::OnceCell`` (``stored.rs:36-56``).
+
+Asyncio redesign: every lazily-loaded artifact is a memoized
+``asyncio.Task`` — first caller creates it, everyone awaits it; per-partition
+pipelines run under ``asyncio.gather`` so loads overlap and execution starts
+the moment a partition's bytes land (the point of the design: hiding object-
+store latency for stateless serverless readers).
+
+Verification parity with the reference: the async path verifies EVERY
+artifact including partition centroids and attribute logs
+(``asyncdb/stored.rs:284, 452, 482, 513``), where the sync path skips two
+(SURVEY.md §5 quirk).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import events as ev
+from ..attributes import AttributeTable, AttributeValue
+from ..errors import InvalidArgs
+from ..events import EventHandler, _noop
+from ..protos import PDatabase
+from ..stored import (
+    StoredPartition,
+    adc_scan_partition,
+    decode_partition,
+    decode_vector_set,
+    replay_attributes_log,
+    validate_root,
+)
+from .io import AsyncFileSystem
+
+PROTOBUF_EXTENSION = "binpb"
+
+
+async def load_database(fs: AsyncFileSystem, path: str
+                        ) -> "AsyncStoredDatabase":
+    """Loads the root manifest only (``asyncdb/stored.rs:354-432``)."""
+    f = await fs.open_hashed_file(path, compressed=True)
+    payload = await f.read()
+    f.verify()
+    root = validate_root(PDatabase.decode(payload))
+    return AsyncStoredDatabase(fs=fs, root=root)
+
+
+@dataclass
+class AsyncQueryResult:
+    """k-NN result (``asyncdb/stored.rs:139-160``)."""
+    db: "AsyncStoredDatabase"
+    partition_index: int
+    vector_id: _uuid.UUID
+    vector_index: int
+    squared_distance: float
+
+    async def get_attribute(self, key: str) -> Optional[AttributeValue]:
+        """3-step chain: load log → lookup → value
+        (``get_attribute.rs:77-118``)."""
+        return await self.db._get_attribute_in_partition(
+            self.partition_index, self.vector_id, key)
+
+
+@dataclass
+class AsyncStoredDatabase:
+    """Lazily-loaded async database (``asyncdb/stored.rs:36-56``)."""
+    fs: AsyncFileSystem
+    root: PDatabase
+
+    _centroids_task: Optional[asyncio.Task] = field(default=None, repr=False)
+    _codebooks_task: Optional[asyncio.Task] = field(default=None, repr=False)
+    _partition_tasks: Dict[int, asyncio.Task] = field(default_factory=dict,
+                                                      repr=False)
+    _attrlog_tasks: Dict[int, asyncio.Task] = field(default_factory=dict,
+                                                    repr=False)
+    _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def vector_size(self) -> int:
+        return self.root.vector_size
+
+    @property
+    def num_partitions(self) -> int:
+        return self.root.num_partitions
+
+    @property
+    def num_divisions(self) -> int:
+        return self.root.num_divisions
+
+    @property
+    def num_codes(self) -> int:
+        return self.root.num_codes
+
+    @property
+    def subvector_size(self) -> int:
+        return self.vector_size // self.num_divisions
+
+    @property
+    def attribute_names(self) -> List[str]:
+        return self.root.attribute_names
+
+    # -- memoized concurrent loads -------------------------------------------
+    # First caller creates the Task; later callers share it — the asyncio
+    # analogue of OnceCell::get_or_try_init (asyncdb/stored.rs:249-256).
+    # Divergence: a failed load stays failed for subsequent awaiters
+    # (get_or_try_init would retry); corrupt stores are not transient here.
+
+    def _centroids(self) -> asyncio.Task:
+        if self._centroids_task is None:
+            self._centroids_task = asyncio.create_task(
+                self._load_centroids())
+        return self._centroids_task
+
+    async def _load_centroids(self) -> np.ndarray:
+        f = await self.fs.open_hashed_file(
+            f"partitions/{self.root.partition_centroids_id}"
+            f".{PROTOBUF_EXTENSION}")
+        payload = await f.read()
+        f.verify()  # async path verifies (asyncdb/stored.rs:284)
+        return decode_vector_set(
+            payload, self.vector_size, self.num_partitions,
+            "partition centroids")
+
+    def _codebooks(self) -> asyncio.Task:
+        if self._codebooks_task is None:
+            self._codebooks_task = asyncio.create_task(
+                self._load_codebooks())
+        return self._codebooks_task
+
+    async def _load_codebooks(self) -> np.ndarray:
+        """All D codebooks concurrently (``asyncdb/stored.rs:249-256``)."""
+        async def one(di: int) -> np.ndarray:
+            f = await self.fs.open_hashed_file(
+                f"codebooks/{self.root.codebook_ids[di]}"
+                f".{PROTOBUF_EXTENSION}")
+            payload = await f.read()
+            f.verify()
+            return decode_vector_set(
+                payload, self.subvector_size, self.num_codes,
+                f"codebook[{di}]")
+
+        cbs = await asyncio.gather(
+            *(one(di) for di in range(self.num_divisions)))
+        return np.stack(cbs)
+
+    def _partition(self, index: int) -> asyncio.Task:
+        if not 0 <= index < self.num_partitions:
+            raise InvalidArgs(f"partition index out of bounds: {index}")
+        task = self._partition_tasks.get(index)
+        if task is None:
+            task = asyncio.create_task(self._load_partition(index))
+            self._partition_tasks[index] = task
+        return task
+
+    async def _load_partition(self, index: int) -> StoredPartition:
+        f = await self.fs.open_hashed_file(
+            f"partitions/{self.root.partition_ids[index]}"
+            f".{PROTOBUF_EXTENSION}",
+            compressed=True)
+        payload = await f.read()
+        f.verify()
+        return decode_partition(payload, self.vector_size,
+                                self.num_divisions)
+
+    async def get_partition(self, index: int) -> StoredPartition:
+        """Lazily loads one partition (``asyncdb/stored.rs:444-470``)."""
+        return await self._partition(index)
+
+    # -- attributes ----------------------------------------------------------
+
+    def _attrlog(self, index: int) -> asyncio.Task:
+        task = self._attrlog_tasks.get(index)
+        if task is None:
+            task = asyncio.create_task(self._load_attrlog(index))
+            self._attrlog_tasks[index] = task
+        return task
+
+    async def _load_attrlog(self, index: int) -> None:
+        partition = await self._partition(index)
+        f = await self.fs.open_hashed_file(
+            f"attributes/{self.root.attributes_log_ids[index]}"
+            f".{PROTOBUF_EXTENSION}",
+            compressed=True)
+        payload = await f.read()
+        f.verify()  # async path verifies attr logs (asyncdb/stored.rs:513)
+        replay_attributes_log(
+            payload, self.root.partition_ids[index],
+            self.root.attribute_names, partition,
+            self._attribute_table, index)
+
+    async def _get_attribute_in_partition(
+            self, partition_index: int, vector_id: _uuid.UUID,
+            key: str) -> Optional[AttributeValue]:
+        await self._attrlog(partition_index)
+        try:
+            attrs = self._attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    async def get_attribute(self, vector_id: _uuid.UUID,
+                            key: str) -> Optional[AttributeValue]:
+        """Loads all attribute logs concurrently on first use; prefer
+        :meth:`AsyncQueryResult.get_attribute` after a query."""
+        await asyncio.gather(
+            *(self._attrlog(pi) for pi in range(self.num_partitions)))
+        try:
+            attrs = self._attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    # -- query ---------------------------------------------------------------
+
+    async def query(self, v, k: int, nprobe: int
+                    ) -> List[AsyncQueryResult]:
+        return await self.query_with_events(v, k, nprobe, _noop)
+
+    async def query_with_events(self, v, k: int, nprobe: int,
+                                events: EventHandler
+                                ) -> List[AsyncQueryResult]:
+        """k-NN with fully-overlapped loads (``query.rs:208-356``).
+
+        Events fire from the coroutine exactly where the reference's poll
+        loop fires them; ``events`` must be a plain (non-async) callable.
+        """
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")
+        v = np.asarray(v, np.float32).reshape(-1)
+        if v.shape[0] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[0]} != {self.vector_size}")
+
+        # Kick codebooks immediately so they overlap the centroids load
+        # (query.rs:294-299); only emit load events on a cold cache.
+        cb_cold = self._codebooks_task is None
+        if cb_cold:
+            events(ev.StartingCodebookLoad())
+        cb_task = self._codebooks()
+
+        cent_cold = self._centroids_task is None
+        if cent_cold:
+            events(ev.StartingPartitionCentroidsLoad())
+        centroids = await self._centroids()
+        if cent_cold:
+            events(ev.FinishedPartitionCentroidsLoad())
+
+        events(ev.StartingPartitionSelection())
+        coarse = ((v[None] - centroids) ** 2).sum(-1)
+        probed = np.argsort(coarse, kind="stable")[:nprobe]
+        events(ev.FinishedPartitionSelection())
+
+        async def run_partition(pi: int) -> List[AsyncQueryResult]:
+            cold = pi not in self._partition_tasks
+            if cold:
+                events(ev.StartingPartitionLoad(int(pi)))
+            part = await self._partition(int(pi))
+            if cold:
+                events(ev.FinishedPartitionLoad(int(pi)))
+            codebooks = await cb_task
+            events(ev.StartingPartitionQuery(int(pi)))
+            order, dists = adc_scan_partition(
+                v, v - centroids[pi], codebooks, part.codes, k)
+            results = [
+                AsyncQueryResult(
+                    db=self,
+                    partition_index=int(pi),
+                    vector_id=part.vector_ids[vi],
+                    vector_index=int(vi),
+                    squared_distance=float(dists[vi]),
+                )
+                for vi in order
+            ]
+            events(ev.FinishedPartitionQuery(int(pi)))
+            return results
+
+        per_partition = await asyncio.gather(
+            *(run_partition(pi) for pi in probed))
+        if cb_cold:
+            events(ev.FinishedCodebookLoad())
+
+        events(ev.StartingResultSelection())
+        merged = [r for rs in per_partition for r in rs]
+        merged.sort(key=lambda r: r.squared_distance)
+        del merged[k:]
+        events(ev.FinishedResultSelection())
+        return merged

@@ -155,6 +155,17 @@ class FinishedPartitionLoad(Event):
 
 
 @dataclass
+class StartingPartitionCentroidsLoad(Event):
+    """Async path: partition-centroids file read began
+    (``query.rs:153-155``)."""
+
+
+@dataclass
+class FinishedPartitionCentroidsLoad(Event):
+    pass
+
+
+@dataclass
 class StartingCodebookLoad(Event):
     pass
 

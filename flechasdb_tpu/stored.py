@@ -49,6 +49,122 @@ class StoredPartition(NamedTuple):
     vector_ids: List[_uuid.UUID]
 
 
+def validate_root(root: PDatabase) -> PDatabase:
+    """Root-manifest invariants (``db/stored.rs:659-722``)."""
+    if root.vector_size == 0:
+        raise InvalidData("vector_size is zero")
+    if root.num_divisions == 0:
+        raise InvalidData("num_divisions is zero")
+    if root.num_partitions == 0:
+        raise InvalidData("num_partitions is zero")
+    if root.num_codes == 0:
+        raise InvalidData("num_codes is zero")
+    if root.vector_size % root.num_divisions != 0:
+        raise InvalidData(
+            f"vector_size {root.vector_size} is not multiple of"
+            f" num_divisions {root.num_divisions}")
+    if root.num_partitions != len(root.partition_ids):
+        raise InvalidData(
+            f"num_partitions {root.num_partitions} and partition_ids.len()"
+            f" {len(root.partition_ids)} do not match")
+    if root.num_divisions != len(root.codebook_ids):
+        raise InvalidData(
+            f"num_divisions {root.num_divisions} and codebook_ids.len()"
+            f" {len(root.codebook_ids)} do not match")
+    return root
+
+
+def decode_vector_set(payload: bytes, expected_size: int,
+                      expected_count: int, what: str) -> np.ndarray:
+    """Decodes + shape-checks a ``VectorSet`` file
+    (``db/stored.rs:729-806``)."""
+    vs = PVectorSet.decode(payload)
+    if vs.vector_size != expected_size:
+        raise InvalidData(
+            f"{what}: vector_size is inconsistent: expected"
+            f" {expected_size} but got {vs.vector_size}")
+    if vs.vector_size == 0 or len(vs.data) != expected_count * vs.vector_size:
+        raise InvalidData(
+            f"{what}: expected {expected_count} vectors but got"
+            f" {len(vs.data) // max(vs.vector_size, 1)}")
+    return vs.data.reshape(expected_count, expected_size)
+
+
+def decode_partition(payload: bytes, vector_size: int,
+                     num_divisions: int) -> StoredPartition:
+    """Decodes + validates a partition file (``db/stored.rs:824-881``)."""
+    msg = PPartition.decode(payload)
+    if msg.encoded_vectors is None:
+        raise InvalidData("missing encoded vectors")
+    if msg.vector_size != vector_size:
+        raise InvalidData(
+            f"vector_size {vector_size} and partition.vector_size"
+            f" {msg.vector_size} do not match")
+    if msg.num_divisions != num_divisions:
+        raise InvalidData(
+            f"num_divisions {num_divisions} and partition.num_divisions"
+            f" {msg.num_divisions} do not match")
+    evs = msg.encoded_vectors
+    if evs.vector_size != num_divisions or \
+            len(evs.data) % max(evs.vector_size, 1):
+        raise InvalidData("encoded vector shape mismatch")
+    codes = evs.data.reshape(-1, num_divisions)
+    if len(codes) != len(msg.vector_ids):
+        raise InvalidData(
+            f"number of vector IDs is inconsistent: expected"
+            f" {len(codes)} but got {len(msg.vector_ids)}")
+    return StoredPartition(
+        codes=codes,
+        vector_ids=[u.to_uuid() for u in msg.vector_ids],
+    )
+
+
+def replay_attributes_log(payload: bytes, expected_partition_id: str,
+                          names: List[str], partition: StoredPartition,
+                          table: AttributeTable,
+                          partition_index: int) -> None:
+    """Replays one partition's set-op log into ``table``, last write wins
+    (``db/stored.rs:185-260``)."""
+    log = PAttributesLog.decode(payload)
+    if log.partition_id != expected_partition_id:
+        raise InvalidData(
+            f"inconsistent partition IDs: {log.partition_id} vs"
+            f" {expected_partition_id}")
+    for i, entry in enumerate(log.entries):
+        if entry.name_index >= len(names):
+            raise InvalidData(
+                f"attribute name index out of bounds: {entry.name_index}")
+        if entry.vector_id is None:
+            raise InvalidData(
+                f"attributes log[{partition_index}, {i}]: missing vector ID")
+        if entry.value is None or entry.value.value is None:
+            raise InvalidData(
+                f"attributes log[{partition_index}, {i}]: missing value")
+        vid = entry.vector_id.to_uuid()
+        table.setdefault(vid, {})[names[entry.name_index]] = entry.value.value
+    # Vectors without attributes default to an empty map so lookups on
+    # existing vectors never fail (db/stored.rs:251-257).
+    for vid in partition.vector_ids:
+        table.setdefault(vid, {})
+
+
+def adc_scan_partition(v: np.ndarray, centroid_delta: np.ndarray,
+                       codebooks: np.ndarray,
+                       codes: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side per-partition ADC scan, k best (``db/stored.rs:549-598``).
+
+    ``centroid_delta = v - centroid``; returns ``(order [<=k], dists)`` where
+    ``order`` indexes the partition's local rows, best first.
+    """
+    d, c, m_sub = codebooks.shape
+    local = centroid_delta.reshape(d, m_sub)
+    table = ((local[:, None, :] - codebooks) ** 2).sum(-1)
+    dists = table[np.arange(d)[None, :], codes].sum(1)
+    order = np.argsort(dists, kind="stable")[:k]
+    return order, dists
+
+
 @dataclass
 class StoredQueryResult:
     """k-NN result from a stored database (``db/stored.rs:600-612``)."""
@@ -70,29 +186,7 @@ def load_database(fs: FileSystem, path: str) -> "StoredDatabase":
     f = fs.open_hashed_file(path, compressed=True)
     payload = f.read()
     f.verify()
-    root = PDatabase.decode(payload)
-
-    if root.vector_size == 0:
-        raise InvalidData("vector_size is zero")
-    if root.num_divisions == 0:
-        raise InvalidData("num_divisions is zero")
-    if root.num_partitions == 0:
-        raise InvalidData("num_partitions is zero")
-    if root.num_codes == 0:
-        raise InvalidData("num_codes is zero")
-    if root.vector_size % root.num_divisions != 0:
-        raise InvalidData(
-            f"vector_size {root.vector_size} is not multiple of"
-            f" num_divisions {root.num_divisions}")
-    if root.num_partitions != len(root.partition_ids):
-        raise InvalidData(
-            f"num_partitions {root.num_partitions} and partition_ids.len()"
-            f" {len(root.partition_ids)} do not match")
-    if root.num_divisions != len(root.codebook_ids):
-        raise InvalidData(
-            f"num_divisions {root.num_divisions} and codebook_ids.len()"
-            f" {len(root.codebook_ids)} do not match")
-
+    root = validate_root(PDatabase.decode(payload))
     return StoredDatabase(fs=fs, root=root)
 
 
@@ -162,19 +256,9 @@ class StoredDatabase:
             payload = f.read()
             if self.verify_all:
                 f.verify()
-            vs = PVectorSet.decode(payload)
-            if vs.vector_size != self.vector_size:
-                raise InvalidData(
-                    f"partition centroids vector size mismatch: expected"
-                    f" {self.vector_size}, got {vs.vector_size}")
-            if vs.vector_size == 0 or \
-                    len(vs.data) != self.num_partitions * vs.vector_size:
-                raise InvalidData(
-                    f"partition centroids data length mismatch: expected"
-                    f" {self.num_partitions}, got"
-                    f" {len(vs.data) // max(vs.vector_size, 1)}")
-            self._partition_centroids = vs.data.reshape(
-                self.num_partitions, self.vector_size)
+            self._partition_centroids = decode_vector_set(
+                payload, self.vector_size, self.num_partitions,
+                "partition centroids")
         return self._partition_centroids
 
     def _load_codebooks(self) -> np.ndarray:
@@ -187,18 +271,9 @@ class StoredDatabase:
                     f".{PROTOBUF_EXTENSION}")
                 payload = f.read()
                 f.verify()
-                vs = PVectorSet.decode(payload)
-                if vs.vector_size != self.subvector_size:
-                    raise InvalidData(
-                        f"vector_size is inconsistent: expected"
-                        f" {self.subvector_size} but got {vs.vector_size}")
-                if len(vs.data) != self.num_codes * vs.vector_size:
-                    raise InvalidData(
-                        f"number of codes is inconsistent: expected"
-                        f" {self.num_codes} but got"
-                        f" {len(vs.data) // max(vs.vector_size, 1)}")
-                cbs.append(vs.data.reshape(self.num_codes,
-                                           self.subvector_size))
+                cbs.append(decode_vector_set(
+                    payload, self.subvector_size, self.num_codes,
+                    f"codebook[{di}]"))
             self._codebooks = np.stack(cbs)     # [D, C, m]
         return self._codebooks
 
@@ -213,31 +288,8 @@ class StoredDatabase:
                 compressed=True)
             payload = f.read()
             f.verify()
-            msg = PPartition.decode(payload)
-            if msg.encoded_vectors is None:
-                raise InvalidData("missing encoded vectors")
-            if msg.vector_size != self.vector_size:
-                raise InvalidData(
-                    f"vector_size {self.vector_size} and"
-                    f" partition.vector_size {msg.vector_size} do not match")
-            if msg.num_divisions != self.num_divisions:
-                raise InvalidData(
-                    f"num_divisions {self.num_divisions} and"
-                    f" partition.num_divisions {msg.num_divisions}"
-                    f" do not match")
-            evs = msg.encoded_vectors
-            if evs.vector_size != self.num_divisions or \
-                    len(evs.data) % max(evs.vector_size, 1):
-                raise InvalidData("encoded vector shape mismatch")
-            codes = evs.data.reshape(-1, self.num_divisions)
-            if len(codes) != len(msg.vector_ids):
-                raise InvalidData(
-                    f"number of vector IDs is inconsistent: expected"
-                    f" {len(codes)} but got {len(msg.vector_ids)}")
-            self._partitions[index] = StoredPartition(
-                codes=codes,
-                vector_ids=[u.to_uuid() for u in msg.vector_ids],
-            )
+            self._partitions[index] = decode_partition(
+                payload, self.vector_size, self.num_divisions)
         return self._partitions[index]
 
     # -- attributes (db/stored.rs:118-260) -----------------------------------
@@ -279,33 +331,12 @@ class StoredDatabase:
         payload = f.read()
         if self.verify_all:
             f.verify()
-        log = PAttributesLog.decode(payload)
-        if log.partition_id != self.root.partition_ids[partition_index]:
-            raise InvalidData(
-                f"inconsistent partition IDs: {log.partition_id} vs"
-                f" {self.root.partition_ids[partition_index]}")
         if self._attribute_table is None:
             self._attribute_table = {}
-        table = self._attribute_table
-        names = self.root.attribute_names
-        for i, entry in enumerate(log.entries):
-            if entry.name_index >= len(names):
-                raise InvalidData(
-                    f"attribute name index out of bounds: {entry.name_index}")
-            if entry.vector_id is None:
-                raise InvalidData(
-                    f"attributes log[{partition_index}, {i}]:"
-                    f" missing vector ID")
-            if entry.value is None or entry.value.value is None:
-                raise InvalidData(
-                    f"attributes log[{partition_index}, {i}]: missing value")
-            vid = entry.vector_id.to_uuid()
-            table.setdefault(vid, {})[names[entry.name_index]] = \
-                entry.value.value
-        # Vectors without attributes default to an empty map so lookups on
-        # existing vectors never fail (db/stored.rs:251-257).
-        for vid in partition.vector_ids:
-            table.setdefault(vid, {})
+        replay_attributes_log(
+            payload, self.root.partition_ids[partition_index],
+            self.root.attribute_names, partition, self._attribute_table,
+            partition_index)
         self._attr_loaded[partition_index] = True
 
     # -- queries (db/stored.rs:305-442, 534-598) -----------------------------
@@ -341,17 +372,14 @@ class StoredDatabase:
         probed = np.argsort(coarse, kind="stable")[:nprobe]
         events(ev.FinishedPartitionSelection())
 
-        d, c, m_sub = codebooks.shape
         candidates: List[StoredQueryResult] = []
         for pi in probed:
             events(ev.StartingPartitionQuery(int(pi)))
             part = self.get_partition(int(pi))
-            local = (v - centroids[pi]).reshape(d, m_sub)
-            # ADC table [D, C] then gather-sum over member codes
-            table = ((local[:, None, :] - codebooks) ** 2).sum(-1)
-            dists = table[np.arange(d)[None, :], part.codes].sum(1)
-            # keep k best per partition (db/stored.rs:576-595)
-            order = np.argsort(dists, kind="stable")[:k]
+            # ADC table [D, C] then gather-sum; keep k best per partition
+            # (db/stored.rs:576-595)
+            order, dists = adc_scan_partition(
+                v, v - centroids[pi], codebooks, part.codes, k)
             candidates.extend(
                 StoredQueryResult(
                     db=self,

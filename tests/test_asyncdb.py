@@ -1,0 +1,150 @@
+"""Async read-path tests (``src/asyncdb/`` behaviors).
+
+The reference's async e2e coverage is the ``test-async`` binary
+(``src/bin/test-async.rs``): load → query → concurrent attribute fetch; plus
+the async path's stricter verification (it verifies partition centroids and
+attribute logs where the sync path does not, SURVEY.md §5).
+"""
+
+import asyncio
+import pathlib
+
+import numpy as np
+import pytest
+
+import flechasdb_tpu as fdb
+from flechasdb_tpu import events as ev
+from flechasdb_tpu.asyncdb import AsyncLocalFileSystem, load_database
+
+
+@pytest.fixture(scope="module")
+def saved_db(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(6).with_divisions(4)
+          .with_clusters(8).with_seed(11).build())
+    for i in range(0, 300, 2):
+        db.set_attribute_at(i, ("datum_id", i))
+        db.set_attribute_at(i, ("label", f"even-{i}"))
+    td = tmp_path_factory.mktemp("adb")
+    root = fdb.save_database(db, fdb.LocalFileSystem(td))
+    return td, root, db, x
+
+
+def test_async_load_and_query_matches_sync(saved_db):
+    td, root, db, x = saved_db
+    sync_db = fdb.load_database(fdb.LocalFileSystem(td), f"{root}.binpb")
+    sync_res = sync_db.query(x[10], k=5, nprobe=3)
+
+    async def go():
+        adb = await load_database(AsyncLocalFileSystem(td), f"{root}.binpb")
+        return await adb.query(x[10], k=5, nprobe=3)
+
+    async_res = asyncio.run(go())
+    assert len(async_res) == len(sync_res)
+    for a, s in zip(async_res, sync_res):
+        assert a.vector_id == s.vector_id
+        assert a.partition_index == s.partition_index
+        assert a.vector_index == s.vector_index
+        assert a.squared_distance == pytest.approx(s.squared_distance,
+                                                   rel=1e-6)
+
+
+def test_async_concurrent_attribute_fetch(saved_db):
+    td, root, db, x = saved_db
+
+    async def go():
+        adb = await load_database(AsyncLocalFileSystem(td), f"{root}.binpb")
+        res = await adb.query(x[0], k=10, nprobe=6)
+        # concurrent fetch over all results (test-async.rs:10-123)
+        attrs = await asyncio.gather(
+            *(r.get_attribute("datum_id") for r in res))
+        return res, attrs
+
+    res, attrs = asyncio.run(go())
+    for r, a in zip(res, attrs):
+        idx = db.vector_ids.index(r.vector_id)
+        if idx % 2 == 0:
+            assert a == idx
+        else:
+            assert a is None
+
+
+def test_async_events_sequence(saved_db):
+    td, root, db, x = saved_db
+    seen = []
+
+    async def go():
+        adb = await load_database(AsyncLocalFileSystem(td), f"{root}.binpb")
+        await adb.query_with_events(x[0], 3, 2, seen.append)
+        # second query: warm caches, no load events
+        warm = []
+        await adb.query_with_events(x[1], 3, 2, warm.append)
+        return warm
+
+    warm = asyncio.run(go())
+    types = [type(e) for e in seen]
+    assert ev.StartingCodebookLoad in types
+    assert ev.StartingPartitionCentroidsLoad in types
+    assert ev.StartingPartitionLoad in types
+    assert ev.StartingPartitionQuery in types
+    assert ev.StartingResultSelection in types
+    assert types.index(ev.StartingCodebookLoad) < \
+        types.index(ev.StartingPartitionSelection)
+    warm_types = {type(e) for e in warm}
+    assert ev.StartingCodebookLoad not in warm_types
+    assert ev.StartingPartitionCentroidsLoad not in warm_types
+
+
+def test_async_verifies_partition_centroids(saved_db, tmp_path):
+    """Async verifies what sync skips (asyncdb/stored.rs:284 vs
+    db/stored.rs:732-754)."""
+    td, root, db, x = saved_db
+    import shutil
+    dst = tmp_path / "copy"
+    shutil.copytree(td, dst)
+
+    # Corrupt the partition-centroids file: it's the one partitions/ file
+    # that is NOT named in partition_ids (it is the uncompressed VectorSet).
+    sync_db = fdb.load_database(fdb.LocalFileSystem(dst), f"{root}.binpb")
+    cent_id = sync_db.root.partition_centroids_id
+    path = dst / "partitions" / f"{cent_id}.binpb"
+    data = bytearray(path.read_bytes())
+    data[-1] ^= 0x01
+    path.write_bytes(bytes(data))
+
+    # Sync path (quirk parity): no verification on centroids — query works.
+    res = sync_db.query(x[0], k=3, nprobe=2)
+    assert len(res) == 3
+
+    async def go():
+        adb = await load_database(AsyncLocalFileSystem(dst), f"{root}.binpb")
+        await adb.query(x[0], k=3, nprobe=2)
+
+    with pytest.raises(fdb.VerificationFailure):
+        asyncio.run(go())
+
+
+def test_async_unknown_vector_id(saved_db):
+    td, root, db, x = saved_db
+    import uuid
+
+    async def go():
+        adb = await load_database(AsyncLocalFileSystem(td), f"{root}.binpb")
+        await adb.get_attribute(uuid.uuid4(), "datum_id")
+
+    with pytest.raises(fdb.InvalidArgs):
+        asyncio.run(go())
+
+
+def test_async_query_validation(saved_db):
+    td, root, db, x = saved_db
+
+    async def go(k, nprobe):
+        adb = await load_database(AsyncLocalFileSystem(td), f"{root}.binpb")
+        await adb.query(x[0], k=k, nprobe=nprobe)
+
+    with pytest.raises(fdb.InvalidArgs):
+        asyncio.run(go(0, 1))
+    with pytest.raises(fdb.InvalidArgs):
+        asyncio.run(go(3, 999))
