@@ -1,0 +1,91 @@
+"""Pruned bucketed query must agree exactly with the masked full scan."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flechasdb_tpu.ops.adc import query_masked_scan
+from flechasdb_tpu.ops.bucketed import Buckets, bucketize, query_bucketed
+
+
+def _random_index(rng, n=700, m=64, p=9, d=4, c=16):
+    centroids = rng.standard_normal((p, m)).astype(np.float32)
+    codebooks = rng.standard_normal((d, c, m // d)).astype(np.float32)
+    codes = rng.integers(0, c, (n, d)).astype(np.int32)
+    pidx = rng.integers(0, p, n).astype(np.int32)
+    return centroids, codebooks, codes, pidx
+
+
+def test_bucketize_roundtrip(rng):
+    _, _, codes, pidx = _random_index(rng)
+    b = bucketize(codes, pidx, 9)
+    assert b.codes.shape[1] % 128 == 0
+    lengths = np.asarray(b.lengths)
+    np.testing.assert_array_equal(lengths, np.bincount(pidx, minlength=9))
+    rows = np.asarray(b.rows)
+    # every corpus row appears exactly once, in its own partition's bucket
+    flat = rows[rows >= 0]
+    assert sorted(flat.tolist()) == list(range(len(codes)))
+    for pi in range(9):
+        members = rows[pi][rows[pi] >= 0]
+        assert np.all(pidx[members] == pi)
+        np.testing.assert_array_equal(
+            np.asarray(b.codes)[pi, :len(members)], codes[members])
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 9])
+def test_bucketed_matches_masked_scan(rng, nprobe):
+    centroids, codebooks, codes, pidx = _random_index(rng)
+    q = rng.standard_normal((6, centroids.shape[1])).astype(np.float32)
+    buckets = bucketize(codes, pidx, centroids.shape[0])
+
+    ref_d, ref_r, ref_p = query_masked_scan(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        jnp.asarray(codes), jnp.asarray(pidx), k=10, nprobe=nprobe)
+    got_d, got_r, got_p = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, k=10, nprobe=nprobe)
+
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
+    # row agreement modulo exact-distance ties
+    rd, gd = np.asarray(ref_d), np.asarray(got_d)
+    rr, gr = np.asarray(ref_r), np.asarray(got_r)
+    for b in range(len(q)):
+        diff = rr[b] != gr[b]
+        if diff.any():
+            np.testing.assert_allclose(rd[b][diff], gd[b][diff], rtol=1e-6)
+
+
+def test_bucketed_small_partition_padding(rng):
+    """Fewer reachable vectors than k ⇒ +inf tail, no pad rows returned."""
+    centroids, codebooks, codes, pidx = _random_index(rng, n=40, p=8)
+    q = rng.standard_normal((2, centroids.shape[1])).astype(np.float32)
+    buckets = bucketize(codes, pidx, 8)
+    d, r, _ = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, k=30, nprobe=1)
+    d, r = np.asarray(d), np.asarray(r)
+    for b in range(2):
+        finite = np.isfinite(d[b])
+        assert np.all(r[b][finite] >= 0)
+        assert np.all(r[b][finite] < 40)
+        assert finite.sum() < 30  # one partition can't hold 30 of 40 rows
+
+
+def test_pallas_lookup_matches_gather(rng):
+    """The Pallas ADC lookup kernel (interpret mode on CPU) must agree with
+    the XLA gather implementation."""
+    centroids, codebooks, codes, pidx = _random_index(rng, n=600, p=5)
+    q = rng.standard_normal((4, centroids.shape[1])).astype(np.float32)
+    buckets = bucketize(codes, pidx, 5)
+    ref = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, k=8, nprobe=3, impl="gather")
+    got = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, k=8, nprobe=3, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
