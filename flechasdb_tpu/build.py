@@ -35,7 +35,6 @@ from .attributes import AttributeTable, Attributes, AttributeValue, \
 from .errors import InvalidArgs
 from .events import EventHandler, _noop
 from .ops import kmeans
-from .ops.adc import query_masked_scan
 from .partitions import Partitions, partition
 from .vector import as_vector_set, divide_vector_set
 
@@ -101,7 +100,14 @@ class DatabaseBuilder:
         return self
 
     def with_seed(self, seed: int) -> "DatabaseBuilder":
-        """Makes the build fully reproducible (clustering *and* UUIDs)."""
+        """Fixes the RNG for clustering *and* UUID assignment.
+
+        Builds are exactly reproducible for a given compiled program; across
+        recompiles XLA autotuning may reorder f32 reductions, which can
+        perturb the (chaotic) k-means trajectory — compare builds by
+        quality (inertia/recall), not bits, as with the reference's
+        ``thread_rng`` (SURVEY.md §7).
+        """
         self._seed = seed
         return self
 
@@ -234,12 +240,10 @@ class Database:
 
     def _device_state(self):
         if self._dev is None:
-            self._dev = (
-                jnp.asarray(self.partition_centroids),
-                jnp.asarray(self.codebooks),
-                jnp.asarray(self.codes.astype(np.int32)),
-                jnp.asarray(self.partition_indices),
-            )
+            from .serving import DeviceIndex
+            self._dev = DeviceIndex(
+                self.partition_centroids, self.codebooks,
+                self.codes.astype(np.int32), self.partition_indices)
         return self._dev
 
     def query(self, v, k: int, nprobe: int) -> List[QueryResult]:
@@ -254,11 +258,8 @@ class Database:
             raise InvalidArgs(
                 f"query vector size {v.shape[1]} != {self.vector_size}")
         events(ev.StartingPartitionSelection())
-        cents, cbs, codes, pidx = self._device_state()
-        dists, rows, probed = query_masked_scan(
-            jnp.asarray(v), cents, cbs, codes, pidx, k=k, nprobe=nprobe)
-        dists, rows, probed = (np.asarray(dists[0]), np.asarray(rows[0]),
-                               np.asarray(probed[0]))
+        dists, rows, probed = self._device_state().query(v, k, nprobe)
+        dists, rows, probed = dists[0], rows[0], probed[0]
         events(ev.FinishedPartitionSelection())
         for pi in probed:
             events(ev.StartingPartitionQuery(int(pi)))
@@ -276,10 +277,7 @@ class Database:
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
-        cents, cbs, codes, pidx = self._device_state()
-        dists, rows, _ = query_masked_scan(
-            jnp.asarray(vs), cents, cbs, codes, pidx, k=k, nprobe=nprobe)
-        dists, rows = np.asarray(dists), np.asarray(rows)
+        dists, rows, _ = self._device_state().query(vs, k, nprobe)
         return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
 
     def _validate_query(self, k: int, nprobe: int) -> None:

@@ -1,0 +1,74 @@
+"""Device-resident serving index shared by the in-memory and stored DBs.
+
+Picks the query layout empirically (SURVEY.md §7 left this to measurement):
+
+* **bucketed** (default): partition-major padded ``[P, L, D]`` buckets +
+  the Pallas compare-select lookup — work scales with ``nprobe × L``.
+* **masked**: flat ``[N, D]`` codes + masked full scan — work scales with
+  ``N``; chosen when partition-size skew would make bucket padding waste
+  (``P·L > PAD_LIMIT × N``) outweigh pruning.
+
+Both return identical results (global corpus rows); tests pin the
+equivalence.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+import uuid as _uuid
+
+import numpy as np
+
+#: Max tolerated padded-to-real ratio before falling back to the flat scan.
+PAD_LIMIT = 4.0
+
+
+class DeviceIndex:
+    """IVF-PQ index pushed to TPU HBM, ready for batched queries."""
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
+                 codes: np.ndarray, pidx: np.ndarray,
+                 layout: Optional[str] = None) -> None:
+        import jax.numpy as jnp
+
+        from .ops.bucketed import bucketize
+
+        p = centroids.shape[0]
+        n = max(len(codes), 1)
+        if layout is None:
+            counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
+            l_pad = -(-int(max(max(counts), 1)) // 128) * 128
+            layout = "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) \
+                else "masked"
+        self.layout = layout
+        self.centroids = jnp.asarray(centroids)
+        self.codebooks = jnp.asarray(codebooks)
+        if layout == "bucketed":
+            self.buckets = bucketize(
+                np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p)
+            self.codes = self.pidx = None
+        elif layout == "masked":
+            self.codes = jnp.asarray(np.asarray(codes, np.int32))
+            self.pidx = jnp.asarray(np.asarray(pidx, np.int32))
+            self.buckets = None
+        else:
+            raise ValueError(f"unknown layout: {layout!r}")
+
+    def query(self, q: np.ndarray, k: int, nprobe: int
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched k-NN: ``q [B, M]`` → host ``(dists, rows, probed)``."""
+        import jax.numpy as jnp
+
+        from .ops.adc import query_masked_scan
+        from .ops.bucketed import query_bucketed
+
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        if self.layout == "bucketed":
+            d, r, p = query_bucketed(
+                qd, self.centroids, self.codebooks, self.buckets,
+                k=k, nprobe=nprobe)
+        else:
+            d, r, p = query_masked_scan(
+                qd, self.centroids, self.codebooks, self.codes, self.pidx,
+                k=k, nprobe=nprobe)
+        return np.asarray(d), np.asarray(r), np.asarray(p)

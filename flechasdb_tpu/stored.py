@@ -402,9 +402,9 @@ class StoredDatabase:
         """Loads every partition and pushes the index to the device.
 
         After this, :meth:`query` and :meth:`query_batch` run the fused
-        masked-scan kernel — the warm serving mode.
+        device kernels (:mod:`.serving`) — the warm serving mode.
         """
-        import jax.numpy as jnp
+        from .serving import DeviceIndex
 
         centroids = self._load_partition_centroids()
         codebooks = self._load_codebooks()
@@ -417,15 +417,9 @@ class StoredDatabase:
         ])
         vector_ids = [vid for p in parts for vid in p.vector_ids]
         local = _local_indices(pidx, self.num_partitions)
-        self._dev = (
-            jnp.asarray(centroids),
-            jnp.asarray(codebooks),
-            jnp.asarray(codes.astype(np.int32)),
-            jnp.asarray(pidx),
-            pidx,
-            local,
-            vector_ids,
-        )
+        index = DeviceIndex(centroids, codebooks, codes.astype(np.int32),
+                            pidx)
+        self._dev = (index, pidx, local, vector_ids)
 
     def query_batch(self, vs, k: int, nprobe: int
                     ) -> List[List[StoredQueryResult]]:
@@ -443,16 +437,9 @@ class StoredDatabase:
 
     def _query_device(self, vs: np.ndarray, k: int, nprobe: int,
                       events: EventHandler) -> List[List[StoredQueryResult]]:
-        import jax.numpy as jnp
-
-        from .ops.adc import query_masked_scan
-
-        cents, cbs, codes, pidx_dev, pidx, local, vector_ids = self._dev
+        index, pidx, local, vector_ids = self._dev
         events(ev.StartingPartitionSelection())
-        dists, rows, probed = query_masked_scan(
-            jnp.asarray(vs), cents, cbs, codes, pidx_dev,
-            k=k, nprobe=nprobe)
-        dists, rows = np.asarray(dists), np.asarray(rows)
+        dists, rows, _ = index.query(vs, k, nprobe)
         events(ev.FinishedPartitionSelection())
         events(ev.StartingResultSelection())
         out: List[List[StoredQueryResult]] = []
