@@ -1,0 +1,125 @@
+"""ctypes bindings to the native IO runtime (``native/fastio.cc``).
+
+The reference's storage layer is native (``src/io.rs``: streaming SHA-256
+under a zlib encoder). This module loads the C++ equivalent and exposes
+``pack``/``unpack``/``hash_name``; when the shared library is absent it is
+built on the fly with ``g++`` (best effort), and if that fails the callers
+in :mod:`.io` fall back to Python's zlib/hashlib — behaviourally identical,
+just slower and GIL-bound.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_LIB_PATH = Path(__file__).parent / "_lib" / "libflechas_io.so"
+_SRC_PATH = Path(__file__).parent.parent / "native" / "fastio.cc"
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
+             "-o", str(_LIB_PATH), str(_SRC_PATH), "-lz"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and _SRC_PATH.exists():
+        _build()
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.fio_hash.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                             ctypes.c_char_p]
+    lib.fio_hash.restype = None
+    lib.fio_pack.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    lib.fio_pack.restype = ctypes.c_int
+    lib.fio_unpack.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    lib.fio_unpack.restype = ctypes.c_int
+    lib.fio_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.fio_free.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    """True when the native runtime is loaded (or buildable)."""
+    return _load() is not None
+
+
+def hash_name(data: bytes) -> Optional[str]:
+    """URL-safe-base64 SHA-256 of ``data``; None if native IO unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(44)
+    lib.fio_hash(data, len(data), out)
+    return out.value.decode("ascii")
+
+
+def pack(payload: bytes, compress: bool,
+         level: int = 6) -> Optional[tuple[bytes, str]]:
+    """One-pass (deflate +) hash. Returns ``(stored_bytes, hash)``."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    hash_buf = ctypes.create_string_buffer(44)
+    rc = lib.fio_pack(payload, len(payload), level if compress else 0,
+                      ctypes.byref(out), ctypes.byref(out_len), hash_buf)
+    if rc != 0:
+        raise MemoryError(f"fio_pack failed: {rc}")
+    try:
+        stored = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fio_free(out)
+    return stored, hash_buf.value.decode("ascii")
+
+
+def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
+    """One-pass hash (+ inflate). Returns ``(payload, hash_of_stored)``.
+
+    Raises ``ValueError`` on a corrupt deflate stream.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    hash_buf = ctypes.create_string_buffer(44)
+    rc = lib.fio_unpack(stored, len(stored), 1 if compressed else 0,
+                        ctypes.byref(out), ctypes.byref(out_len), hash_buf)
+    if rc == -2:
+        raise ValueError("corrupt deflate stream")
+    if rc != 0:
+        raise MemoryError(f"fio_unpack failed: {rc}")
+    try:
+        payload = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fio_free(out)
+    return payload, hash_buf.value.decode("ascii")

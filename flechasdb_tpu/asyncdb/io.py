@@ -18,6 +18,7 @@ import zlib
 from abc import ABC, abstractmethod
 from pathlib import Path
 
+from .. import _native
 from ..errors import IOError_, VerificationFailure
 from ..io import content_hash
 
@@ -30,15 +31,30 @@ class AsyncHashedFileReader:
         self._raw = raw
         self._name = name
         self._compressed = compressed
+        self._hash = None
 
     async def read(self) -> bytes:
-        """Returns the (decompressed) payload; inflation runs off-loop."""
-        if self._compressed:
-            try:
-                return await asyncio.to_thread(zlib.decompress, self._raw)
-            except zlib.error as e:
-                raise IOError_(f"zlib decompression failed: {e}") from e
-        return self._raw
+        """Returns the (decompressed) payload; inflation runs off-loop.
+
+        With the native runtime, inflate + verification hash happen in one
+        C++ pass with the GIL released — concurrent partition reads
+        genuinely overlap.
+        """
+        def work() -> tuple[bytes, str | None]:
+            unpacked = _native.unpack(self._raw, self._compressed)
+            if unpacked is not None:
+                return unpacked
+            if self._compressed:
+                return zlib.decompress(self._raw), None
+            return self._raw, None
+
+        try:
+            payload, hash_ = await asyncio.to_thread(work)
+        except (zlib.error, ValueError) as e:
+            raise IOError_(f"zlib decompression failed: {e}") from e
+        if hash_ is not None:
+            self._hash = hash_
+        return payload
 
     def verify(self) -> None:
         """SHA-256 of stored bytes vs filename stem (``asyncdb/io.rs:161-176``).
@@ -46,7 +62,7 @@ class AsyncHashedFileReader:
         The async path verifies *every* artifact (unlike the sync path's
         centroids/attributes quirk, SURVEY.md §5).
         """
-        hash_ = content_hash(self._raw)
+        hash_ = self._hash or content_hash(self._raw)
         stem = Path(self._name).stem
         if hash_ != stem:
             raise VerificationFailure(

@@ -24,6 +24,7 @@ from abc import ABC, abstractmethod
 from pathlib import Path
 from typing import Optional
 
+from . import _native
 from .errors import IOError_, VerificationFailure
 
 #: zlib level matching flate2's ``Compression::default()`` (``io.rs:104``).
@@ -32,7 +33,10 @@ COMPRESSION_LEVEL = 6
 
 def content_hash(data: bytes) -> str:
     """URL-safe base64 (no padding) of SHA-256 — file naming scheme
-    (``io.rs:248-249``)."""
+    (``io.rs:248-249``). Uses the native runtime when present."""
+    native = _native.hash_name(data)
+    if native is not None:
+        return native
     digest = hashlib.sha256(data).digest()
     return base64.urlsafe_b64encode(digest).decode("ascii").rstrip("=")
 
@@ -56,13 +60,22 @@ class HashedFileWriter:
         return len(data)
 
     def persist(self, extension: str = "binpb") -> str:
-        """Finalizes and stores the file; returns its content hash."""
+        """Finalizes and stores the file; returns its content hash.
+
+        Deflate + SHA-256 run in one native pass when the runtime is
+        loaded (``native/fastio.cc``), mirroring the reference's
+        hash-under-encoder stream stack (``io.rs:122-129``).
+        """
         if self._persisted:
             raise IOError_("file already persisted")
         payload = b"".join(self._chunks)
-        if self._compress:
-            payload = zlib.compress(payload, COMPRESSION_LEVEL)
-        hash_ = content_hash(payload)
+        packed = _native.pack(payload, self._compress, COMPRESSION_LEVEL)
+        if packed is not None:
+            payload, hash_ = packed
+        else:
+            if self._compress:
+                payload = zlib.compress(payload, COMPRESSION_LEVEL)
+            hash_ = content_hash(payload)
         self._persist_cb(payload, f"{hash_}.{extension}")
         self._persisted = True
         return hash_
@@ -75,9 +88,21 @@ class HashedFileReader:
         self._raw = raw
         self._name = name
         self._compressed = compressed
+        self._hash: Optional[str] = None
 
     def read(self) -> bytes:
-        """Returns the (decompressed) payload."""
+        """Returns the (decompressed) payload.
+
+        With the native runtime, inflate and the verification hash happen in
+        one pass (hash-as-you-read, ``io.rs:258-300``).
+        """
+        try:
+            unpacked = _native.unpack(self._raw, self._compressed)
+        except ValueError as e:
+            raise IOError_(f"zlib decompression failed: {e}") from e
+        if unpacked is not None:
+            payload, self._hash = unpacked
+            return payload
         if self._compressed:
             try:
                 return zlib.decompress(self._raw)
@@ -88,7 +113,7 @@ class HashedFileReader:
     def verify(self) -> None:
         """Checks SHA-256 of the stored bytes against the filename stem
         (``io.rs:286-300``)."""
-        hash_ = content_hash(self._raw)
+        hash_ = self._hash or content_hash(self._raw)
         stem = Path(self._name).stem
         if hash_ != stem:
             raise VerificationFailure(

@@ -1,0 +1,250 @@
+// Native content-addressed IO runtime.
+//
+// The reference implements its storage layer natively (src/io.rs): artifacts
+// stream through a SHA-256 hasher stacked under a zlib encoder, so the
+// content hash covers the *stored* (compressed) bytes and is computed in the
+// same pass that writes them (io.rs:90-129). This is the C++ equivalent,
+// exposed through a C ABI for ctypes:
+//
+//   fio_pack    : payload -> (optionally deflated) bytes + URL-safe-base64
+//                 SHA-256 name, one pass
+//   fio_unpack  : stored bytes -> (optionally inflated) payload + hash of
+//                 the stored bytes, one pass (verify-while-read,
+//                 io.rs:258-300)
+//   fio_hash    : standalone hash
+//   fio_free    : release buffers returned by pack/unpack
+//
+// SHA-256 is implemented inline (FIPS 180-4) to avoid an OpenSSL dependency;
+// zlib provides deflate at level 6, matching flate2's default used by the
+// reference (io.rs:104).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------- sha-256 --
+
+struct Sha256 {
+  uint32_t h[8];
+  uint64_t bits;
+  uint8_t buf[64];
+  size_t fill;
+
+  Sha256() { reset(); }
+
+  void reset() {
+    static const uint32_t init[8] = {
+        0x6a09e667u, 0xbb67ae85u, 0x3c6ef372u, 0xa54ff53au,
+        0x510e527fu, 0x9b05688cu, 0x1f83d9abu, 0x5be0cd19u};
+    std::memcpy(h, init, sizeof(h));
+    bits = 0;
+    fill = 0;
+  }
+
+  static uint32_t rotr(uint32_t x, int n) {
+    return (x >> n) | (x << (32 - n));
+  }
+
+  void block(const uint8_t* p) {
+    static const uint32_t k[64] = {
+        0x428a2f98u, 0x71374491u, 0xb5c0fbcfu, 0xe9b5dba5u, 0x3956c25bu,
+        0x59f111f1u, 0x923f82a4u, 0xab1c5ed5u, 0xd807aa98u, 0x12835b01u,
+        0x243185beu, 0x550c7dc3u, 0x72be5d74u, 0x80deb1feu, 0x9bdc06a7u,
+        0xc19bf174u, 0xe49b69c1u, 0xefbe4786u, 0x0fc19dc6u, 0x240ca1ccu,
+        0x2de92c6fu, 0x4a7484aau, 0x5cb0a9dcu, 0x76f988dau, 0x983e5152u,
+        0xa831c66du, 0xb00327c8u, 0xbf597fc7u, 0xc6e00bf3u, 0xd5a79147u,
+        0x06ca6351u, 0x14292967u, 0x27b70a85u, 0x2e1b2138u, 0x4d2c6dfcu,
+        0x53380d13u, 0x650a7354u, 0x766a0abbu, 0x81c2c92eu, 0x92722c85u,
+        0xa2bfe8a1u, 0xa81a664bu, 0xc24b8b70u, 0xc76c51a3u, 0xd192e819u,
+        0xd6990624u, 0xf40e3585u, 0x106aa070u, 0x19a4c116u, 0x1e376c08u,
+        0x2748774cu, 0x34b0bcb5u, 0x391c0cb3u, 0x4ed8aa4au, 0x5b9cca4fu,
+        0x682e6ff3u, 0x748f82eeu, 0x78a5636fu, 0x84c87814u, 0x8cc70208u,
+        0x90befffau, 0xa4506cebu, 0xbef9a3f7u, 0xc67178f2u};
+    uint32_t w[64];
+    for (int i = 0; i < 16; ++i)
+      w[i] = (uint32_t(p[4 * i]) << 24) | (uint32_t(p[4 * i + 1]) << 16) |
+             (uint32_t(p[4 * i + 2]) << 8) | uint32_t(p[4 * i + 3]);
+    for (int i = 16; i < 64; ++i) {
+      uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3);
+      uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10);
+      w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3];
+    uint32_t e = h[4], f = h[5], g = h[6], hh = h[7];
+    for (int i = 0; i < 64; ++i) {
+      uint32_t s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+      uint32_t ch = (e & f) ^ (~e & g);
+      uint32_t t1 = hh + s1 + ch + k[i] + w[i];
+      uint32_t s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+      uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+      uint32_t t2 = s0 + maj;
+      hh = g; g = f; f = e; e = d + t1;
+      d = c; c = b; b = a; a = t1 + t2;
+    }
+    h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+    h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+  }
+
+  void update(const uint8_t* data, size_t len) {
+    bits += uint64_t(len) * 8;
+    if (fill) {
+      size_t take = 64 - fill < len ? 64 - fill : len;
+      std::memcpy(buf + fill, data, take);
+      fill += take;
+      data += take;
+      len -= take;
+      if (fill == 64) {
+        block(buf);
+        fill = 0;
+      }
+    }
+    while (len >= 64) {
+      block(data);
+      data += 64;
+      len -= 64;
+    }
+    if (len) {
+      std::memcpy(buf, data, len);
+      fill = len;
+    }
+  }
+
+  void final(uint8_t out[32]) {
+    uint8_t pad[72] = {0x80};
+    size_t padlen = (fill < 56) ? 56 - fill : 120 - fill;
+    uint64_t b = bits;
+    uint8_t lenb[8];
+    for (int i = 7; i >= 0; --i) {
+      lenb[i] = uint8_t(b & 0xff);
+      b >>= 8;
+    }
+    update(pad, padlen);
+    update(lenb, 8);
+    for (int i = 0; i < 8; ++i) {
+      out[4 * i] = uint8_t(h[i] >> 24);
+      out[4 * i + 1] = uint8_t(h[i] >> 16);
+      out[4 * i + 2] = uint8_t(h[i] >> 8);
+      out[4 * i + 3] = uint8_t(h[i]);
+    }
+  }
+};
+
+// URL-safe base64 without padding (io.rs:248-249): 32 bytes -> 43 chars.
+void b64url(const uint8_t digest[32], char out[44]) {
+  static const char tab[] =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_";
+  int o = 0;
+  for (int i = 0; i < 30; i += 3) {
+    uint32_t v = (uint32_t(digest[i]) << 16) | (uint32_t(digest[i + 1]) << 8) |
+                 uint32_t(digest[i + 2]);
+    out[o++] = tab[(v >> 18) & 63];
+    out[o++] = tab[(v >> 12) & 63];
+    out[o++] = tab[(v >> 6) & 63];
+    out[o++] = tab[v & 63];
+  }
+  uint32_t v = (uint32_t(digest[30]) << 8) | uint32_t(digest[31]);
+  out[o++] = tab[(v >> 10) & 63];
+  out[o++] = tab[(v >> 4) & 63];
+  out[o++] = tab[(v << 2) & 63];
+  out[o] = '\0';
+}
+
+}  // namespace
+
+extern "C" {
+
+// Hash `len` bytes into a 43-char URL-safe-base64 name (+NUL): out44.
+void fio_hash(const uint8_t* data, size_t len, char* out44) {
+  Sha256 s;
+  s.update(data, len);
+  uint8_t digest[32];
+  s.final(digest);
+  b64url(digest, out44);
+}
+
+// Packs a payload for storage: optional deflate (level 6), hash of the
+// stored bytes. Returns 0 on success; *out is malloc'd (free via fio_free).
+int fio_pack(const uint8_t* data, size_t len, int compress_level,
+             uint8_t** out, size_t* out_len, char* hash_out44) {
+  uint8_t* stored;
+  size_t stored_len;
+  if (compress_level > 0) {
+    uLongf cap = compressBound(len);
+    stored = static_cast<uint8_t*>(std::malloc(cap ? cap : 1));
+    if (!stored) return -1;
+    if (compress2(stored, &cap, data, len, compress_level) != Z_OK) {
+      std::free(stored);
+      return -2;
+    }
+    stored_len = cap;
+  } else {
+    stored = static_cast<uint8_t*>(std::malloc(len ? len : 1));
+    if (!stored) return -1;
+    std::memcpy(stored, data, len);
+    stored_len = len;
+  }
+  fio_hash(stored, stored_len, hash_out44);
+  *out = stored;
+  *out_len = stored_len;
+  return 0;
+}
+
+// Unpacks stored bytes: hash of the stored bytes (verify-while-read) and
+// optional inflate. Returns 0 on success, -2 on corrupt stream.
+int fio_unpack(const uint8_t* data, size_t len, int compressed,
+               uint8_t** out, size_t* out_len, char* hash_out44) {
+  fio_hash(data, len, hash_out44);
+  if (!compressed) {
+    uint8_t* copy = static_cast<uint8_t*>(std::malloc(len ? len : 1));
+    if (!copy) return -1;
+    std::memcpy(copy, data, len);
+    *out = copy;
+    *out_len = len;
+    return 0;
+  }
+  size_t cap = len * 4 + 1024;
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(cap));
+  if (!buf) return -1;
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) {
+    std::free(buf);
+    return -2;
+  }
+  zs.next_in = const_cast<uint8_t*>(data);
+  zs.avail_in = static_cast<uInt>(len);
+  size_t total = 0;
+  int rc;
+  do {
+    if (total == cap) {
+      cap *= 2;
+      uint8_t* nb = static_cast<uint8_t*>(std::realloc(buf, cap));
+      if (!nb) {
+        inflateEnd(&zs);
+        std::free(buf);
+        return -1;
+      }
+      buf = nb;
+    }
+    zs.next_out = buf + total;
+    zs.avail_out = static_cast<uInt>(cap - total);
+    rc = inflate(&zs, Z_NO_FLUSH);
+    total = cap - zs.avail_out;
+  } while (rc == Z_OK);
+  inflateEnd(&zs);
+  if (rc != Z_STREAM_END) {
+    std::free(buf);
+    return -2;
+  }
+  *out = buf;
+  *out_len = total;
+  return 0;
+}
+
+void fio_free(uint8_t* p) { std::free(p); }
+
+}  // extern "C"
