@@ -1,0 +1,206 @@
+"""BASELINE.json benchmark sweep on real TPU hardware.
+
+Configs (BASELINE.json "configs"):
+  * sift: SIFT1M-shaped (1M × 128, P=1024, D=8, C=256) — recall@10 + qps
+    over nprobe ∈ {1, 5, 10, 50}
+  * gist: GIST1M-shaped (1M × 960, P=1024, D=60, C=256) — high-dim build
+    stress (``--scale small`` shrinks N)
+  * async: batched queries against a stored DB with attribute fetch
+
+SIFT/GIST are served from disk at the original datasets' homes; this image
+has no egress, so the sweep uses synthetic data with low intrinsic
+dimensionality (real descriptor sets are far from isotropic — that locality
+is exactly what makes PQ informative). Recall numbers are therefore
+indicative, not comparable to published SIFT1M curves; qps and build times
+are hardware-real.
+
+Usage: python benchmarks/sweep.py [--scale small|full] [--configs sift,gist]
+Emits one JSON line per measurement.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def synth(rng, n, m, intrinsic):
+    w = rng.standard_normal((intrinsic, m)).astype(np.float32)
+    out = np.empty((n, m), np.float32)
+    step = 1 << 18
+    for i in range(0, n, step):
+        z = rng.standard_normal((min(step, n - i), intrinsic),
+                                ).astype(np.float32)
+        noise = 0.05 * rng.standard_normal((z.shape[0], m)).astype(np.float32)
+        out[i:i + z.shape[0]] = z @ w + noise
+    return out
+
+
+def exact_topk_device(x, q, k):
+    """Brute-force ground truth on TPU, chunked over the corpus."""
+    import jax
+    import jax.numpy as jnp
+    from flechasdb_tpu.ops.distance import sqdist
+
+    qd = jnp.asarray(q)
+    best_d = jnp.full((len(q), k), jnp.inf)
+    best_i = jnp.zeros((len(q), k), jnp.int32)
+    step = 1 << 17
+
+    @jax.jit
+    def fold(best_d, best_i, chunk, base):
+        d = sqdist(qd, chunk)                       # [Q, step]
+        idx = (jnp.arange(chunk.shape[0], dtype=jnp.int32) + base)[None, :]
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
+            idx, d.shape).astype(jnp.int32)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    for i in range(0, len(x), step):
+        best_d, best_i = fold(best_d, best_i, jnp.asarray(x[i:i + step]),
+                              np.int32(i))
+    return np.asarray(best_i)
+
+
+def run_sift(scale, rng):
+    import jax
+    from flechasdb_tpu.parallel.build import _build_step
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
+    import jax.numpy as jnp
+
+    n = 1_000_000 if scale == "full" else 200_000
+    m, p, d, c = 128, 1024, 8, 256
+    nq, k = 1000, 10
+    x = synth(rng, n, m, 8)
+    q = synth(rng, nq, m, 8)
+
+    xd = jnp.asarray(x)
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    compile_and_build = time.time() - t0
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    build_s = time.time() - t0
+    log({"config": "sift", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+         "value": round(build_s, 3), "unit": "s",
+         "compile_s": round(compile_and_build - build_s, 1)})
+
+    gt = exact_topk_device(x, q, k)
+    buckets = bucketize(np.asarray(built.codes), pidx, p)
+    qd = jnp.asarray(q)
+
+    for nprobe in (1, 5, 10, 50):
+        dists, rows, _ = query_bucketed(
+            qd, built.partition_centroids, built.codebooks, buckets,
+            k=k, nprobe=nprobe)
+        rows_h = np.asarray(rows)
+        recall = np.mean([
+            len(set(rows_h[b].tolist()) & set(gt[b].tolist())) / k
+            for b in range(nq)])
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            dists, rows, _ = query_bucketed(
+                qd, built.partition_centroids, built.codebooks, buckets,
+                k=k, nprobe=nprobe)
+        _ = np.asarray(dists)
+        dt = (time.time() - t0) / reps
+        log({"config": "sift", "nprobe": nprobe,
+             "recall@10": round(float(recall), 4),
+             "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
+
+
+def run_gist(scale, rng):
+    import jax
+    import jax.numpy as jnp
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n = 1_000_000 if scale == "full" else 100_000
+    m, p, d, c = 960, 1024, 60, 256
+    x = synth(rng, n, m, 32)
+    xd = jnp.asarray(x)
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
+    _ = np.asarray(built.partition_indices)
+    cold = time.time() - t0
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
+    _ = np.asarray(built.partition_indices)
+    build_s = time.time() - t0
+    log({"config": "gist", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+         "value": round(build_s, 3), "unit": "s",
+         "compile_s": round(cold - build_s, 1)})
+
+
+def run_async(scale, rng):
+    import asyncio
+    import tempfile
+
+    import flechasdb_tpu as fdb
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem, load_database
+
+    n, m = 50_000, 128
+    x = synth(rng, n, m, 16)
+    db = (fdb.DatabaseBuilder(x).with_partitions(64).with_divisions(8)
+          .with_clusters(256).with_seed(1).build())
+    for i in range(n):
+        db.set_attribute_at(i, ("datum_id", i))
+    q = synth(rng, 1000, m, 16)
+
+    with tempfile.TemporaryDirectory() as td:
+        root = fdb.save_database(db, fdb.LocalFileSystem(td))
+
+        async def go():
+            adb = await load_database(
+                AsyncLocalFileSystem(td), f"{root}.binpb")
+            t0 = time.time()
+            results = await asyncio.gather(
+                *(adb.query(qv, 10, 5) for qv in q[:100]))
+            qtime = time.time() - t0
+            t0 = time.time()
+            await asyncio.gather(*(
+                r.get_attribute("datum_id")
+                for rs in results for r in rs))
+            atime = time.time() - t0
+            return qtime, atime
+
+        qtime, atime = asyncio.run(go())
+        log({"config": "async", "metric": "100 concurrent cold queries",
+             "value": round(qtime * 10, 2), "unit": "ms/query",
+             "attr_fetch_1k_ms": round(atime * 1e3, 1)})
+
+        # warm batched device path on the stored DB
+        sdb = fdb.load_database(fdb.LocalFileSystem(td), f"{root}.binpb")
+        sdb.query_batch(q, 10, 5)  # preload + compile (same shape)
+        t0 = time.time()
+        sdb.query_batch(q, 10, 5)
+        dt = time.time() - t0
+        log({"config": "async", "metric": "stored warm batch 1000 queries",
+             "value": round(dt * 1e3, 1), "unit": "ms",
+             "qps": round(1000 / dt)})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="small", choices=("small", "full"))
+    ap.add_argument("--configs", default="sift,gist,async")
+    args = ap.parse_args()
+    rng = np.random.default_rng(0)
+    for cfg in args.configs.split(","):
+        {"sift": run_sift, "gist": run_gist, "async": run_async}[cfg](
+            args.scale, rng)
+
+
+if __name__ == "__main__":
+    main()
