@@ -124,18 +124,20 @@ def run_sift(scale, rng):
 def run_gist(scale, rng):
     import jax
     import jax.numpy as jnp
-    from flechasdb_tpu.parallel.build import _build_step
+    from flechasdb_tpu.parallel.build import build_step_donating
 
     n = 1_000_000 if scale == "full" else 100_000
     m, p, d, c = 960, 1024, 60, 256
     x = synth(rng, n, m, 32)
-    xd = jnp.asarray(x)
+    # At this scale the input must be donated so residuals alias its buffer.
+    xd = jax.device_put(x)
     t0 = time.time()
-    built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
+    built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
     cold = time.time() - t0
+    xd = jax.device_put(x)
     t0 = time.time()
-    built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
+    built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
     build_s = time.time() - t0
     log({"config": "gist", "metric": f"build {n}x{m} P={p} D={d} C={c}",

@@ -57,23 +57,30 @@ def assign_chunked(x: jax.Array, c: jax.Array, *, k: int,
     """Nearest-centroid assignment, streamed over row chunks.
 
     ``x: [B, N, M]``, ``c: [B, K, M]`` → ``(indices [B, N] int32,
-    min_sqdist [B, N])``. Chunking bounds the transient ``[B, chunk, K]``
-    distance tile so arbitrarily large ``N`` stays within HBM headroom; this
+    min_sqdist [B, N])``. Chunks are taken with ``dynamic_slice`` inside a
+    ``fori_loop`` — no padded/transposed copy of ``x`` is ever materialized
+    (at GIST1M scale such copies are ~4 GB each and were crashing the chip).
+    The transient ``[B, chunk, K]`` distance tile bounds HBM usage; this
     replaces the reference's per-vector reassignment loop
     (``kmeans.rs:279-306``) with MXU-tiled matmuls.
     """
     b, n, m = x.shape
     chunk = min(chunk, n)
-    pad = (-n) % chunk
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    xs = x.reshape(b, -1, chunk, m).swapaxes(0, 1)  # [S, B, chunk, M]
+    steps = -(-n // chunk)
 
-    def body(xi):
+    def body(i, state):
+        idx, dmin = state
+        # Last chunk shifts back to stay in bounds; overlapping rows are
+        # recomputed with identical values, so the overwrite is harmless.
+        start = jnp.minimum(i * chunk, n - chunk)
+        xi = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=1)
         d = sqdist(xi, c)
-        return jnp.argmin(d, axis=-1).astype(jnp.int32), jnp.min(d, axis=-1)
+        idx = jax.lax.dynamic_update_slice_in_dim(
+            idx, jnp.argmin(d, axis=-1).astype(jnp.int32), start, axis=1)
+        dmin = jax.lax.dynamic_update_slice_in_dim(
+            dmin, jnp.min(d, axis=-1), start, axis=1)
+        return idx, dmin
 
-    idx, dmin = jax.lax.map(body, xs)  # [S, B, chunk]
-    idx = idx.swapaxes(0, 1).reshape(b, -1)[:, :n]
-    dmin = dmin.swapaxes(0, 1).reshape(b, -1)[:, :n]
-    return idx, dmin
+    idx0 = jnp.zeros((b, n), jnp.int32)
+    dmin0 = jnp.zeros((b, n), x.dtype)
+    return jax.lax.fori_loop(0, steps, body, (idx0, dmin0))

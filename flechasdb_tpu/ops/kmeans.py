@@ -116,30 +116,32 @@ def _centroid_update(x: jax.Array, indices: jax.Array, old: jax.Array,
     gradient [B])``. Empty clusters keep their old centroid.
     """
     b, n, m = x.shape
-    # Bound the transient one-hot tile to ~2^25 elements.
-    chunk = max(128, min(n, (1 << 25) // (b * (k + 1))))
-    pad = (-n) % chunk
-    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
-    # Padding rows get segment k, which is dropped below.
-    ip = (jnp.pad(indices, ((0, 0), (0, pad)), constant_values=k)
-          if pad else indices)
-    s = xp.shape[1] // chunk
-    xs = xp.reshape(b, s, chunk, m).swapaxes(0, 1)    # [S, B, chunk, M]
-    ids = ip.reshape(b, s, chunk).swapaxes(0, 1)      # [S, B, chunk]
+    # Bound the transient one-hot tile to ~2^25 elements. Chunks come from
+    # dynamic_slice in a fori_loop — never a padded/transposed copy of x
+    # (those are ~4 GB each at GIST1M scale and were crashing the chip).
+    chunk = min(n, max(128, (1 << 25) // (b * (k + 1))))
+    steps = -(-n // chunk)
 
-    def body(carry, inp):
+    def body(i, carry):
         sums, counts = carry
-        xi, ii = inp
-        onehot = jax.nn.one_hot(ii, k + 1, dtype=x.dtype)  # [B, chunk, K+1]
+        # Last chunk shifts back to stay in bounds; rows already covered by
+        # the previous chunk are masked out of the one-hot so nothing is
+        # double-counted.
+        start = jnp.minimum(i * chunk, jnp.maximum(n - chunk, 0))
+        xi = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=1)
+        ii = jax.lax.dynamic_slice_in_dim(indices, start, chunk, axis=1)
+        fresh = (start + jnp.arange(chunk)) >= i * chunk       # [chunk]
+        onehot = jax.nn.one_hot(ii, k + 1, dtype=x.dtype)      # [B,chunk,K+1]
+        onehot = onehot * fresh[None, :, None].astype(x.dtype)
         sums = sums + jnp.matmul(
             onehot.swapaxes(-1, -2), xi,
             precision=_PRECISION, preferred_element_type=jnp.float32)
         counts = counts + jnp.sum(onehot, axis=1)
-        return (sums, counts), None
+        return sums, counts
 
     init = (jnp.zeros((b, k + 1, m), jnp.float32),
             jnp.zeros((b, k + 1), jnp.float32))
-    (sums, counts), _ = jax.lax.scan(body, init, (xs, ids))
+    sums, counts = jax.lax.fori_loop(0, steps, body, init)
     sums, counts = sums[:, :k], counts[:, :k]
 
     empty = counts == 0
@@ -152,6 +154,36 @@ def _centroid_update(x: jax.Array, indices: jax.Array, old: jax.Array,
     max_norm = jnp.max(norm, axis=-1)
     grad = jnp.where(max_norm > 0, jnp.max(dist, axis=-1) / max_norm, 0.0)
     return new, grad
+
+
+def _seed_cap(k: int) -> int:
+    """Max rows used for k-means++ seeding.
+
+    Seeding is inherently serial (k dependent steps, ``kmeans.rs:201-221``);
+    over the full corpus each step touches all N rows, and at GIST1M scale
+    (k=1024, N=1M) the 1024 small dependent kernels dominated the whole
+    build. Seeding on a subsample and then running one full assignment pass
+    keeps init quality (Lloyd's refinement washes out sampling noise) while
+    making seeding O(k · cap). Documented divergence from the reference,
+    which seeds on all points.
+    """
+    return max(4096, 32 * k)
+
+
+def _subsampled_init(x: jax.Array, k: int, key: jax.Array,
+                     ) -> tuple[jax.Array, jax.Array]:
+    b, n, m = x.shape
+    cap = _seed_cap(k)
+    if n <= cap:
+        return plusplus_init(x, k, key)
+    k_pick, k_seed = jax.random.split(key)
+    # With-replacement draws: duplicates have zero k-means++ weight once
+    # chosen, so they are never picked twice; avoids an O(N log N) shuffle.
+    rows = jax.random.randint(k_pick, (cap,), 0, n)
+    centroids, _ = plusplus_init(x[:, rows], k, k_seed)
+    from .distance import assign_chunked
+    indices, _ = assign_chunked(x, centroids, k=k)
+    return centroids, indices
 
 
 @functools.partial(jax.jit, static_argnames=("k", "epsilon", "max_rounds"))
@@ -171,7 +203,7 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return KMeansResult(x, idx, jnp.zeros((b,), jnp.int32),
                             jnp.zeros((b,), jnp.float32))
 
-    centroids, indices = plusplus_init(x, k, key)
+    centroids, indices = _subsampled_init(x, k, key)
 
     class S(NamedTuple):
         centroids: jax.Array
@@ -255,7 +287,7 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _init_jit(x, k, key):
-    return plusplus_init(x, k, key)
+    return _subsampled_init(x, k, key)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "epsilon"))

@@ -27,17 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _lookup_kernel(codes_ref, tab_ref, out_ref):
-    """One ``[T, D]`` code tile against one ``[D, C]`` table."""
-    codes = codes_ref[0]                      # [T, D] int32
-    t, d = codes.shape
+    """One ``[D, T]`` code tile against one ``[D, C]`` table.
+
+    Rows live on the lane axis (minor), codewords on sublanes — both the
+    codes array and the accumulator tile without padding waste.
+    """
+    codes = codes_ref[0]                      # [D, T] int32
+    d, t = codes.shape
     c = tab_ref.shape[2]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
-    acc = jnp.zeros((t, 1), jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c, t), 0)
+    acc = jnp.zeros((1, t), jnp.float32)
     for di in range(d):                       # D is small (8-16): unrolled
-        tab = tab_ref[0, di][None, :]                         # [1, C]
-        mask = codes[:, di][:, None] == iota                  # [T, C]
-        acc += jnp.sum(jnp.where(mask, tab, 0.0), axis=1, keepdims=True)
-    out_ref[0, 0, :] = acc[:, 0]
+        tab = tab_ref[0, di][:, None]                         # [C, 1]
+        mask = codes[di][None, :] == iota                     # [C, T]
+        acc += jnp.sum(jnp.where(mask, tab, 0.0), axis=0, keepdims=True)
+    out_ref[0, 0, :] = acc[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -45,15 +49,15 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
                interpret: bool | None = None) -> jax.Array:
     """Batched ADC lookup-sum.
 
-    ``codes: [G, L, D] int32`` (values in ``[0, C)``), ``ftab: [G, D*C]``
+    ``codes: [G, D, L] int32`` (values in ``[0, C)``), ``ftab: [G, D*C]``
     f32 → ``[G, L]`` f32. ``L`` must be a multiple of 128 (the bucketed
     layout guarantees it, :func:`.bucketed.bucketize`).
     """
-    g, l, d = codes.shape
+    g, d, l = codes.shape
     dc = ftab.shape[1]
     c = dc // d
     # Row-tile size: prefer one program per table row (grid overhead and
-    # table re-reads both scale with L/T); the [T, C] compare temp stays
+    # table re-reads both scale with L/T); the [C, T] compare temp stays
     # within a few MB of VMEM.
     if l * (c + 8) * 4 <= 4 * 1024 * 1024:
         t = l
@@ -71,7 +75,7 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
         _lookup_kernel,
         grid=(g, l // t),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, d, t), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -42,9 +42,8 @@ class ShardedBuild(NamedTuple):
     codes: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("p", "d", "c"))
-def _build_step(x: jax.Array, key: jax.Array, *, p: int, d: int,
-                c: int) -> ShardedBuild:
+def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int,
+              c: int) -> ShardedBuild:
     n, m = x.shape
     k_coarse, k_pq = jax.random.split(key)
 
@@ -55,6 +54,16 @@ def _build_step(x: jax.Array, key: jax.Array, *, p: int, d: int,
     pq = kmeans.fit(divided, c, k_pq)
     codes = pq.indices.T.astype(jnp.int32)               # [N, D]
     return ShardedBuild(cents, idx, pq.centroids, codes)
+
+
+_build_step = jax.jit(_build_fn, static_argnames=("p", "d", "c"))
+
+#: Donating variant: the input buffer is released to XLA so the residual
+#: array can alias it — needed for corpora within ~2× of HBM (GIST1M-scale
+#: 1M×960 peaks at ~11.5 GB without donation and crashes a 16 GB chip).
+#: The caller's device array is invalidated; re-``device_put`` to rebuild.
+build_step_donating = jax.jit(_build_fn, static_argnames=("p", "d", "c"),
+                              donate_argnums=(0,))
 
 
 def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,

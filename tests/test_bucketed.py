@@ -19,7 +19,7 @@ def _random_index(rng, n=700, m=64, p=9, d=4, c=16):
 def test_bucketize_roundtrip(rng):
     _, _, codes, pidx = _random_index(rng)
     b = bucketize(codes, pidx, 9)
-    assert b.codes.shape[1] % 128 == 0
+    assert b.codes.shape[2] % 128 == 0
     lengths = np.asarray(b.lengths)
     np.testing.assert_array_equal(lengths, np.bincount(pidx, minlength=9))
     rows = np.asarray(b.rows)
@@ -30,7 +30,7 @@ def test_bucketize_roundtrip(rng):
         members = rows[pi][rows[pi] >= 0]
         assert np.all(pidx[members] == pi)
         np.testing.assert_array_equal(
-            np.asarray(b.codes)[pi, :len(members)], codes[members])
+            np.asarray(b.codes)[pi, :, :len(members)].T, codes[members])
 
 
 @pytest.mark.parametrize("nprobe", [1, 3, 9])
