@@ -30,6 +30,12 @@ from .errors import (
 
 try:  # staged build-out: these land in later phases of the build plan
     from .build import Database, DatabaseBuilder, QueryResult
+    from .flat import (
+        FlatDatabase,
+        StoredFlatDatabase,
+        load_flat_database,
+        save_flat_database,
+    )
     from .io import FileSystem, LocalFileSystem
     from .serialize import save_database
     from .stored import StoredDatabase, load_database
@@ -45,6 +51,7 @@ __all__ = [
     "Database",
     "DatabaseBuilder",
     "FileSystem",
+    "FlatDatabase",
     "FlechasError",
     "InvalidArgs",
     "InvalidContext",
@@ -54,8 +61,11 @@ __all__ = [
     "ProtobufError",
     "QueryResult",
     "StoredDatabase",
+    "StoredFlatDatabase",
     "VerificationFailure",
     "load_database",
+    "load_flat_database",
     "save_database",
+    "save_flat_database",
     "__version__",
 ]

@@ -1,0 +1,336 @@
+"""Flat (exact-search) database — reference roadmap item, implemented.
+
+The reference lists "Flat database" as unreleased future work
+(``README.md:74``). This module ships it TPU-native: raw vectors stored in
+content-addressed chunks (same hashing/compression/attribute machinery as
+the IVF-PQ format, :mod:`.serialize`), exact k-NN served by the chunked
+device scan in :mod:`.ops.exact`, and — because chunks are independent
+immutable artifacts — **appending vectors is an O(new-data) update**: write
+the new chunks and a new root manifest, everything else is reused. That
+makes this the first concrete cut of the reference's other roadmap item,
+"Update database" (``README.md:73``).
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .attributes import AttributeTable, AttributeValue, check_attribute_value
+from .errors import InvalidArgs, InvalidData
+from .io import FileSystem
+from .protos import (
+    PAttributesLog,
+    PAttributeValue,
+    PFlatChunk,
+    PFlatDatabase,
+    POperationSetAttribute,
+    PUuid,
+    PVectorSet,
+)
+from .serialize import PROTOBUF_EXTENSION
+from .vector import as_vector_set
+
+#: Vectors per stored chunk (f32 rows; 4096×1536 ≈ 25 MB uncompressed).
+CHUNK_ROWS = 4096
+
+
+def _make_uuids(n: int, rng: np.random.Generator) -> List[_uuid.UUID]:
+    from .build import _make_uuids as impl
+    return impl(n, rng)
+
+
+@dataclass
+class FlatQueryResult:
+    """One exact k-NN result."""
+    vector_id: _uuid.UUID
+    vector_index: int           # global corpus row
+    squared_distance: float
+
+    _get_attr: Optional[callable] = field(default=None, repr=False)
+
+    def get_attribute(self, key: str) -> Optional[AttributeValue]:
+        if self._get_attr is None:
+            raise InvalidArgs("result is not attached to a database")
+        return self._get_attr(self.vector_id, key)
+
+
+class FlatDatabase:
+    """In-memory exact-search database."""
+
+    def __init__(self, vectors, vector_ids: Optional[List[_uuid.UUID]] = None,
+                 seed: Optional[int] = None) -> None:
+        self._x = as_vector_set(vectors).astype(np.float32)
+        rng = np.random.default_rng(seed)
+        if vector_ids is None:
+            vector_ids = _make_uuids(len(self._x), rng)
+        if len(vector_ids) != len(self._x):
+            raise InvalidArgs(
+                f"{len(vector_ids)} IDs for {len(self._x)} vectors")
+        self.vector_ids = list(vector_ids)
+        self.attribute_table: AttributeTable = {}
+        self._dev = None
+        self._rng = rng
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def vector_size(self) -> int:
+        return self._x.shape[1]
+
+    @property
+    def num_vectors(self) -> int:
+        return self._x.shape[0]
+
+    @property
+    def vectors(self) -> np.ndarray:
+        return self._x
+
+    # -- updates (roadmap "Update database": append-only) --------------------
+
+    def append(self, vectors, vector_ids: Optional[List[_uuid.UUID]] = None,
+               ) -> List[_uuid.UUID]:
+        """Appends vectors; returns their IDs. O(new data) when re-saved."""
+        new = as_vector_set(vectors, self.vector_size).astype(np.float32)
+        if vector_ids is None:
+            vector_ids = _make_uuids(len(new), self._rng)
+        if len(vector_ids) != len(new):
+            raise InvalidArgs(
+                f"{len(vector_ids)} IDs for {len(new)} vectors")
+        self._x = np.concatenate([self._x, new])
+        self.vector_ids.extend(vector_ids)
+        self._dev = None
+        return list(vector_ids)
+
+    # -- attributes -----------------------------------------------------------
+
+    def set_attribute_at(self, i: int,
+                         attribute: Tuple[str, AttributeValue]) -> None:
+        if not 0 <= i < self.num_vectors:
+            raise InvalidArgs(f"vector index out of bounds: {i}")
+        key, value = attribute
+        value = check_attribute_value(value)
+        vid = self.vector_ids[i]
+        self.attribute_table.setdefault(vid, {})[str(key)] = value
+
+    def get_attribute(self, vector_id: _uuid.UUID,
+                      key: str) -> Optional[AttributeValue]:
+        try:
+            attrs = self.attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    # -- queries ---------------------------------------------------------------
+
+    def query(self, v, k: int) -> List[FlatQueryResult]:
+        return self.query_batch(np.asarray(v, np.float32)[None], k)[0]
+
+    def query_batch(self, vs, k: int) -> List[List[FlatQueryResult]]:
+        import jax.numpy as jnp
+
+        from .ops.exact import exact_topk
+
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        vs = as_vector_set(vs, self.vector_size).astype(np.float32)
+        if self._dev is None:
+            self._dev = jnp.asarray(self._x)
+        dists, rows = exact_topk(jnp.asarray(vs), self._dev, k=k)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        out = []
+        for b in range(len(vs)):
+            results = []
+            for dist, row in zip(dists[b], rows[b]):
+                if not np.isfinite(dist):
+                    break
+                results.append(FlatQueryResult(
+                    vector_id=self.vector_ids[row],
+                    vector_index=int(row),
+                    squared_distance=float(dist),
+                    _get_attr=self._get_attr_default_none,
+                ))
+            out.append(results)
+        return out
+
+    def _get_attr_default_none(self, vid, key):
+        return self.attribute_table.get(vid, {}).get(key)
+
+
+def save_flat_database(db: FlatDatabase, fs: FileSystem) -> str:
+    """Serializes into content-addressed chunks; returns the root hash."""
+    chunk_ids: List[str] = []
+    log_ids: List[str] = []
+    names = sorted({k for attrs in db.attribute_table.values()
+                    for k in attrs})
+    name_index = {n: i for i, n in enumerate(names)}
+    for start in range(0, max(db.num_vectors, 1), CHUNK_ROWS):
+        rows = db.vectors[start:start + CHUNK_ROWS]
+        ids = db.vector_ids[start:start + CHUNK_ROWS]
+        if not len(rows):
+            break
+        chunk = PFlatChunk(
+            vector_size=db.vector_size,
+            vectors=PVectorSet(vector_size=db.vector_size,
+                               data=rows.reshape(-1)),
+            vector_ids=[PUuid.from_uuid(v) for v in ids],
+        )
+        f = fs.create_hashed_file("chunks", compress=True)
+        f.write(chunk.encode())
+        chunk_id = f.persist(PROTOBUF_EXTENSION)
+        chunk_ids.append(chunk_id)
+
+        log = PAttributesLog(partition_id=chunk_id)
+        for vid in ids:
+            for name, value in db.attribute_table.get(vid, {}).items():
+                log.entries.append(POperationSetAttribute(
+                    vector_id=PUuid.from_uuid(vid),
+                    name_index=name_index[name],
+                    value=PAttributeValue(value=value)))
+        f = fs.create_hashed_file("attributes", compress=True)
+        f.write(log.encode())
+        log_ids.append(f.persist(PROTOBUF_EXTENSION))
+
+    root = PFlatDatabase(
+        vector_size=db.vector_size,
+        num_vectors=db.num_vectors,
+        chunk_ids=chunk_ids,
+        attributes_log_ids=log_ids,
+        attribute_names=names,
+    )
+    f = fs.create_hashed_file(compress=True)
+    f.write(root.encode())
+    return f.persist(PROTOBUF_EXTENSION)
+
+
+def load_flat_database(fs: FileSystem, path: str) -> "StoredFlatDatabase":
+    """Loads the root manifest only; chunks load lazily per query."""
+    f = fs.open_hashed_file(path, compressed=True)
+    payload = f.read()
+    f.verify()
+    root = PFlatDatabase.decode(payload)
+    if root.vector_size == 0:
+        raise InvalidData("vector_size is zero")
+    if len(root.chunk_ids) != len(root.attributes_log_ids):
+        raise InvalidData("chunk/attributes-log count mismatch")
+    return StoredFlatDatabase(fs=fs, root=root)
+
+
+@dataclass
+class StoredFlatDatabase:
+    """Lazily-loaded stored flat database."""
+    fs: FileSystem
+    root: PFlatDatabase
+
+    _chunks: List[Optional[tuple]] = field(default=None, repr=False)
+    _attr_loaded: List[bool] = field(default=None, repr=False)
+    _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
+    _dev: Optional[tuple] = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        self._chunks = [None] * len(self.root.chunk_ids)
+        self._attr_loaded = [False] * len(self.root.chunk_ids)
+
+    @property
+    def vector_size(self) -> int:
+        return self.root.vector_size
+
+    @property
+    def num_vectors(self) -> int:
+        return self.root.num_vectors
+
+    @property
+    def attribute_names(self) -> List[str]:
+        return self.root.attribute_names
+
+    def _load_chunk(self, i: int) -> tuple:
+        if self._chunks[i] is None:
+            f = self.fs.open_hashed_file(
+                f"chunks/{self.root.chunk_ids[i]}.{PROTOBUF_EXTENSION}",
+                compressed=True)
+            payload = f.read()
+            f.verify()
+            msg = PFlatChunk.decode(payload)
+            if msg.vector_size != self.vector_size:
+                raise InvalidData(
+                    f"chunk vector_size {msg.vector_size} !="
+                    f" {self.vector_size}")
+            if msg.vectors is None:
+                raise InvalidData("missing chunk vectors")
+            x = msg.vectors.data.reshape(-1, self.vector_size)
+            if len(x) != len(msg.vector_ids):
+                raise InvalidData("chunk id/vector count mismatch")
+            self._chunks[i] = (x, [u.to_uuid() for u in msg.vector_ids])
+        return self._chunks[i]
+
+    def _load_all(self):
+        import jax.numpy as jnp
+
+        if self._dev is None:
+            parts = [self._load_chunk(i)
+                     for i in range(len(self.root.chunk_ids))]
+            x = (np.concatenate([p[0] for p in parts]) if parts
+                 else np.zeros((0, self.vector_size), np.float32))
+            ids = [vid for p in parts for vid in p[1]]
+            self._dev = (jnp.asarray(x), ids)
+        return self._dev
+
+    def query(self, v, k: int) -> List[FlatQueryResult]:
+        return self.query_batch(np.asarray(v, np.float32)[None], k)[0]
+
+    def query_batch(self, vs, k: int) -> List[List[FlatQueryResult]]:
+        import jax.numpy as jnp
+
+        from .ops.exact import exact_topk
+
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        vs = as_vector_set(vs, self.vector_size).astype(np.float32)
+        xd, ids = self._load_all()
+        dists, rows = exact_topk(jnp.asarray(vs), xd, k=k)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        out = []
+        for b in range(len(vs)):
+            results = []
+            for dist, row in zip(dists[b], rows[b]):
+                if not np.isfinite(dist):
+                    break
+                results.append(FlatQueryResult(
+                    vector_id=ids[row],
+                    vector_index=int(row),
+                    squared_distance=float(dist),
+                    _get_attr=self.get_attribute,
+                ))
+            out.append(results)
+        return out
+
+    def get_attribute(self, vector_id: _uuid.UUID,
+                      key: str) -> Optional[AttributeValue]:
+        from .stored import replay_attributes_log
+
+        for i in range(len(self.root.chunk_ids)):
+            if self._attr_loaded[i]:
+                continue
+            chunk = self._load_chunk(i)
+            f = self.fs.open_hashed_file(
+                f"attributes/{self.root.attributes_log_ids[i]}"
+                f".{PROTOBUF_EXTENSION}",
+                compressed=True)
+            payload = f.read()
+            f.verify()
+
+            class _P:  # adapter: replay helper wants .vector_ids
+                vector_ids = chunk[1]
+
+            replay_attributes_log(
+                payload, self.root.chunk_ids[i],
+                self.root.attribute_names, _P, self._attribute_table, i)
+            self._attr_loaded[i] = True
+        try:
+            attrs = self._attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)

@@ -11,6 +11,8 @@ host-side load path fast enough to feed the TPU.
 
 from .messages import (
     PAttributesLog,
+    PFlatChunk,
+    PFlatDatabase,
     PAttributeValue,
     PDatabase,
     PEncodedVectorSet,
@@ -22,6 +24,8 @@ from .messages import (
 
 __all__ = [
     "PAttributesLog",
+    "PFlatChunk",
+    "PFlatDatabase",
     "PAttributeValue",
     "PDatabase",
     "PEncodedVectorSet",

@@ -308,3 +308,80 @@ class PDatabase:
                 elif f == 14:
                     m.attribute_names.append(payload.decode("utf-8"))
         return m
+
+
+# --- flechasdb-tpu extensions (not part of the reference format) -----------
+#
+# "Flat database" is an open roadmap item in the reference (README.md:74);
+# these messages define its storage: raw vectors in content-addressed
+# chunks, the same Uuid/AttributesLog machinery, a dedicated root manifest.
+
+
+@dataclass
+class PFlatChunk:
+    """One chunk of raw vectors with their IDs (extension message)."""
+    vector_size: int = 0
+    vectors: Optional[PVectorSet] = None
+    vector_ids: List[PUuid] = dfield(default_factory=list)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        w.message_field(10, self.vectors)
+        for vid in self.vector_ids:
+            w.message_field(11, vid)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PFlatChunk":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if f == 1 and wt == wire.WT_VARINT:
+                m.vector_size = value
+            elif f == 10 and wt == wire.WT_LEN:
+                m.vectors = PVectorSet.decode(
+                    _expect_payload(payload, "FlatChunk.vectors"))
+            elif f == 11 and wt == wire.WT_LEN:
+                m.vector_ids.append(PUuid.decode(
+                    _expect_payload(payload, "FlatChunk.vector_ids")))
+        return m
+
+
+@dataclass
+class PFlatDatabase:
+    """Root manifest of a flat (exact-search) database (extension)."""
+    vector_size: int = 0
+    num_vectors: int = 0
+    chunk_ids: List[str] = dfield(default_factory=list)
+    attributes_log_ids: List[str] = dfield(default_factory=list)
+    attribute_names: List[str] = dfield(default_factory=list)
+
+    def encode(self) -> bytes:
+        w = Writer()
+        w.varint_field(1, self.vector_size)
+        w.varint_field(2, self.num_vectors)
+        for s in self.chunk_ids:
+            w.string_field(10, s, force=True)
+        for s in self.attributes_log_ids:
+            w.string_field(11, s, force=True)
+        for s in self.attribute_names:
+            w.string_field(12, s, force=True)
+        return w.getvalue()
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PFlatDatabase":
+        m = cls()
+        for f, wt, value, payload in iter_fields(buf):
+            if wt == wire.WT_VARINT:
+                if f == 1:
+                    m.vector_size = value
+                elif f == 2:
+                    m.num_vectors = value
+            elif wt == wire.WT_LEN:
+                if f == 10:
+                    m.chunk_ids.append(payload.decode("utf-8"))
+                elif f == 11:
+                    m.attributes_log_ids.append(payload.decode("utf-8"))
+                elif f == 12:
+                    m.attribute_names.append(payload.decode("utf-8"))
+        return m

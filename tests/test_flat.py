@@ -1,0 +1,107 @@
+"""Flat (exact-search) database tests — the reference roadmap item."""
+
+import numpy as np
+import pytest
+
+import flechasdb_tpu as fdb
+from flechasdb_tpu.flat import (
+    FlatDatabase,
+    load_flat_database,
+    save_flat_database,
+)
+
+
+@pytest.fixture
+def db(rng):
+    x = rng.standard_normal((500, 24)).astype(np.float32)
+    db = FlatDatabase(x, seed=1)
+    for i in range(0, 500, 3):
+        db.set_attribute_at(i, ("datum_id", i))
+    return db, x
+
+
+def test_exact_query_matches_numpy(db, rng):
+    db, x = db
+    q = rng.standard_normal((7, 24)).astype(np.float32)
+    res = db.query_batch(q, k=5)
+    d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1, kind="stable")[:, :5]
+    for b in range(7):
+        got = [r.vector_index for r in res[b]]
+        # rows agree up to exact-distance ties
+        for gi, ri in zip(gt[b], got):
+            if gi != ri:
+                assert d[b, gi] == pytest.approx(d[b, ri], rel=1e-6)
+
+
+def test_self_query_is_exact(db):
+    db, x = db
+    res = db.query(x[42], k=1)
+    assert res[0].vector_index == 42
+    assert res[0].squared_distance == pytest.approx(0.0, abs=1e-3)
+    assert res[0].get_attribute("datum_id") == 42
+
+
+def test_append_extends_corpus(db, rng):
+    db, x = db
+    new = rng.standard_normal((10, 24)).astype(np.float32)
+    ids = db.append(new)
+    assert db.num_vectors == 510
+    res = db.query(new[3], k=1)
+    assert res[0].vector_id == ids[3]
+    with pytest.raises(fdb.InvalidArgs):
+        db.append(rng.standard_normal((3, 7)).astype(np.float32))
+
+
+def test_save_load_roundtrip(db, tmp_path, rng):
+    db, x = db
+    fs = fdb.LocalFileSystem(tmp_path)
+    root = save_flat_database(db, fs)
+    sdb = load_flat_database(fdb.LocalFileSystem(tmp_path),
+                             f"{root}.binpb")
+    assert sdb.vector_size == 24
+    assert sdb.num_vectors == 500
+    q = rng.standard_normal(24).astype(np.float32)
+    got = sdb.query(q, k=5)
+    want = db.query(q, k=5)
+    assert [r.vector_id for r in got] == [r.vector_id for r in want]
+    for g, w in zip(got, want):
+        assert g.squared_distance == pytest.approx(w.squared_distance,
+                                                   rel=1e-5)
+        assert g.get_attribute("datum_id") == w.get_attribute("datum_id")
+
+
+def test_save_load_multichunk(tmp_path, rng):
+    """Corpora larger than CHUNK_ROWS span several content-addressed
+    chunks."""
+    import flechasdb_tpu.flat as flat
+    old = flat.CHUNK_ROWS
+    flat.CHUNK_ROWS = 128
+    try:
+        x = rng.standard_normal((300, 8)).astype(np.float32)
+        db = FlatDatabase(x, seed=2)
+        db.set_attribute_at(250, ("tag", "late-chunk"))
+        fs = fdb.LocalFileSystem(tmp_path)
+        root = save_flat_database(db, fs)
+        sdb = load_flat_database(fdb.LocalFileSystem(tmp_path),
+                                 f"{root}.binpb")
+        assert len(sdb.root.chunk_ids) == 3
+        res = sdb.query(x[250], k=1)
+        assert res[0].vector_id == db.vector_ids[250]
+        assert res[0].get_attribute("tag") == "late-chunk"
+    finally:
+        flat.CHUNK_ROWS = old
+
+
+def test_corrupt_chunk_detected(db, tmp_path, rng):
+    db, x = db
+    fs = fdb.LocalFileSystem(tmp_path)
+    root = save_flat_database(db, fs)
+    chunk = next((tmp_path / "chunks").iterdir())
+    data = bytearray(chunk.read_bytes())
+    data[3] ^= 0xFF
+    chunk.write_bytes(bytes(data))
+    sdb = load_flat_database(fdb.LocalFileSystem(tmp_path),
+                             f"{root}.binpb")
+    with pytest.raises((fdb.VerificationFailure, fdb.IOError_)):
+        sdb.query(x[0], k=3)
