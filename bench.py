@@ -58,25 +58,26 @@ def main() -> None:
     build_s = time.time() - t0
     log(f"build: {build_s:.3f}s  ({pops}/{P} partitions populated)")
 
-    # Secondary diagnostics: warm batched query latency (k=10, nprobe=5).
-    from flechasdb_tpu.ops.adc import query_masked_scan
+    # Secondary diagnostics: warm batched query latency (k=10, nprobe=5)
+    # through the production serving path (bucketed + Pallas lookup).
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
     q = jnp.asarray(x[:64])
-    codes = built.codes
-    pidx = built.partition_indices
-    dists, rows, _ = query_masked_scan(
-        q, built.partition_centroids, built.codebooks, codes, pidx,
+    buckets = bucketize(np.asarray(built.codes),
+                        np.asarray(built.partition_indices), P)
+    dists, rows, _ = query_bucketed(
+        q, built.partition_centroids, built.codebooks, buckets,
         k=10, nprobe=5)
     _ = np.asarray(dists)
     t0 = time.time()
     reps = 10
     for _ in range(reps):
-        dists, rows, _ = query_masked_scan(
-            q, built.partition_centroids, built.codebooks, codes, pidx,
+        dists, rows, _ = query_bucketed(
+            q, built.partition_centroids, built.codebooks, buckets,
             k=10, nprobe=5)
         _ = np.asarray(dists)
     per_batch = (time.time() - t0) / reps
     log(f"warm query batch=64: {per_batch * 1e3:.2f} ms "
-        f"({64 * reps / (per_batch * reps):.0f} qps; "
+        f"({64 / per_batch:.0f} qps; "
         f"reference warm single query 1.48 ms)")
 
     print(json.dumps({

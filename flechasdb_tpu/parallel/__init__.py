@@ -16,12 +16,16 @@ first-class device-mesh component set:
   distance vector).
 """
 
-from .build import build_sharded
+from .build import build_sharded, build_step_donating
+from .exact import exact_sharded, shard_flat
 from .mesh import corpus_mesh, shard_corpus
 from .query import query_sharded
 
 __all__ = [
     "build_sharded",
+    "build_step_donating",
+    "exact_sharded",
+    "shard_flat",
     "corpus_mesh",
     "query_sharded",
     "shard_corpus",

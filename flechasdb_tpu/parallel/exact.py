@@ -1,0 +1,64 @@
+"""SPMD sharded exact (flat) k-NN.
+
+Same shape as :mod:`.query`: the raw corpus rows shard over the ``"shard"``
+axis, each device runs the chunked exact scan (:mod:`..ops.exact`) on its
+local rows, and only ``k`` candidates per device cross ICI in the
+``all_gather`` merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.exact import exact_topk
+from .mesh import AXIS, pad_rows
+
+
+def shard_flat(mesh: Mesh, x: np.ndarray) -> tuple[jax.Array, int]:
+    """Row-shards the corpus; returns ``(sharded [N_pad, M], true_n)``."""
+    n = len(x)
+    xp = pad_rows(np.asarray(x, np.float32), mesh.devices.size, 0.0)
+    xs = jax.device_put(xp, NamedSharding(mesh, P(AXIS, None)))
+    return xs, n
+
+
+def _local(q, x, *, k, n):
+    nloc = x.shape[0]
+    base = jax.lax.axis_index(AXIS) * nloc
+    d, rows = exact_topk(q, x, k=min(k, nloc))
+    rows = rows + base
+    d = jnp.where(rows < n, d, jnp.inf)                 # mask pad rows
+    if d.shape[1] < k:
+        d = jnp.pad(d, ((0, 0), (0, k - d.shape[1])),
+                    constant_values=jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, k - rows.shape[1])))
+    negs = jax.lax.all_gather(-d, AXIS)                 # [n_dev, B, k]
+    rowss = jax.lax.all_gather(rows, AXIS)
+    b = q.shape[0]
+    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
+    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
+    mneg, sel = jax.lax.top_k(negs, k)
+    return -mneg, jnp.take_along_axis(rowss, sel, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "n"))
+def exact_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, k: int,
+                  n: int) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN with the corpus sharded across ``mesh``.
+
+    ``x`` must be row-sharded (see :func:`shard_flat`); ``n`` is the true
+    (unpadded) corpus size. Returns ``(sq_distances [B, k], rows [B, k])``.
+    """
+    fn = jax.shard_map(
+        functools.partial(_local, k=k, n=n),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q, x)

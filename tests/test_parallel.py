@@ -123,3 +123,25 @@ def test_sharded_build_matches_unsharded(rng, mesh):
         np.asarray(single.partition_indices))
     np.testing.assert_array_equal(
         np.asarray(sharded.codes), np.asarray(single.codes))
+
+
+def test_sharded_exact_matches_single_device(rng, mesh):
+    from flechasdb_tpu.ops.exact import exact_topk
+    from flechasdb_tpu.parallel import exact_sharded, shard_flat
+
+    x = rng.standard_normal((501, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+
+    ref_d, ref_r = exact_topk(jnp.asarray(q), jnp.asarray(x), k=9)
+    xs, n = shard_flat(mesh, x)
+    sh_d, sh_r = exact_sharded(jnp.asarray(q), xs, mesh=mesh, k=9, n=n)
+
+    np.testing.assert_allclose(np.asarray(sh_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(sh_r) < 501)
+    rd, sd = np.asarray(ref_d), np.asarray(sh_d)
+    rr, sr = np.asarray(ref_r), np.asarray(sh_r)
+    for b in range(4):
+        diff = rr[b] != sr[b]
+        if diff.any():
+            np.testing.assert_allclose(rd[b][diff], sd[b][diff], rtol=1e-6)
