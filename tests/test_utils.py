@@ -1,0 +1,103 @@
+"""Host-utility parity tests (``src/nbest.rs``, ``src/distribution.rs``).
+
+The distribution tests use a deterministic injected uniform sampler — the
+reference's fake-``UniformSampler`` trick (``distribution.rs:124-206``) —
+so sampling outputs are exactly assertable.
+"""
+
+import pytest
+
+import flechasdb_tpu as fdb
+from flechasdb_tpu.utils import NBestByKey, WeightedIndex, n_best_by_key
+
+
+# --- nbest ------------------------------------------------------------------
+
+def test_nbest_keeps_smallest():
+    nb = NBestByKey(3, key=lambda x: x)
+    for v in [9, 1, 8, 2, 7, 3, 6]:
+        nb.push(v)
+    assert sorted(nb) == [1, 2, 3]
+
+
+def test_nbest_fewer_than_n():
+    assert sorted(n_best_by_key([5, 4], 10, key=lambda x: x)) == [4, 5]
+
+
+def test_nbest_with_key_function():
+    items = [("a", 3.0), ("b", 1.0), ("c", 2.0), ("d", 0.5)]
+    best = n_best_by_key(items, 2, key=lambda t: t[1])
+    assert sorted(x[0] for x in best) == ["b", "d"]
+
+
+def test_nbest_invalid_n():
+    with pytest.raises(ValueError):
+        NBestByKey(0, key=lambda x: x)
+
+
+def test_nbest_duplicates_and_order_independence():
+    a = sorted(n_best_by_key([3, 3, 1, 1, 2], 3, key=lambda x: x))
+    b = sorted(n_best_by_key([1, 2, 3, 1, 3], 3, key=lambda x: x))
+    assert a == b == [1, 1, 2]
+
+
+# --- distribution -----------------------------------------------------------
+
+def _stepper(values):
+    """Deterministic 'uniform' yielding a fixed sequence of fractions of
+    the requested range."""
+    it = iter(values)
+
+    def uniform(lo, hi):
+        return lo + (hi - lo) * next(it)
+    return uniform
+
+
+def test_weighted_sample_deterministic():
+    w = WeightedIndex([1.0, 2.0, 3.0, 4.0])      # cumsum: 1, 3, 6, 10
+    u = _stepper([0.0, 0.05, 0.25, 0.55, 0.95])
+    assert w.sample(u) == 0      # 0.0  -> first bucket
+    assert w.sample(u) == 0      # 0.5  < 1
+    assert w.sample(u) == 1      # 2.5  < 3
+    assert w.sample(u) == 2      # 5.5  < 6
+    assert w.sample(u) == 3      # 9.5  < 10
+
+
+def test_weighted_sample_skips_zero_weights():
+    w = WeightedIndex([0.0, 1.0, 0.0, 1.0, 0.0])
+    u = _stepper([0.0, 0.99])
+    assert w.sample(u) == 1
+    # edge of range: must return the LAST non-zero index, never a zero one
+    assert w.sample(u) == 3
+
+
+def test_weighted_new_rejections():
+    with pytest.raises(fdb.InvalidArgs):
+        WeightedIndex([])
+    with pytest.raises(fdb.InvalidArgs):
+        WeightedIndex([1.0, -0.5])
+    with pytest.raises(fdb.InvalidArgs):
+        WeightedIndex([0.0, 0.0])
+
+
+def test_weighted_update():
+    w = WeightedIndex([1.0, 1.0, 1.0])
+    w.update([(0, 0.0), (2, 4.0)])
+    assert w.get_weight(0) == 0.0
+    assert w.get_weight(2) == 4.0
+    assert w.total_weight == pytest.approx(5.0)
+    u = _stepper([0.1])
+    assert w.sample(u) == 1      # 0.5 < 1 and index 0 has zero weight
+
+
+def test_weighted_update_failure_is_atomic():
+    w = WeightedIndex([1.0, 2.0])
+    with pytest.raises(fdb.InvalidArgs):
+        w.update([(0, 5.0), (7, 1.0)])           # OOB after a valid entry
+    assert w.get_weight(0) == 1.0                # unchanged
+    with pytest.raises(fdb.InvalidArgs):
+        w.update([(0, 0.0), (1, 0.0)])           # total becomes zero
+    assert w.total_weight == pytest.approx(3.0)
+    with pytest.raises(fdb.InvalidArgs):
+        w.update([(1, -1.0)])
+    assert w.get_weight(1) == 2.0
