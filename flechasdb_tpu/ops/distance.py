@@ -23,37 +23,46 @@ import jax.numpy as jnp
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def sqdist(x: jax.Array, c: jax.Array) -> jax.Array:
+def sqdist(x: jax.Array, c: jax.Array,
+           precision: jax.lax.Precision = _PRECISION) -> jax.Array:
     """All-pairs squared Euclidean distances.
 
     ``x: [..., N, M]``, ``c: [..., K, M]`` → ``[..., N, K]``. Leading batch
     dims broadcast (used with a division axis for PQ). Results are clamped at
     zero: the expanded form can go slightly negative where the reference's
     subtract-then-dot form (``kmeans.rs:294-299``) cannot.
+
+    ``precision`` controls the cross-term matmul: query paths keep the
+    HIGHEST (6-pass f32) default since distances drive top-k ranking;
+    k-means training passes HIGH (3-pass) — assignment is tolerant and the
+    matmuls are the training bottleneck.
     """
     xx = jnp.sum(x * x, axis=-1)[..., :, None]
     cc = jnp.sum(c * c, axis=-1)[..., None, :]
     xc = jnp.matmul(
         x, jnp.swapaxes(c, -1, -2),
-        precision=_PRECISION,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
     return jnp.maximum(xx + cc - 2.0 * xc, 0.0)
 
 
-def sqdist_one(x: jax.Array, v: jax.Array) -> jax.Array:
+def sqdist_one(x: jax.Array, v: jax.Array,
+               precision: jax.lax.Precision = _PRECISION) -> jax.Array:
     """Squared distances from every row of ``x`` to a single vector ``v``.
 
     ``x: [..., N, M]``, ``v: [..., M]`` → ``[..., N]``. Used by k-means++
     seeding where one new centroid updates all weights
     (``kmeans.rs:209-219``).
     """
-    return sqdist(x, v[..., None, :])[..., 0]
+    return sqdist(x, v[..., None, :], precision=precision)[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "precision"))
 def assign_chunked(x: jax.Array, c: jax.Array, *, k: int,
-                   chunk: int = 16384) -> tuple[jax.Array, jax.Array]:
+                   chunk: int = 16384,
+                   precision: jax.lax.Precision = _PRECISION,
+                   ) -> tuple[jax.Array, jax.Array]:
     """Nearest-centroid assignment, streamed over row chunks.
 
     ``x: [B, N, M]``, ``c: [B, K, M]`` → ``(indices [B, N] int32,
@@ -74,7 +83,7 @@ def assign_chunked(x: jax.Array, c: jax.Array, *, k: int,
         # recomputed with identical values, so the overwrite is harmless.
         start = jnp.minimum(i * chunk, n - chunk)
         xi = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=1)
-        d = sqdist(xi, c)
+        d = sqdist(xi, c, precision=precision)
         idx = jax.lax.dynamic_update_slice_in_dim(
             idx, jnp.argmin(d, axis=-1).astype(jnp.int32), start, axis=1)
         dmin = jax.lax.dynamic_update_slice_in_dim(

@@ -46,7 +46,11 @@ MAX_ROUNDS = 100
 #: Default convergence epsilon for f32 (``kmeans.rs:24-28``).
 DEFAULT_EPSILON = 1e-6
 
-_PRECISION = jax.lax.Precision.HIGHEST
+#: Matmul precision for TRAINING (assignment scans + cluster-sum matmuls).
+#: HIGH = 3-pass bf16 ≈ f32 for ranking purposes at ~2x the throughput of
+#: HIGHEST; cluster sums still accumulate in f32 via preferred_element_type.
+#: Query-path distances (ops/adc.py, ops/bucketed.py) stay HIGHEST.
+_PRECISION = jax.lax.Precision.HIGH
 
 
 class KMeansResult(NamedTuple):
@@ -86,7 +90,7 @@ def plusplus_init(x: jax.Array, k: int,
     if k == 1:
         return centroids, indices
 
-    w = sqdist_one(x, c0)            # running min squared distance [B, N]
+    w = sqdist_one(x, c0, precision=_PRECISION)            # running min squared distance [B, N]
     w = w.at[batch, ci0].set(0.0)    # chosen points are excluded (weight 0)
 
     def step(i, state):
@@ -96,7 +100,7 @@ def plusplus_init(x: jax.Array, k: int,
         ci = jax.random.categorical(ki, jnp.log(w))
         c = _take_rows(x, ci)
         centroids = centroids.at[:, i].set(c)
-        d = sqdist_one(x, c)
+        d = sqdist_one(x, c, precision=_PRECISION)
         closer = d < w               # strict <, as in kmeans.rs:215
         w = jnp.where(closer, d, w).at[batch, ci].set(0.0)
         indices = jnp.where(closer, i, indices).at[batch, ci].set(i)
@@ -182,7 +186,7 @@ def _subsampled_init(x: jax.Array, k: int, key: jax.Array,
     rows = jax.random.randint(k_pick, (cap,), 0, n)
     centroids, _ = plusplus_init(x[:, rows], k, k_seed)
     from .distance import assign_chunked
-    indices, _ = assign_chunked(x, centroids, k=k)
+    indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
     return centroids, indices
 
 
@@ -223,7 +227,7 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
         # Reference stops *before* reassignment once converged
         # (kmeans.rs:130-136), so freshly-converged batches keep old indices.
-        new_idx, _ = assign_chunked(x, centroids, k=k)
+        new_idx, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
         frozen = s.done | newly_done
         indices = jnp.where(frozen[:, None], s.indices, new_idx)
         return S(
@@ -295,7 +299,7 @@ def _round_jit(x, centroids, indices, done, rounds, gradient, *, k, epsilon):
     new_c, grad = _centroid_update(x, indices, centroids, k)
     newly_done = grad < epsilon
     centroids = jnp.where(done[:, None, None], centroids, new_c)
-    new_idx, _ = assign_chunked(x, centroids, k=k)
+    new_idx, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
     frozen = done | newly_done
     indices = jnp.where(frozen[:, None], indices, new_idx)
     rounds = rounds + (~done).astype(jnp.int32)
