@@ -69,12 +69,12 @@ def main() -> None:
         k=10, nprobe=5)
     _ = np.asarray(dists)
     t0 = time.time()
-    reps = 10
+    reps = 20
     for _ in range(reps):
         dists, rows, _ = query_bucketed(
             q, built.partition_centroids, built.codebooks, buckets,
             k=10, nprobe=5)
-        _ = np.asarray(dists)
+    _ = np.asarray(dists)  # dispatches pipeline; one fence at the end
     per_batch = (time.time() - t0) / reps
     log(f"warm query batch=64: {per_batch * 1e3:.2f} ms "
         f"({64 / per_batch:.0f} qps; "
