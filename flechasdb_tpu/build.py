@@ -217,6 +217,45 @@ class Database:
         return (self.residues[i]
                 + self.partition_centroids[self.partition_indices[i]])
 
+    # -- updates ("Update database", reference README.md:73) -----------------
+
+    def add_vectors(self, vs,
+                    vector_ids: Optional[List[_uuid.UUID]] = None,
+                    seed: Optional[int] = None) -> List[_uuid.UUID]:
+        """Adds vectors to the built index without retraining.
+
+        New vectors are assigned to their nearest existing partition and
+        PQ-encoded with the existing codebooks (:mod:`.ops.encode`).
+        Because the storage format is content-addressed, re-saving after an
+        append rewrites only the touched partitions' files plus the root
+        manifest — untouched partitions keep their hashes (and therefore
+        their files). This is the "Update database" roadmap item the
+        reference leaves open (``README.md:73``).
+        """
+        from .ops.encode import encode
+
+        x = as_vector_set(vs, self.vector_size).astype(np.float32)
+        if vector_ids is None:
+            vector_ids = _make_uuids(len(x), np.random.default_rng(seed))
+        if len(vector_ids) != len(x):
+            raise InvalidArgs(
+                f"{len(vector_ids)} IDs for {len(x)} vectors")
+        import jax.numpy as jnp
+        pidx, codes = encode(
+            jnp.asarray(x), jnp.asarray(self.partition_centroids),
+            jnp.asarray(self.codebooks))
+        self.partition_indices = np.concatenate(
+            [self.partition_indices, np.asarray(pidx, np.int32)])
+        self.codes = np.concatenate(
+            [self.codes, np.asarray(codes).astype(np.uint32)])
+        if self.residues is not None:
+            res = x - self.partition_centroids[np.asarray(pidx)]
+            self.residues = np.concatenate([self.residues, res])
+        self.vector_ids.extend(vector_ids)
+        self._dev = None
+        self._local_idx = None
+        return list(vector_ids)
+
     # -- attributes (build.rs:228-285) --------------------------------------
 
     def get_attribute(self, vector_id: _uuid.UUID,

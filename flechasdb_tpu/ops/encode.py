@@ -1,0 +1,32 @@
+"""Encode vectors against an existing IVF-PQ index.
+
+The "Update database" roadmap item (reference ``README.md:73``): new vectors
+don't retrain anything — they are assigned to the nearest existing partition
+centroid and their residuals are PQ-encoded with the existing codebooks,
+exactly how a query would see them. One fused program: coarse argmin →
+residual gather-subtract → per-division codebook argmin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .distance import assign_chunked
+
+
+@functools.partial(jax.jit, static_argnames=())
+def encode(x: jax.Array, centroids: jax.Array,
+           codebooks: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``x: [N, M]`` → ``(pidx [N] int32, codes [N, D] int32)``."""
+    n, m = x.shape
+    p = centroids.shape[0]
+    d, c, sub = codebooks.shape
+    pidx, _ = assign_chunked(x[None], centroids[None], k=p)
+    pidx = pidx[0]
+    residues = x - jnp.take(centroids, pidx, axis=0)
+    divided = residues.reshape(n, d, sub).transpose(1, 0, 2)
+    codes, _ = assign_chunked(divided, codebooks, k=c)
+    return pidx, codes.T
