@@ -171,3 +171,39 @@ def test_nprobe_exceeds_partitions(saved):
     stored = load_database(LocalFileSystem(base), f"{root}.binpb")
     with pytest.raises(InvalidArgs):
         stored.query(np.zeros(12, np.float32), k=3, nprobe=7)
+
+
+def _build_and_save(rng, tmp_path):
+    import flechasdb_tpu as fdb
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(6).with_divisions(4)
+          .with_clusters(8).with_seed(11).build())
+    root = fdb.save_database(db, fdb.LocalFileSystem(tmp_path))
+    return fdb.load_database(fdb.LocalFileSystem(tmp_path),
+                             f"{root}.binpb"), x
+
+
+def test_sync_query_event_order(rng, tmp_path):
+    """Event sequence parity with the reference sync path
+    (db/stored.rs:513-532): init -> selection -> per-partition -> results,
+    with init events only on the cold call."""
+    from flechasdb_tpu import events as ev
+
+    sdb, x = _build_and_save(rng, tmp_path)
+    cold, warm = [], []
+    sdb.query_with_events(x[0], 3, 2, cold.append)
+    sdb.query_with_events(x[1], 3, 2, warm.append)
+
+    types = [type(e) for e in cold]
+    assert types[0] is ev.StartingQueryInitialization
+    assert types[1] is ev.FinishedQueryInitialization
+    assert types.index(ev.FinishedPartitionSelection) < \
+        types.index(ev.StartingPartitionQuery)
+    assert types[-1] is ev.FinishedResultSelection
+    pq = [e.partition_index for e in cold
+          if isinstance(e, ev.StartingPartitionQuery)]
+    assert len(pq) == 2
+
+    # warm path still initializes lazily-noop but emits the same sequence
+    warm_types = [type(e) for e in warm]
+    assert warm_types.count(ev.StartingPartitionQuery) == 2
