@@ -21,6 +21,7 @@ batched: ``query_batch`` amortizes dispatch over many query vectors.
 
 from __future__ import annotations
 
+import functools
 import uuid as _uuid
 from dataclasses import dataclass, field
 from typing import Iterable, List, Optional, Sequence, Tuple
@@ -45,6 +46,22 @@ def _make_uuids(n: int, rng: np.random.Generator) -> List[_uuid.UUID]:
     raw[:, 6] = (raw[:, 6] & 0x0F) | 0x40  # version 4
     raw[:, 8] = (raw[:, 8] & 0x3F) | 0x80  # RFC 4122 variant
     return [_uuid.UUID(bytes=row.tobytes()) for row in raw]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact(q, rows, valid, x, *, k):
+    """Exact re-scoring of ADC candidates.
+
+    ``q [B, M]``, ``rows [B, R]`` candidate corpus rows, ``valid [B, R]``
+    (False where the ADC pass ran out of reachable vectors), ``x [N, M]``
+    originals → exact ``(dists [B, k], rows [B, k])``.
+    """
+    cand = jnp.take(x, rows, axis=0)                    # [B, R, M]
+    diff = cand - q[:, None, :]
+    exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where(valid, exact, jnp.inf)
+    neg, sel = jax.lax.top_k(-exact, k)
+    return -neg, jnp.take_along_axis(rows, sel, axis=1)
 
 
 def _local_indices(pidx: np.ndarray, p: int) -> np.ndarray:
@@ -191,6 +208,7 @@ class Database:
 
     _local_idx: Optional[np.ndarray] = field(default=None, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
+    _dev_orig: Optional[object] = field(default=None, repr=False)
 
     # -- basic accessors (build.rs:178-224) --------------------------------
 
@@ -253,6 +271,7 @@ class Database:
             self.residues = np.concatenate([self.residues, res])
         self.vector_ids.extend(vector_ids)
         self._dev = None
+        self._dev_orig = None
         self._local_idx = None
         return list(vector_ids)
 
@@ -308,16 +327,44 @@ class Database:
         events(ev.FinishedResultSelection())
         return results
 
-    def query_batch(self, vs, k: int, nprobe: int
+    def query_batch(self, vs, k: int, nprobe: int,
+                    rerank: Optional[int] = None
                     ) -> List[List[QueryResult]]:
-        """Batched k-NN — one fused device program for all queries."""
+        """Batched k-NN — one fused device program for all queries.
+
+        ``rerank``: optionally re-score the top ``rerank`` (> k) ADC
+        candidates with EXACT distances against the retained original
+        vectors and return the best ``k`` — a recall knob the reference
+        doesn't have (its stored format drops originals; the in-memory
+        database keeps residues, so reconstruction is a fused
+        gather-add on device).
+        """
         self._validate_query(k, nprobe)
         vs = as_vector_set(vs).astype(np.float32)
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
-        dists, rows, _ = self._device_state().query(vs, k, nprobe)
+        if rerank is None:
+            dists, rows, _ = self._device_state().query(vs, k, nprobe)
+            return [self._to_results(dists[b], rows[b])
+                    for b in range(len(vs))]
+        if rerank < k:
+            raise InvalidArgs(f"rerank ({rerank}) must be >= k ({k})")
+        if self.residues is None:
+            raise InvalidArgs("rerank requires retained residues")
+        adc, rows, _ = self._device_state().query(vs, rerank, nprobe)
+        dists, rows = _rerank_exact(
+            jnp.asarray(vs), jnp.asarray(rows),
+            jnp.asarray(np.isfinite(adc)), self._device_originals(), k=k)
+        dists, rows = np.asarray(dists), np.asarray(rows)
         return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
+
+    def _device_originals(self):
+        if self._dev_orig is None:
+            self._dev_orig = jnp.asarray(
+                self.residues
+                + self.partition_centroids[self.partition_indices])
+        return self._dev_orig
 
     def _validate_query(self, k: int, nprobe: int) -> None:
         if k <= 0:

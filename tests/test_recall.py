@@ -75,3 +75,30 @@ def test_recall_top1_self_query(corpus):
         1 for i, rs in enumerate(res)
         if rs and rs[0].vector_id == db.vector_ids[i])
     assert hits >= 180
+
+
+def test_rerank_improves_recall(corpus):
+    """Exact re-ranking of the top-R ADC candidates must not hurt recall
+    and should materially improve it at full probe."""
+    x, q, db, gt = corpus
+    base = _recall(db, x, q, gt, 16)
+
+    res = db.query_batch(q, k=10, nprobe=16, rerank=100)
+    id_to_row = {vid: i for i, vid in enumerate(db.vector_ids)}
+    hits = 0
+    for b, rs in enumerate(res):
+        got = {id_to_row[r.vector_id] for r in rs}
+        hits += len(got & set(gt[b].tolist()))
+    reranked = hits / (len(q) * 10)
+    assert reranked >= base
+    assert reranked >= 0.9, f"rerank recall too low: {reranked:.3f}"
+    # reranked distances are exact
+    d0 = ((q[0] - x[id_to_row[res[0][0].vector_id]]) ** 2).sum()
+    assert res[0][0].squared_distance == pytest.approx(float(d0), rel=1e-4)
+
+
+def test_rerank_validation(corpus):
+    x, q, db, gt = corpus
+    import flechasdb_tpu as fdb
+    with pytest.raises(fdb.InvalidArgs):
+        db.query_batch(q[:2], k=10, nprobe=4, rerank=5)   # rerank < k
