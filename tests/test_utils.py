@@ -101,3 +101,17 @@ def test_weighted_update_failure_is_atomic():
     with pytest.raises(fdb.InvalidArgs):
         w.update([(1, -1.0)])
     assert w.get_weight(1) == 2.0
+
+
+# --- profiling ----------------------------------------------------------------
+
+def test_profiler_trace_writes_dump(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+    from flechasdb_tpu.utils import annotate, trace
+
+    with trace(tmp_path):
+        with annotate("unit-test-phase"):
+            _ = np.asarray(jnp.arange(8).sum())
+    dumped = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in dumped), "no profiler output written"
