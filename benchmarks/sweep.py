@@ -84,6 +84,7 @@ def run_sift(scale, rng):
     q = synth(rng, nq, m, 8)
 
     xd = jnp.asarray(x)
+    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
     t0 = time.time()
     built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
     pidx = np.asarray(built.partition_indices)
@@ -131,11 +132,13 @@ def run_gist(scale, rng):
     x = synth(rng, n, m, 32)
     # At this scale the input must be donated so residuals alias its buffer.
     xd = jax.device_put(x)
+    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
     t0 = time.time()
     built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
     cold = time.time() - t0
     xd = jax.device_put(x)
+    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
     t0 = time.time()
     built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
