@@ -104,5 +104,11 @@ def query_masked_scan(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
     vdist = jnp.where(selected[:, pidx], vdist, jnp.inf)
 
-    neg, rows = jax.lax.top_k(-vdist, k)
+    # k may exceed the corpus (reference returns fewer results then,
+    # build.rs:334-337); pad the tail with +inf instead of failing top_k.
+    kk = min(k, n)
+    neg, rows = jax.lax.top_k(-vdist, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, k - kk)))
     return -neg, rows.astype(jnp.int32), probed.astype(jnp.int32)

@@ -145,7 +145,13 @@ def query_bucketed(
         raise ValueError(f"unknown impl: {impl!r}")
     vdist = jnp.where(brows >= 0, vdist, jnp.inf)
 
-    neg, flat_idx = jax.lax.top_k(-vdist.reshape(b, nprobe * l), k)
+    # k may exceed the candidate count (reference returns fewer results
+    # then); pad the tail with +inf instead of failing top_k.
+    kk = min(k, nprobe * l)
+    neg, flat_idx = jax.lax.top_k(-vdist.reshape(b, nprobe * l), kk)
     rows = jnp.take_along_axis(brows.reshape(b, nprobe * l), flat_idx,
                                axis=-1)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, k - kk)))
     return -neg, rows.astype(jnp.int32), probed.astype(jnp.int32)

@@ -185,3 +185,18 @@ def test_build_events_order():
     assert kinds.index("StartingPartitioning") < \
         kinds.index("StartingSubvectorDivision")
     assert any(isinstance(e, ev.ClusterEvent) for e in seen)
+
+
+def test_query_k_exceeds_corpus(rng):
+    """k > N returns every reachable vector, not an error
+    (the reference truncates results the same way, build.rs:334-337)."""
+    import flechasdb_tpu as fdb
+    x = rng.standard_normal((40, 16)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(4).with_divisions(4)
+          .with_clusters(8).with_seed(13).build())
+    res = db.query(x[0], k=100, nprobe=4)
+    assert len(res) == 40
+    assert res[0].vector_id == db.vector_ids[0]
+    # pruned path with k exceeding one partition's bucket too
+    res1 = db.query(x[0], k=100, nprobe=1)
+    assert 0 < len(res1) <= 40
