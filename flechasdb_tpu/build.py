@@ -128,6 +128,10 @@ class DatabaseBuilder:
         self._seed = seed
         return self
 
+    def build_with_events(self, events: EventHandler) -> "Database":
+        """Name-parity alias for :meth:`build` (``build.rs:73-78``)."""
+        return self.build(events)
+
     def build(self, events: EventHandler = _noop) -> "Database":
         """Runs the build pipeline (``build.rs:78-129``)."""
         x = self._vs

@@ -334,3 +334,77 @@ class StoredFlatDatabase:
         except KeyError:
             raise InvalidArgs(f"no such vector ID: {vector_id}") from None
         return attrs.get(key)
+
+
+async def load_flat_database_async(fs, path: str) -> "AsyncStoredFlatDatabase":
+    """Async flat loader (extension parity with :mod:`.asyncdb`)."""
+    f = await fs.open_hashed_file(path, compressed=True)
+    payload = await f.read()
+    f.verify()
+    root = PFlatDatabase.decode(payload)
+    if root.vector_size == 0:
+        raise InvalidData("vector_size is zero")
+    if len(root.chunk_ids) != len(root.attributes_log_ids):
+        raise InvalidData("chunk/attributes-log count mismatch")
+    return AsyncStoredFlatDatabase(fs=fs, root=root)
+
+
+@dataclass
+class AsyncStoredFlatDatabase:
+    """Asyncio flat database: chunks load concurrently, queries run the
+    same exact device scan."""
+    fs: object
+    root: PFlatDatabase
+
+    _load_task: Optional[object] = field(default=None, repr=False)
+
+    async def _load_all(self):
+        import asyncio
+
+        if self._load_task is None:
+            async def load():
+                async def one(i: int):
+                    f = await self.fs.open_hashed_file(
+                        f"chunks/{self.root.chunk_ids[i]}"
+                        f".{PROTOBUF_EXTENSION}", compressed=True)
+                    payload = await f.read()
+                    f.verify()
+                    msg = PFlatChunk.decode(payload)
+                    if msg.vector_size != self.root.vector_size:
+                        raise InvalidData("chunk vector_size mismatch")
+                    x = msg.vectors.data.reshape(-1, self.root.vector_size)
+                    return x, [u.to_uuid() for u in msg.vector_ids]
+
+                parts = await asyncio.gather(
+                    *(one(i) for i in range(len(self.root.chunk_ids))))
+                import jax.numpy as jnp
+                x = (np.concatenate([p[0] for p in parts]) if parts else
+                     np.zeros((0, self.root.vector_size), np.float32))
+                ids = [vid for p in parts for vid in p[1]]
+                return jnp.asarray(x), ids
+
+            self._load_task = asyncio.create_task(load())
+        return await self._load_task
+
+    async def query(self, v, k: int) -> List[FlatQueryResult]:
+        import jax.numpy as jnp
+
+        from .ops.exact import exact_topk
+
+        if k <= 0:
+            raise InvalidArgs(f"k must be positive: {k}")
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        if v.shape[1] != self.root.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.root.vector_size}")
+        xd, ids = await self._load_all()
+        dists, rows = exact_topk(jnp.asarray(v), xd, k=k)
+        dists, rows = np.asarray(dists)[0], np.asarray(rows)[0]
+        out = []
+        for dist, row in zip(dists, rows):
+            if not np.isfinite(dist):
+                break
+            out.append(FlatQueryResult(
+                vector_id=ids[row], vector_index=int(row),
+                squared_distance=float(dist)))
+        return out

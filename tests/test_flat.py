@@ -105,3 +105,23 @@ def test_corrupt_chunk_detected(db, tmp_path, rng):
                              f"{root}.binpb")
     with pytest.raises((fdb.VerificationFailure, fdb.IOError_)):
         sdb.query(x[0], k=3)
+
+
+def test_async_flat_load_and_query(tmp_path, rng):
+    import asyncio
+
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem
+    from flechasdb_tpu.flat import load_flat_database_async
+
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    db = FlatDatabase(x, seed=5)
+    root = save_flat_database(db, fdb.LocalFileSystem(tmp_path))
+
+    async def go():
+        adb = await load_flat_database_async(
+            AsyncLocalFileSystem(tmp_path), f"{root}.binpb")
+        return await adb.query(x[33], k=3)
+
+    res = asyncio.run(go())
+    assert res[0].vector_id == db.vector_ids[33]
+    assert res[0].squared_distance == pytest.approx(0.0, abs=1e-3)
