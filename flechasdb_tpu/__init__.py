@@ -34,6 +34,7 @@ try:  # staged build-out: these land in later phases of the build plan
         FlatDatabase,
         StoredFlatDatabase,
         load_flat_database,
+        load_flat_database_async,
         save_flat_database,
     )
     from .io import FileSystem, LocalFileSystem
@@ -65,6 +66,7 @@ __all__ = [
     "VerificationFailure",
     "load_database",
     "load_flat_database",
+    "load_flat_database_async",
     "save_database",
     "save_flat_database",
     "__version__",
