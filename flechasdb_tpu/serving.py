@@ -72,3 +72,38 @@ class DeviceIndex:
                 qd, self.centroids, self.codebooks, self.codes, self.pidx,
                 k=k, nprobe=nprobe)
         return np.asarray(d), np.asarray(r), np.asarray(p)
+
+
+class ShardedIndex:
+    """IVF-PQ index sharded across a device mesh (SPMD serving).
+
+    Same ``query`` contract as :class:`DeviceIndex`; the corpus rows shard
+    over the mesh's ``"shard"`` axis and only ``k`` candidates per device
+    cross the interconnect (:mod:`.parallel.query`).
+    """
+
+    layout = "sharded"
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
+                 codes: np.ndarray, pidx: np.ndarray, *, mesh) -> None:
+        import jax.numpy as jnp
+
+        from .parallel.mesh import shard_corpus
+
+        self.mesh = mesh
+        self.centroids = jnp.asarray(centroids)
+        self.codebooks = jnp.asarray(codebooks)
+        self.codes, self.pidx = shard_corpus(
+            mesh, np.asarray(codes, np.int32), np.asarray(pidx, np.int32))
+
+    def query(self, q: np.ndarray, k: int, nprobe: int
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from .parallel.query import query_sharded
+
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        d, r, p = query_sharded(
+            qd, self.centroids, self.codebooks, self.codes, self.pidx,
+            mesh=self.mesh, k=k, nprobe=nprobe)
+        return np.asarray(d), np.asarray(r), np.asarray(p)

@@ -398,13 +398,16 @@ class StoredDatabase:
         events(ev.FinishedResultSelection())
         return candidates
 
-    def preload(self) -> None:
-        """Loads every partition and pushes the index to the device.
+    def preload(self, mesh=None) -> None:
+        """Loads every partition and pushes the index to the device(s).
 
         After this, :meth:`query` and :meth:`query_batch` run the fused
-        device kernels (:mod:`.serving`) — the warm serving mode.
+        device kernels (:mod:`.serving`) — the warm serving mode. With a
+        ``jax.sharding.Mesh``, the corpus shards across its devices and
+        queries run the SPMD program (:mod:`.parallel.query`): local top-k
+        per device, ``all_gather`` k-best merge over ICI.
         """
-        from .serving import DeviceIndex
+        from .serving import DeviceIndex, ShardedIndex
 
         centroids = self._load_partition_centroids()
         codebooks = self._load_codebooks()
@@ -417,8 +420,9 @@ class StoredDatabase:
         ])
         vector_ids = [vid for p in parts for vid in p.vector_ids]
         local = _local_indices(pidx, self.num_partitions)
-        index = DeviceIndex(centroids, codebooks, codes.astype(np.int32),
-                            pidx)
+        cls = DeviceIndex if mesh is None else \
+            (lambda *a: ShardedIndex(*a, mesh=mesh))
+        index = cls(centroids, codebooks, codes.astype(np.int32), pidx)
         self._dev = (index, pidx, local, vector_ids)
 
     def query_batch(self, vs, k: int, nprobe: int

@@ -145,3 +145,30 @@ def test_sharded_exact_matches_single_device(rng, mesh):
         diff = rr[b] != sr[b]
         if diff.any():
             np.testing.assert_allclose(rd[b][diff], sd[b][diff], rtol=1e-6)
+
+
+def test_stored_database_sharded_serving(rng, mesh, tmp_path):
+    """StoredDatabase.preload(mesh=...) serves queries SPMD over the mesh
+    with results identical to single-device serving."""
+    import flechasdb_tpu as fdb
+
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(6).with_divisions(4)
+          .with_clusters(16).with_seed(8).build())
+    root = fdb.save_database(db, fdb.LocalFileSystem(tmp_path))
+
+    single = fdb.load_database(fdb.LocalFileSystem(tmp_path),
+                               f"{root}.binpb")
+    single.preload()
+    sharded = fdb.load_database(fdb.LocalFileSystem(tmp_path),
+                                f"{root}.binpb")
+    sharded.preload(mesh=mesh)
+    assert sharded._dev[0].layout == "sharded"
+
+    a = single.query_batch(x[:16], k=5, nprobe=3)
+    b = sharded.query_batch(x[:16], k=5, nprobe=3)
+    for ra, rb in zip(a, b):
+        assert [r.vector_id for r in ra] == [r.vector_id for r in rb]
+        for qa, qb in zip(ra, rb):
+            assert qa.squared_distance == pytest.approx(
+                qb.squared_distance, rel=1e-5)
