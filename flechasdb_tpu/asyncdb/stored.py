@@ -79,6 +79,7 @@ class AsyncStoredDatabase:
     root: PDatabase
 
     _centroids_task: Optional[asyncio.Task] = field(default=None, repr=False)
+    _rotation_task: Optional[asyncio.Task] = field(default=None, repr=False)
     _codebooks_task: Optional[asyncio.Task] = field(default=None, repr=False)
     _partition_tasks: Dict[int, asyncio.Task] = field(default_factory=dict,
                                                       repr=False)
@@ -133,6 +134,23 @@ class AsyncStoredDatabase:
         return decode_vector_set(
             payload, self.vector_size, self.num_partitions,
             "partition centroids")
+
+    def _rotation(self) -> asyncio.Task:
+        if self._rotation_task is None:
+            self._rotation_task = asyncio.create_task(self._load_rotation())
+        return self._rotation_task
+
+    async def _load_rotation(self) -> Optional[np.ndarray]:
+        """OPQ rotation (extension field 20), verified, or None."""
+        rid = getattr(self.root, "rotation_id", "")
+        if not rid:
+            return None
+        f = await self.fs.open_hashed_file(
+            f"rotations/{rid}.{PROTOBUF_EXTENSION}")
+        payload = await f.read()
+        f.verify()
+        return decode_vector_set(payload, self.vector_size,
+                                 self.vector_size, "rotation")
 
     def _codebooks(self) -> asyncio.Task:
         if self._codebooks_task is None:
@@ -257,6 +275,8 @@ class AsyncStoredDatabase:
             events(ev.StartingCodebookLoad())
         cb_task = self._codebooks()
 
+        rot_task = self._rotation()
+
         cent_cold = self._centroids_task is None
         if cent_cold:
             events(ev.StartingPartitionCentroidsLoad())
@@ -277,9 +297,10 @@ class AsyncStoredDatabase:
             if cold:
                 events(ev.FinishedPartitionLoad(int(pi)))
             codebooks = await cb_task
+            rotation = await rot_task
             events(ev.StartingPartitionQuery(int(pi)))
             order, dists = adc_scan_partition(
-                v, v - centroids[pi], codebooks, part.codes, k)
+                v, v - centroids[pi], codebooks, part.codes, k, rotation)
             results = [
                 AsyncQueryResult(
                     db=self,

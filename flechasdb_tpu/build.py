@@ -97,6 +97,7 @@ class DatabaseBuilder:
         self._num_divisions = 8
         self._num_clusters = 16
         self._seed: Optional[int] = None
+        self._opq_iters: int = 0
 
     def with_partitions(self, p: int) -> "DatabaseBuilder":
         if p <= 0:
@@ -114,6 +115,16 @@ class DatabaseBuilder:
         if c <= 0:
             raise InvalidArgs(f"num_clusters must be positive: {c}")
         self._num_clusters = c
+        return self
+
+    def with_opq(self, iters: int = 8) -> "DatabaseBuilder":
+        """Enables OPQ: a learned orthogonal rotation before PQ
+        (:mod:`.ops.opq`) that reduces quantization error at equal code
+        memory. EXTENSION: databases saved with a rotation are not readable
+        by the reference implementation."""
+        if iters <= 0:
+            raise InvalidArgs(f"opq iters must be positive: {iters}")
+        self._opq_iters = iters
         return self
 
     def with_seed(self, seed: int) -> "DatabaseBuilder":
@@ -169,7 +180,13 @@ class DatabaseBuilder:
         # reference's per-division event pairs around it (build.rs:110-118).
         for i in range(d):
             events(ev.StartingQuantization(i))
-        if events is _noop:
+        rotation = None
+        if self._opq_iters:
+            from .ops.opq import fit_opq
+            opq = fit_opq(parts.residues, d, c, k_pq,
+                          iters=self._opq_iters)
+            rotation, pq = np.asarray(opq.rotation), opq.pq
+        elif events is _noop:
             pq = kmeans.fit(divided, c, k_pq)
         else:
             pq = kmeans.fit_with_events(divided, c, k_pq, cluster_events)
@@ -188,6 +205,7 @@ class DatabaseBuilder:
             codebooks=np.asarray(pq.centroids),
             codes=np.asarray(pq.indices, dtype=np.uint32).T.copy(),
             residues=np.asarray(parts.residues),
+            rotation=rotation,
         )
 
 
@@ -208,6 +226,7 @@ class Database:
     codebooks: np.ndarray                    # [D, C, m] f32
     codes: np.ndarray                        # [N, D] uint32
     residues: Optional[np.ndarray] = None    # [N, M] f32 (for reconstruction)
+    rotation: Optional[np.ndarray] = None    # [M, M] OPQ rotation (extension)
     attribute_table: AttributeTable = field(default_factory=dict)
 
     _local_idx: Optional[np.ndarray] = field(default=None, repr=False)
@@ -263,9 +282,10 @@ class Database:
             raise InvalidArgs(
                 f"{len(vector_ids)} IDs for {len(x)} vectors")
         import jax.numpy as jnp
+        rot = None if self.rotation is None else jnp.asarray(self.rotation)
         pidx, codes = encode(
             jnp.asarray(x), jnp.asarray(self.partition_centroids),
-            jnp.asarray(self.codebooks))
+            jnp.asarray(self.codebooks), rot)
         self.partition_indices = np.concatenate(
             [self.partition_indices, np.asarray(pidx, np.int32)])
         self.codes = np.concatenate(
@@ -305,7 +325,8 @@ class Database:
             from .serving import DeviceIndex
             self._dev = DeviceIndex(
                 self.partition_centroids, self.codebooks,
-                self.codes.astype(np.int32), self.partition_indices)
+                self.codes.astype(np.int32), self.partition_indices,
+                rotation=self.rotation)
         return self._dev
 
     def query(self, v, k: int, nprobe: int) -> List[QueryResult]:

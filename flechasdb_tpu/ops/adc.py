@@ -39,14 +39,18 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def adc_tables(q: jax.Array, centroids: jax.Array,
-               codebooks: jax.Array) -> tuple[jax.Array, jax.Array]:
+               codebooks: jax.Array,
+               rotation: jax.Array | None = None,
+               ) -> tuple[jax.Array, jax.Array]:
     """Coarse distances and ADC tables for every partition.
 
     ``q: [B, M]``, ``centroids: [P, M]``, ``codebooks: [D, C, m]`` →
     ``(coarse [B, P], tables [B, P, D, C])`` where
     ``tables[b, p, d, c] = ||(q_b - cent_p)_d - codebook[d, c]||²``
     (the reference builds these per selected partition at
-    ``db/stored.rs:556-573``).
+    ``db/stored.rs:556-573``). With an OPQ ``rotation [M, M]`` the residual
+    is rotated before division (codes live in the rotated space; coarse
+    distances are rotation-invariant).
     """
     b, m = q.shape
     p = centroids.shape[0]
@@ -55,6 +59,9 @@ def adc_tables(q: jax.Array, centroids: jax.Array,
     coarse = sqdist(q, centroids)                      # [B, P]
 
     resid = q[:, None, :] - centroids[None, :, :]      # [B, P, M]
+    if rotation is not None:
+        resid = jnp.matmul(resid, rotation, precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
     resid = resid.reshape(b, p, d, sub)
     rr = jnp.sum(resid * resid, axis=-1)               # [B, P, D]
     cc = jnp.sum(codebooks * codebooks, axis=-1)       # [D, C]
@@ -73,6 +80,7 @@ def query_masked_scan(
     codebooks: jax.Array,
     codes: jax.Array,
     pidx: jax.Array,
+    rotation: jax.Array | None = None,
     *,
     k: int,
     nprobe: int,
@@ -89,7 +97,7 @@ def query_masked_scan(
     d, c, _ = codebooks.shape
     n = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks)
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation)
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
 
     # Flat gather: vdist[b, i] = Σ_d tables[b, pidx[i], d, codes[i, d]]

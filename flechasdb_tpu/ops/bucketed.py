@@ -91,6 +91,7 @@ def query_bucketed(
     centroids: jax.Array,
     codebooks: jax.Array,
     buckets: Buckets,
+    rotation: jax.Array | None = None,
     *,
     k: int,
     nprobe: int,
@@ -115,7 +116,11 @@ def query_bucketed(
 
     # ADC tables only for the probed partitions.
     pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
-    resid = (q[:, None, :] - pc).reshape(b, nprobe, d, sub)
+    resid = q[:, None, :] - pc
+    if rotation is not None:  # OPQ: codes live in the rotated space
+        resid = jnp.matmul(resid, rotation, precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
+    resid = resid.reshape(b, nprobe, d, sub)
     rr = jnp.sum(resid * resid, axis=-1)                # [B, nprobe, D]
     cc = jnp.sum(codebooks * codebooks, axis=-1)        # [D, C]
     rc = jnp.einsum("bjds,dcs->bjdc", resid, codebooks,

@@ -19,14 +19,23 @@ from .distance import assign_chunked
 
 @functools.partial(jax.jit, static_argnames=())
 def encode(x: jax.Array, centroids: jax.Array,
-           codebooks: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """``x: [N, M]`` → ``(pidx [N] int32, codes [N, D] int32)``."""
+           codebooks: jax.Array,
+           rotation: jax.Array | None = None,
+           ) -> tuple[jax.Array, jax.Array]:
+    """``x: [N, M]`` → ``(pidx [N] int32, codes [N, D] int32)``.
+
+    With an OPQ ``rotation`` the residuals are rotated before codebook
+    assignment (codes live in the rotated space).
+    """
     n, m = x.shape
     p = centroids.shape[0]
     d, c, sub = codebooks.shape
     pidx, _ = assign_chunked(x[None], centroids[None], k=p)
     pidx = pidx[0]
     residues = x - jnp.take(centroids, pidx, axis=0)
+    if rotation is not None:
+        residues = jnp.matmul(residues, rotation,
+                              preferred_element_type=jnp.float32)
     divided = residues.reshape(n, d, sub).transpose(1, 0, 2)
     codes, _ = assign_chunked(divided, codebooks, k=c)
     return pidx, codes.T

@@ -29,14 +29,15 @@ from ..ops.adc import adc_tables
 from .mesh import AXIS
 
 
-def _local_scan(q, centroids, codebooks, codes, pidx, *, k, nprobe):
+def _local_scan(q, centroids, codebooks, codes, pidx, rotation,
+                *, k, nprobe):
     """Per-device body: scan local rows, return local top-k in global rows."""
     b = q.shape[0]
     p = centroids.shape[0]
     d, c, _ = codebooks.shape
     nloc = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks)
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation)
     _, probed = jax.lax.top_k(-coarse, nprobe)            # [B, nprobe]
 
     # Padding rows carry pidx == -1; clamp for the gather, mask below.
@@ -80,6 +81,7 @@ def query_sharded(
     codebooks: jax.Array,
     codes: jax.Array,
     pidx: jax.Array,
+    rotation: jax.Array | None = None,
     *,
     mesh: Mesh,
     k: int,
@@ -93,11 +95,21 @@ def query_sharded(
     rows [B, k], probed [B, nprobe])`` triple as the single-chip kernel, with
     ``rows`` indexing the (padded) global corpus.
     """
+    if rotation is None:
+        local = lambda q, c, cb, co, pi: _local_scan(
+            q, c, cb, co, pi, None, k=k, nprobe=nprobe)
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(q, centroids, codebooks, codes, pidx)
     fn = jax.shard_map(
         functools.partial(_local_scan, k=k, nprobe=nprobe),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS)),
+        in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(q, centroids, codebooks, codes, pidx)
+    return fn(q, centroids, codebooks, codes, pidx, rotation)

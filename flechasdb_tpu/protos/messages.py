@@ -265,6 +265,11 @@ class PDatabase:
     codebook_ids: List[str] = dfield(default_factory=list)
     attributes_log_ids: List[str] = dfield(default_factory=list)
     attribute_names: List[str] = dfield(default_factory=list)
+    #: EXTENSION (field 20, absent in the reference schema): reference ID of
+    #: the OPQ rotation VectorSet. Databases with a rotation are NOT
+    #: readable by the reference (it would skip the unknown field and decode
+    #: codes without rotating the query residuals).
+    rotation_id: str = ""
 
     def encode(self) -> bytes:
         w = Writer()
@@ -281,6 +286,7 @@ class PDatabase:
             w.string_field(13, s, force=True)
         for s in self.attribute_names:
             w.string_field(14, s, force=True)
+        w.string_field(20, self.rotation_id)
         return w.getvalue()
 
     @classmethod
@@ -307,6 +313,8 @@ class PDatabase:
                     m.attributes_log_ids.append(payload.decode("utf-8"))
                 elif f == 14:
                     m.attribute_names.append(payload.decode("utf-8"))
+                elif f == 20:
+                    m.rotation_id = payload.decode("utf-8")
         return m
 
 

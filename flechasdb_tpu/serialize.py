@@ -51,6 +51,10 @@ def save_database(db: Database, fs: FileSystem) -> str:
     attribute_names = _sorted_attribute_names(db)
     attributes_log_ids = _save_attribute_logs(
         db, partition_ids, attribute_names, fs)
+    rotation_id = ""
+    if getattr(db, "rotation", None) is not None:
+        # OPQ extension artifact; see protos.messages.PDatabase.rotation_id.
+        rotation_id = _save_vector_set(db.rotation, fs, "rotations")
 
     root = PDatabase(
         vector_size=db.vector_size,
@@ -62,6 +66,7 @@ def save_database(db: Database, fs: FileSystem) -> str:
         codebook_ids=codebook_ids,
         attributes_log_ids=attributes_log_ids,
         attribute_names=attribute_names,
+        rotation_id=rotation_id,
     )
     f = fs.create_hashed_file(compress=True)
     f.write(root.encode())

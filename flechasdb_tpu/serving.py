@@ -28,7 +28,8 @@ class DeviceIndex:
 
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
                  codes: np.ndarray, pidx: np.ndarray,
-                 layout: Optional[str] = None) -> None:
+                 layout: Optional[str] = None,
+                 rotation: Optional[np.ndarray] = None) -> None:
         import jax.numpy as jnp
 
         from .ops.bucketed import bucketize
@@ -43,6 +44,7 @@ class DeviceIndex:
         self.layout = layout
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
+        self.rotation = None if rotation is None else jnp.asarray(rotation)
         if layout == "bucketed":
             self.buckets = bucketize(
                 np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p)
@@ -66,11 +68,11 @@ class DeviceIndex:
         if self.layout == "bucketed":
             d, r, p = query_bucketed(
                 qd, self.centroids, self.codebooks, self.buckets,
-                k=k, nprobe=nprobe)
+                self.rotation, k=k, nprobe=nprobe)
         else:
             d, r, p = query_masked_scan(
                 qd, self.centroids, self.codebooks, self.codes, self.pidx,
-                k=k, nprobe=nprobe)
+                self.rotation, k=k, nprobe=nprobe)
         return np.asarray(d), np.asarray(r), np.asarray(p)
 
 
@@ -85,7 +87,8 @@ class ShardedIndex:
     layout = "sharded"
 
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
-                 codes: np.ndarray, pidx: np.ndarray, *, mesh) -> None:
+                 codes: np.ndarray, pidx: np.ndarray,
+                 rotation: Optional[np.ndarray] = None, *, mesh) -> None:
         import jax.numpy as jnp
 
         from .parallel.mesh import shard_corpus
@@ -93,6 +96,7 @@ class ShardedIndex:
         self.mesh = mesh
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
+        self.rotation = None if rotation is None else jnp.asarray(rotation)
         self.codes, self.pidx = shard_corpus(
             mesh, np.asarray(codes, np.int32), np.asarray(pidx, np.int32))
 
@@ -105,5 +109,5 @@ class ShardedIndex:
         qd = jnp.asarray(np.asarray(q, np.float32))
         d, r, p = query_sharded(
             qd, self.centroids, self.codebooks, self.codes, self.pidx,
-            mesh=self.mesh, k=k, nprobe=nprobe)
+            self.rotation, mesh=self.mesh, k=k, nprobe=nprobe)
         return np.asarray(d), np.asarray(r), np.asarray(p)

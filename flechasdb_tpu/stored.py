@@ -150,14 +150,18 @@ def replay_attributes_log(payload: bytes, expected_partition_id: str,
 
 def adc_scan_partition(v: np.ndarray, centroid_delta: np.ndarray,
                        codebooks: np.ndarray,
-                       codes: np.ndarray, k: int
+                       codes: np.ndarray, k: int,
+                       rotation: np.ndarray | None = None,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side per-partition ADC scan, k best (``db/stored.rs:549-598``).
 
     ``centroid_delta = v - centroid``; returns ``(order [<=k], dists)`` where
-    ``order`` indexes the partition's local rows, best first.
+    ``order`` indexes the partition's local rows, best first. With an OPQ
+    ``rotation`` the residual rotates before table construction.
     """
     d, c, m_sub = codebooks.shape
+    if rotation is not None:
+        centroid_delta = centroid_delta @ rotation
     local = centroid_delta.reshape(d, m_sub)
     table = ((local[:, None, :] - codebooks) ** 2).sum(-1)
     dists = table[np.arange(d)[None, :], codes].sum(1)
@@ -205,6 +209,8 @@ class StoredDatabase:
     _attr_loaded: List[bool] = field(default=None, repr=False)
     _attribute_table: Optional[AttributeTable] = field(default=None,
                                                        repr=False)
+    _rotation: Optional[np.ndarray] = field(default=None, repr=False)
+    _rotation_loaded: bool = field(default=False, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
@@ -276,6 +282,21 @@ class StoredDatabase:
                     f"codebook[{di}]"))
             self._codebooks = np.stack(cbs)     # [D, C, m]
         return self._codebooks
+
+    def _load_rotation(self) -> Optional[np.ndarray]:
+        """OPQ rotation (extension field 20), verified, loaded once."""
+        if not self._rotation_loaded:
+            rid = getattr(self.root, "rotation_id", "")
+            if rid:
+                f = self.fs.open_hashed_file(
+                    f"rotations/{rid}.{PROTOBUF_EXTENSION}")
+                payload = f.read()
+                f.verify()
+                self._rotation = decode_vector_set(
+                    payload, self.vector_size, self.vector_size,
+                    "rotation")
+            self._rotation_loaded = True
+        return self._rotation
 
     def get_partition(self, index: int) -> StoredPartition:
         """Lazily loads a partition (``db/stored.rs:269-293, 824-881``)."""
@@ -365,6 +386,7 @@ class StoredDatabase:
         events(ev.StartingQueryInitialization())
         centroids = self._load_partition_centroids()
         codebooks = self._load_codebooks()
+        rotation = self._load_rotation()
         events(ev.FinishedQueryInitialization())
 
         events(ev.StartingPartitionSelection())
@@ -379,7 +401,7 @@ class StoredDatabase:
             # ADC table [D, C] then gather-sum; keep k best per partition
             # (db/stored.rs:576-595)
             order, dists = adc_scan_partition(
-                v, v - centroids[pi], codebooks, part.codes, k)
+                v, v - centroids[pi], codebooks, part.codes, k, rotation)
             candidates.extend(
                 StoredQueryResult(
                     db=self,
@@ -420,9 +442,11 @@ class StoredDatabase:
         ])
         vector_ids = [vid for p in parts for vid in p.vector_ids]
         local = _local_indices(pidx, self.num_partitions)
+        rotation = self._load_rotation()
         cls = DeviceIndex if mesh is None else \
-            (lambda *a: ShardedIndex(*a, mesh=mesh))
-        index = cls(centroids, codebooks, codes.astype(np.int32), pidx)
+            (lambda *a, **kw: ShardedIndex(*a, **kw, mesh=mesh))
+        index = cls(centroids, codebooks, codes.astype(np.int32), pidx,
+                    rotation=rotation)
         self._dev = (index, pidx, local, vector_ids)
 
     def query_batch(self, vs, k: int, nprobe: int
