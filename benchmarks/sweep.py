@@ -71,7 +71,7 @@ def exact_topk_device(x, q, k):
     return np.asarray(best_i)
 
 
-def run_sift(scale, rng):
+def run_sift(scale, rng, opq=False):
     import jax
     from flechasdb_tpu.parallel.build import _build_step
     from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
@@ -82,6 +82,7 @@ def run_sift(scale, rng):
     nq, k = 1000, 10
     x = synth(rng, n, m, 8)
     q = synth(rng, nq, m, 8)
+    cfg = "sift-opq" if opq else "sift"
 
     xd = jnp.asarray(x)
     _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
@@ -93,17 +94,31 @@ def run_sift(scale, rng):
     built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
     pidx = np.asarray(built.partition_indices)
     build_s = time.time() - t0
-    log({"config": "sift", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+    log({"config": cfg, "metric": f"build {n}x{m} P={p} D={d} C={c}",
          "value": round(build_s, 3), "unit": "s",
          "compile_s": round(compile_and_build - build_s, 1)})
 
+    rotation = None
+    codes = built.codes
+    if opq:
+        from flechasdb_tpu.ops.opq import fit_opq
+        resid = xd - jnp.take(built.partition_centroids,
+                              built.partition_indices, axis=0)
+        t0 = time.time()
+        res = fit_opq(resid, d, c, jax.random.key(2), iters=6)
+        rotation, codes = res.rotation, res.pq.indices.T
+        _ = np.asarray(codes[:1])
+        log({"config": cfg, "metric": "opq training (6 iters)",
+             "value": round(time.time() - t0, 2), "unit": "s"})
+
     gt = exact_topk_device(x, q, k)
-    buckets = bucketize(np.asarray(built.codes), pidx, p)
+    buckets = bucketize(np.asarray(codes), pidx, p)
     qd = jnp.asarray(q)
 
     for nprobe in (1, 5, 10, 50):
         dists, rows, _ = query_bucketed(
-            qd, built.partition_centroids, built.codebooks, buckets,
+            qd, built.partition_centroids, built.codebooks
+            if not opq else res.pq.centroids, buckets, rotation,
             k=k, nprobe=nprobe)
         rows_h = np.asarray(rows)
         recall = np.mean([
@@ -113,11 +128,12 @@ def run_sift(scale, rng):
         t0 = time.time()
         for _ in range(reps):
             dists, rows, _ = query_bucketed(
-                qd, built.partition_centroids, built.codebooks, buckets,
+                qd, built.partition_centroids, built.codebooks
+                if not opq else res.pq.centroids, buckets, rotation,
                 k=k, nprobe=nprobe)
         _ = np.asarray(dists)
         dt = (time.time() - t0) / reps
-        log({"config": "sift", "nprobe": nprobe,
+        log({"config": cfg, "nprobe": nprobe,
              "recall@10": round(float(recall), 4),
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 
@@ -203,8 +219,11 @@ def main():
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     for cfg in args.configs.split(","):
-        {"sift": run_sift, "gist": run_gist, "async": run_async}[cfg](
-            args.scale, rng)
+        if cfg == "sift-opq":
+            run_sift(args.scale, rng, opq=True)
+        else:
+            {"sift": run_sift, "gist": run_gist, "async": run_async}[cfg](
+                args.scale, rng)
 
 
 if __name__ == "__main__":
