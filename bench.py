@@ -8,9 +8,17 @@ Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 ``vs_baseline`` is the speedup factor (reference_seconds / ours).
 Diagnostics go to stderr.
+
+Round-2 cold-start fixes (VERDICT.md "What's weak" #2):
+* data prep generates float32 directly (r01 generated f64 then cast —
+  1.2 GB of wasted RNG work: 30.8 s → a few seconds);
+* the JAX persistent compilation cache is enabled, so any process after the
+  first skips XLA compilation entirely (the 86 s "compile+first build" was
+  dominated by a cold XLA compile through the axon remote-compile tunnel).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,14 +26,35 @@ import numpy as np
 
 N, M, P, D, C = 100_000, 1536, 100, 12, 256
 BASELINE_S = 906.5
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the second process pays ~0 compile.
+
+    Applied before any compilation. Safe to call on any backend; harmless if
+    the plugin does not support it (JAX falls back to compiling).
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - older jax knob names
+        log(f"compilation cache unavailable: {e}")
+
+
 def main() -> None:
     import jax
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from flechasdb_tpu.parallel.build import _build_step
@@ -34,9 +63,10 @@ def main() -> None:
 
     rng = np.random.default_rng(42)
     t0 = time.time()
-    x = rng.standard_normal((N, M)).astype(np.float32)
+    x = rng.standard_normal((N, M), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    log(f"prepare {N}x{M}: {time.time() - t0:.2f}s")
+    prep_s = time.time() - t0
+    log(f"prepare {N}x{M}: {prep_s:.2f}s (reference 0.912s)")
 
     # NOTE: sync points use host fetches (np.asarray), not
     # block_until_ready — the axon PJRT plugin's block_until_ready does not
@@ -44,19 +74,23 @@ def main() -> None:
     xd = jax.device_put(x)
     _ = np.asarray(xd)[:1]
 
-    # Warm-up compile on identical shapes (one-time cost per process;
-    # production builds amortize it — the reference baseline likewise
+    # Warm-up compile on identical shapes. With the persistent cache this is
+    # a disk hit after the first-ever run; cold it is one XLA compile
+    # (production builds amortize it — the reference baseline likewise
     # excludes `cargo build`).
     t0 = time.time()
     warm = _build_step(xd, jax.random.key(1), p=P, d=D, c=C)
     _ = np.asarray(warm.partition_indices)
-    log(f"compile+first build: {time.time() - t0:.2f}s")
+    compile_s = time.time() - t0
+    log(f"compile+first build: {compile_s:.2f}s "
+        f"(persistent cache at {CACHE_DIR})")
 
     t0 = time.time()
     built = _build_step(xd, jax.random.key(42), p=P, d=D, c=C)
     pops = np.unique(np.asarray(built.partition_indices)).size
     build_s = time.time() - t0
-    log(f"build: {build_s:.3f}s  ({pops}/{P} partitions populated)")
+    log(f"build: {build_s:.3f}s  ({pops}/{P} partitions populated; "
+        f"reference 906.5s)")
 
     # Secondary diagnostics: warm batched query latency (k=10, nprobe=5)
     # through the production serving path (bucketed + Pallas lookup).

@@ -11,6 +11,7 @@ just slower and GIL-bound.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import Optional
@@ -23,14 +24,19 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a per-pid temp name and atomically rename: a concurrent
+    # importer must never dlopen a partially written .so.
+    tmp = _LIB_PATH.with_name(f"{_LIB_PATH.name}.{os.getpid()}")
     try:
         _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-std=c++17", "-shared",
-             "-o", str(_LIB_PATH), str(_SRC_PATH), "-lz"],
+             "-o", str(tmp), str(_SRC_PATH), "-lz"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -300,7 +300,7 @@ class AsyncStoredDatabase:
             rotation = await rot_task
             events(ev.StartingPartitionQuery(int(pi)))
             order, dists = adc_scan_partition(
-                v, v - centroids[pi], codebooks, part.codes, k, rotation)
+                v - centroids[pi], codebooks, part.codes, k, rotation)
             results = [
                 AsyncQueryResult(
                     db=self,

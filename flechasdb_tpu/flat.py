@@ -372,7 +372,11 @@ class AsyncStoredFlatDatabase:
                     msg = PFlatChunk.decode(payload)
                     if msg.vector_size != self.root.vector_size:
                         raise InvalidData("chunk vector_size mismatch")
+                    if msg.vectors is None:
+                        raise InvalidData("missing chunk vectors")
                     x = msg.vectors.data.reshape(-1, self.root.vector_size)
+                    if len(x) != len(msg.vector_ids):
+                        raise InvalidData("chunk id/vector count mismatch")
                     return x, [u.to_uuid() for u in msg.vector_ids]
 
                 parts = await asyncio.gather(

@@ -27,6 +27,9 @@ def exact_topk(q: jax.Array, x: jax.Array, *, k: int,
     """
     b, m = q.shape
     n = x.shape[0]
+    if n == 0:
+        return (jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.zeros((b, k), jnp.int32))
     chunk = min(chunk, n)
     steps = -(-n // chunk)
 

@@ -27,10 +27,13 @@ def shard_flat(mesh: Mesh, x: np.ndarray) -> tuple[jax.Array, int]:
     return xs, n
 
 
-def _local(q, x, *, k, n):
+def _local(q, x, *, k, kk, n):
     nloc = x.shape[0]
     base = jax.lax.axis_index(AXIS) * nloc
-    d, rows = exact_topk(q, x, k=min(k, nloc))
+    # Select kk = min(k + n_pad, nloc) candidates so that even if every pad
+    # row (zero vector, global id >= n) wins a slot, k true neighbours still
+    # survive the mask below — pad rows must never displace real rows.
+    d, rows = exact_topk(q, x, k=kk)
     rows = rows + base
     d = jnp.where(rows < n, d, jnp.inf)                 # mask pad rows
     if d.shape[1] < k:
@@ -54,8 +57,11 @@ def exact_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, k: int,
     ``x`` must be row-sharded (see :func:`shard_flat`); ``n`` is the true
     (unpadded) corpus size. Returns ``(sq_distances [B, k], rows [B, k])``.
     """
+    nloc = x.shape[0] // mesh.devices.size
+    n_pad = x.shape[0] - n
+    kk = min(k + n_pad, nloc)
     fn = jax.shard_map(
-        functools.partial(_local, k=k, n=n),
+        functools.partial(_local, k=k, kk=kk, n=n),
         mesh=mesh,
         in_specs=(P(), P(AXIS, None)),
         out_specs=(P(), P()),

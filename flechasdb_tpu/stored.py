@@ -148,16 +148,17 @@ def replay_attributes_log(payload: bytes, expected_partition_id: str,
         table.setdefault(vid, {})
 
 
-def adc_scan_partition(v: np.ndarray, centroid_delta: np.ndarray,
+def adc_scan_partition(centroid_delta: np.ndarray,
                        codebooks: np.ndarray,
                        codes: np.ndarray, k: int,
                        rotation: np.ndarray | None = None,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side per-partition ADC scan, k best (``db/stored.rs:549-598``).
 
-    ``centroid_delta = v - centroid``; returns ``(order [<=k], dists)`` where
-    ``order`` indexes the partition's local rows, best first. With an OPQ
-    ``rotation`` the residual rotates before table construction.
+    ``centroid_delta = v - centroid`` (the query residual); returns
+    ``(order [<=k], dists)`` where ``order`` indexes the partition's local
+    rows, best first. With an OPQ ``rotation`` the *residual* rotates before
+    table construction (rotation applies to residuals, never the raw query).
     """
     d, c, m_sub = codebooks.shape
     if rotation is not None:
@@ -401,7 +402,7 @@ class StoredDatabase:
             # ADC table [D, C] then gather-sum; keep k best per partition
             # (db/stored.rs:576-595)
             order, dists = adc_scan_partition(
-                v, v - centroids[pi], codebooks, part.codes, k, rotation)
+                v - centroids[pi], codebooks, part.codes, k, rotation)
             candidates.extend(
                 StoredQueryResult(
                     db=self,
