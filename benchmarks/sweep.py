@@ -8,11 +8,14 @@ Configs (BASELINE.json "configs"):
   * async: batched queries against a stored DB with attribute fetch
 
 SIFT/GIST are served from disk at the original datasets' homes; this image
-has no egress, so the sweep uses synthetic data with low intrinsic
-dimensionality (real descriptor sets are far from isotropic — that locality
-is exactly what makes PQ informative). Recall numbers are therefore
-indicative, not comparable to published SIFT1M curves; qps and build times
-are hardware-real.
+has no egress, so the sweep uses clustered GMM synthetic data with
+descriptor-like statistics (``flechasdb_tpu.utils.synth`` — mixture of
+anisotropic components on a shared low-rank manifold; real descriptor sets
+are clustered and far from isotropic, which is exactly what IVF+PQ exploit).
+Recall numbers are therefore indicative, not comparable to published SIFT1M
+curves; qps and build times are hardware-real. Rerank rows re-score the top
+ADC candidates against the raw corpus on device (the standard IVFPQ+refine
+serving config).
 
 Usage: python benchmarks/sweep.py [--scale small|full] [--configs sift,gist]
 Emits one JSON line per measurement.
@@ -32,16 +35,9 @@ def log(obj):
     print(json.dumps(obj), flush=True)
 
 
-def synth(rng, n, m, intrinsic):
-    w = rng.standard_normal((intrinsic, m)).astype(np.float32)
-    out = np.empty((n, m), np.float32)
-    step = 1 << 18
-    for i in range(0, n, step):
-        z = rng.standard_normal((min(step, n - i), intrinsic),
-                                ).astype(np.float32)
-        noise = 0.05 * rng.standard_normal((z.shape[0], m)).astype(np.float32)
-        out[i:i + z.shape[0]] = z @ w + noise
-    return out
+def synth(rng, n, m, intrinsic, n_clusters=256):
+    from flechasdb_tpu.utils.synth import gmm_corpus
+    return gmm_corpus(rng, n, m, n_clusters=n_clusters, intrinsic=intrinsic)
 
 
 def exact_topk_device(x, q, k):
@@ -80,8 +76,8 @@ def run_sift(scale, rng, opq=False):
     n = 1_000_000 if scale == "full" else 200_000
     m, p, d, c = 128, 1024, 8, 256
     nq, k = 1000, 10
-    x = synth(rng, n, m, 8)
-    q = synth(rng, nq, m, 8)
+    from flechasdb_tpu.utils.synth import gmm_pair
+    x, q = gmm_pair(rng, n, nq, m, n_clusters=256, intrinsic=12)
     cfg = "sift-opq" if opq else "sift"
 
     xd = jnp.asarray(x)
@@ -137,6 +133,43 @@ def run_sift(scale, rng, opq=False):
              "recall@10": round(float(recall), 4),
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 
+    # IVFPQ + exact refine: re-score the top-100 ADC candidates against the
+    # raw corpus on device (the reference keeps residues in memory for the
+    # in-memory DB, db/build.rs:156-286; this is its stored-scale analogue).
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def refine(qv, rows, xdev, *, k):
+        cand = jnp.take(xdev, rows, axis=0)
+        ex = jnp.sum((cand - qv[:, None, :]) ** 2, axis=-1)
+        neg, sel = jax.lax.top_k(-ex, k)
+        return -neg, jnp.take_along_axis(rows, sel, axis=1)
+
+    for nprobe in (5, 10):
+        rerank = 100
+        dists, rows, _ = query_bucketed(
+            qd, built.partition_centroids, built.codebooks
+            if not opq else res.pq.centroids, buckets, rotation,
+            k=rerank, nprobe=nprobe)
+        _, rr = refine(qd, rows, xd, k=k)
+        rr_h = np.asarray(rr)
+        recall = np.mean([
+            len(set(rr_h[b].tolist()) & set(gt[b].tolist())) / k
+            for b in range(nq)])
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            dists, rows, _ = query_bucketed(
+                qd, built.partition_centroids, built.codebooks
+                if not opq else res.pq.centroids, buckets, rotation,
+                k=rerank, nprobe=nprobe)
+            _, rr = refine(qd, rows, xd, k=k)
+        _ = np.asarray(rr)
+        dt = (time.time() - t0) / reps
+        log({"config": cfg, "nprobe": nprobe, "rerank": rerank,
+             "recall@10": round(float(recall), 4),
+             "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
+
 
 def run_gist(scale, rng):
     import jax
@@ -172,12 +205,12 @@ def run_async(scale, rng):
     from flechasdb_tpu.asyncdb import AsyncLocalFileSystem, load_database
 
     n, m = 50_000, 128
-    x = synth(rng, n, m, 16)
+    from flechasdb_tpu.utils.synth import gmm_pair
+    x, q = gmm_pair(rng, n, 1000, m, n_clusters=128, intrinsic=12)
     db = (fdb.DatabaseBuilder(x).with_partitions(64).with_divisions(8)
           .with_clusters(256).with_seed(1).build())
     for i in range(n):
         db.set_attribute_at(i, ("datum_id", i))
-    q = synth(rng, 1000, m, 16)
 
     with tempfile.TemporaryDirectory() as td:
         root = fdb.save_database(db, fdb.LocalFileSystem(td))

@@ -92,7 +92,7 @@ class DatabaseBuilder:
     """Fluent builder (``build.rs:23-70``); defaults P=10, D=8, C=16."""
 
     def __init__(self, vs) -> None:
-        self._vs = as_vector_set(vs).astype(np.float32)
+        self._vs = as_vector_set(vs)
         self._num_partitions = 10
         self._num_divisions = 8
         self._num_clusters = 16
@@ -275,7 +275,7 @@ class Database:
         """
         from .ops.encode import encode
 
-        x = as_vector_set(vs, self.vector_size).astype(np.float32)
+        x = as_vector_set(vs, self.vector_size)
         if vector_ids is None:
             vector_ids = _make_uuids(len(x), np.random.default_rng(seed))
         if len(vector_ids) != len(x):
@@ -365,7 +365,7 @@ class Database:
         gather-add on device).
         """
         self._validate_query(k, nprobe)
-        vs = as_vector_set(vs).astype(np.float32)
+        vs = as_vector_set(vs)
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")

@@ -63,7 +63,7 @@ class FlatDatabase:
 
     def __init__(self, vectors, vector_ids: Optional[List[_uuid.UUID]] = None,
                  seed: Optional[int] = None) -> None:
-        self._x = as_vector_set(vectors).astype(np.float32)
+        self._x = as_vector_set(vectors)
         rng = np.random.default_rng(seed)
         if vector_ids is None:
             vector_ids = _make_uuids(len(self._x), rng)
@@ -94,7 +94,7 @@ class FlatDatabase:
     def append(self, vectors, vector_ids: Optional[List[_uuid.UUID]] = None,
                ) -> List[_uuid.UUID]:
         """Appends vectors; returns their IDs. O(new data) when re-saved."""
-        new = as_vector_set(vectors, self.vector_size).astype(np.float32)
+        new = as_vector_set(vectors, self.vector_size)
         if vector_ids is None:
             vector_ids = _make_uuids(len(new), self._rng)
         if len(vector_ids) != len(new):
@@ -136,7 +136,7 @@ class FlatDatabase:
 
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
-        vs = as_vector_set(vs, self.vector_size).astype(np.float32)
+        vs = as_vector_set(vs, self.vector_size)
         if self._dev is None:
             self._dev = jnp.asarray(self._x)
         dists, rows = exact_topk(jnp.asarray(vs), self._dev, k=k)
@@ -288,7 +288,7 @@ class StoredFlatDatabase:
 
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
-        vs = as_vector_set(vs, self.vector_size).astype(np.float32)
+        vs = as_vector_set(vs, self.vector_size)
         xd, ids = self._load_all()
         dists, rows = exact_topk(jnp.asarray(vs), xd, k=k)
         dists, rows = np.asarray(dists), np.asarray(rows)

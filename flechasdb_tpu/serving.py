@@ -22,6 +22,13 @@ import numpy as np
 #: Max tolerated padded-to-real ratio before falling back to the flat scan.
 PAD_LIMIT = 4.0
 
+#: HBM budget for per-batch masked-scan transients (ADC tables are
+#: ``[B, P, D, C]`` f32 — at SIFT shape and B=1000 that alone is ~8 GB).
+#: Query batches are chunked so transients stay under this; override per
+#: index via ``DeviceIndex(..., hbm_budget_bytes=...)``. See
+#: docs/SCALING.md "Masked-scan memory bound".
+HBM_BUDGET_BYTES = 2 << 30
+
 
 class DeviceIndex:
     """IVF-PQ index pushed to TPU HBM, ready for batched queries."""
@@ -29,10 +36,13 @@ class DeviceIndex:
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
                  codes: np.ndarray, pidx: np.ndarray,
                  layout: Optional[str] = None,
-                 rotation: Optional[np.ndarray] = None) -> None:
+                 rotation: Optional[np.ndarray] = None,
+                 hbm_budget_bytes: int = HBM_BUDGET_BYTES) -> None:
         import jax.numpy as jnp
 
         from .ops.bucketed import bucketize
+
+        self.hbm_budget_bytes = hbm_budget_bytes
 
         p = centroids.shape[0]
         n = max(len(codes), 1)
@@ -56,9 +66,29 @@ class DeviceIndex:
         else:
             raise ValueError(f"unknown layout: {layout!r}")
 
+    def _masked_batch_limit(self) -> int:
+        """Largest query batch whose masked-scan transients fit the budget.
+
+        Per query the masked path materializes the ADC tables
+        ``[P, D, C] f32``, the residual intermediate ``[P, M] f32`` and the
+        gather-sum ``[N, D] f32`` (``ops/adc.py``); the bucketed path never
+        blows up this way (per-partition tables only).
+        """
+        p, m = self.centroids.shape
+        d, c, _ = self.codebooks.shape
+        n = self.codes.shape[0]
+        per_query = 4 * (p * d * c + p * m + n * d)
+        return max(1, self.hbm_budget_bytes // per_query)
+
     def query(self, q: np.ndarray, k: int, nprobe: int
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Batched k-NN: ``q [B, M]`` → host ``(dists, rows, probed)``."""
+        """Batched k-NN: ``q [B, M]`` → host ``(dists, rows, probed)``.
+
+        Masked-layout batches are chunked so per-batch transients stay
+        under ``hbm_budget_bytes`` (VERDICT.md round-1 #8: a skewed corpus
+        forcing the masked fallback must not OOM the chip on large
+        batches).
+        """
         import jax.numpy as jnp
 
         from .ops.adc import query_masked_scan
@@ -69,11 +99,22 @@ class DeviceIndex:
             d, r, p = query_bucketed(
                 qd, self.centroids, self.codebooks, self.buckets,
                 self.rotation, k=k, nprobe=nprobe)
-        else:
+            return np.asarray(d), np.asarray(r), np.asarray(p)
+
+        limit = self._masked_batch_limit()
+        if len(qd) <= limit:
             d, r, p = query_masked_scan(
                 qd, self.centroids, self.codebooks, self.codes, self.pidx,
                 self.rotation, k=k, nprobe=nprobe)
-        return np.asarray(d), np.asarray(r), np.asarray(p)
+            return np.asarray(d), np.asarray(r), np.asarray(p)
+        outs = []
+        for i in range(0, len(qd), limit):
+            outs.append(query_masked_scan(
+                qd[i:i + limit], self.centroids, self.codebooks,
+                self.codes, self.pidx, self.rotation, k=k, nprobe=nprobe))
+        return (np.concatenate([np.asarray(o[0]) for o in outs]),
+                np.concatenate([np.asarray(o[1]) for o in outs]),
+                np.concatenate([np.asarray(o[2]) for o in outs]))
 
 
 class ShardedIndex:

@@ -421,7 +421,8 @@ class StoredDatabase:
         events(ev.FinishedResultSelection())
         return candidates
 
-    def preload(self, mesh=None) -> None:
+    def preload(self, mesh=None, events: EventHandler = _noop,
+                max_workers: Optional[int] = None) -> None:
         """Loads every partition and pushes the index to the device(s).
 
         After this, :meth:`query` and :meth:`query_batch` run the fused
@@ -429,11 +430,38 @@ class StoredDatabase:
         ``jax.sharding.Mesh``, the corpus shards across its devices and
         queries run the SPMD program (:mod:`.parallel.query`): local top-k
         per device, ``all_gather`` k-best merge over ICI.
+
+        Partition files load CONCURRENTLY on a thread pool — the native
+        inflate+hash pass releases the GIL, so open→inflate→decode
+        round-trips overlap instead of serializing P times through Python
+        (the reference's async path exists to overlap exactly this,
+        ``asyncdb/stored/query.rs:248-254``). ``events`` receives
+        ``Starting/FinishedPartitionLoad`` from worker threads; pass a
+        thread-safe handler.
         """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         from .serving import DeviceIndex, ShardedIndex
 
         centroids = self._load_partition_centroids()
         codebooks = self._load_codebooks()
+
+        missing = [pi for pi in range(self.num_partitions)
+                   if self._partitions[pi] is None]
+
+        def load_one(pi: int) -> None:
+            events(ev.StartingPartitionLoad(pi))
+            self.get_partition(pi)
+            events(ev.FinishedPartitionLoad(pi))
+
+        workers = max_workers or min(32, max(4, (os.cpu_count() or 8)))
+        if len(missing) > 1 and workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(load_one, missing))
+        else:
+            for pi in missing:
+                load_one(pi)
         parts = [self.get_partition(pi) for pi in range(self.num_partitions)]
         codes = np.concatenate([p.codes for p in parts]) \
             if parts else np.zeros((0, self.num_divisions), np.uint32)

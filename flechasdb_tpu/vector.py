@@ -16,6 +16,7 @@ the library can operate on plain arrays.
 
 from __future__ import annotations
 
+import warnings
 from typing import Union
 
 import numpy as np
@@ -32,8 +33,35 @@ def as_vector_set(data: Array, vector_size: int | None = None) -> np.ndarray:
     ``vector_size`` which is chunked row-wise — the equivalent of
     ``BlockVectorSet::chunk`` (``vector.rs:40-57``), including its error case:
     the flat length must be a multiple of ``vector_size``.
+
+    dtype policy (the reference's number-trait layer makes the stack
+    f32/f64-generic with only f32 implemented, ``numbers.rs:6-111``,
+    ``README.md:54,63``): f64 (and integer) input is ACCEPTED with a
+    *checked* cast to f32 — finite values that would overflow to ``±inf``
+    raise :class:`InvalidArgs` instead of silently corrupting distances.
+    The device path is f32 (MXU-native); :mod:`flechasdb_tpu.oracle` is the
+    f64-capable host path. Documented divergence: see PARITY.md.
     """
     arr = np.asarray(data)
+    if arr.dtype != np.float32:
+        if not (np.issubdtype(arr.dtype, np.floating)
+                or np.issubdtype(arr.dtype, np.integer)):
+            raise InvalidArgs(f"unsupported vector dtype: {arr.dtype}")
+        with np.errstate(over="ignore"), warnings.catch_warnings():
+            # Overflow is detected and reported below as InvalidArgs;
+            # numpy's cast warning would be redundant noise.
+            warnings.simplefilter("ignore", RuntimeWarning)
+            cast = arr.astype(np.float32)
+        if arr.dtype.itemsize > 4:
+            bad = np.isinf(cast) & np.isfinite(
+                arr.astype(np.float64, copy=False))
+            if bad.any():
+                raise InvalidArgs(
+                    "vector values exceed the float32 range "
+                    f"(first at flat index {int(np.flatnonzero(bad)[0])}); "
+                    "the device path is f32 — rescale or use "
+                    "flechasdb_tpu.oracle for an f64 host path")
+        arr = cast
     if arr.ndim == 1:
         if vector_size is None:
             raise InvalidArgs("vector_size is required to chunk a flat buffer")

@@ -1,0 +1,175 @@
+"""Quality parity: the TPU build must match the NumPy oracle of the
+reference's exact algorithm (VERDICT.md round-1 #4).
+
+RNG streams can never be bit-identical across implementations
+(SURVEY.md §7 "hard parts"), so parity is asserted on the quantities that
+define quality: k-means inertia, PQ reconstruction error, and recall@10
+against exact search at equal ``(P, D, C)`` on the same clustered
+(GMM, descriptor-like) data. The device ADC query kernel is additionally
+checked for *exact* agreement with the oracle's ADC scan when both consume
+the same model — that part is deterministic math, not a stochastic match.
+"""
+
+import numpy as np
+import pytest
+
+from flechasdb_tpu import oracle
+from flechasdb_tpu.utils.synth import gmm_corpus, gmm_pair
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(44)
+    x, q = gmm_pair(rng, 6000, 200, 32, n_clusters=48, intrinsic=8)
+    return x, q
+
+
+def _exact_topk(x, q, k):
+    d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def _recall(rows_list, gt):
+    hits = sum(len(set(np.asarray(r).tolist()) & set(g.tolist()))
+               for r, g in zip(rows_list, gt))
+    return hits / gt.size
+
+
+def test_kmeans_inertia_parity(data):
+    """TPU k-means quality == oracle k-means quality (within seed noise)."""
+    import jax
+
+    from flechasdb_tpu.ops import kmeans as tk
+
+    x, _ = data
+    k = 16
+    ours, theirs = [], []
+    for seed in range(3):
+        r = tk.fit(np.asarray(x)[None], k, jax.random.key(seed))
+        ours.append(oracle.inertia(x, np.asarray(r.centroids[0]),
+                                   np.asarray(r.indices[0])))
+        o = oracle.kmeans(x, k, np.random.default_rng(seed))
+        theirs.append(oracle.inertia(x, o.centroids, o.indices))
+    ratio = np.mean(ours) / np.mean(theirs)
+    assert 0.9 < ratio < 1.1, (
+        f"TPU k-means inertia off oracle by {ratio:.3f}x "
+        f"(ours {ours}, oracle {theirs})")
+
+
+def test_build_recall_parity(data):
+    """Full-build recall@10 at equal (P, D, C): TPU vs oracle."""
+    import jax
+
+    from flechasdb_tpu.ops.adc import query_masked_scan
+    from flechasdb_tpu.parallel.build import _build_step
+
+    x, q = data
+    p, d, c, k = 16, 4, 16, 10
+    gt = _exact_topk(x, q, k)
+
+    built = _build_step(np.asarray(x), jax.random.key(0), p=p, d=d, c=c)
+    ob = oracle.build(x, p, d, c, np.random.default_rng(0))
+
+    # PQ reconstruction error (total ADC self-distance) — equal-quality
+    # codebooks must encode the corpus equally well.
+    def pq_err(codebooks, codes, centroids, pidx):
+        resid = x - np.asarray(centroids)[np.asarray(pidx)]
+        sub = x.shape[1] // d
+        rec = np.concatenate([
+            np.asarray(codebooks)[di][np.asarray(codes)[:, di]]
+            for di in range(d)], axis=1)
+        return float(((resid - rec) ** 2).sum())
+
+    e_tpu = pq_err(built.codebooks, built.codes,
+                   built.partition_centroids, built.partition_indices)
+    e_orc = pq_err(ob.codebooks, ob.codes,
+                   ob.partition_centroids, ob.partition_indices)
+    assert 0.85 < e_tpu / e_orc < 1.18, (
+        f"PQ reconstruction error mismatch: tpu {e_tpu:.1f} "
+        f"vs oracle {e_orc:.1f}")
+
+    for nprobe in (2, p):
+        _, rows, _ = query_masked_scan(
+            np.asarray(q), built.partition_centroids, built.codebooks,
+            built.codes.astype(np.int32),
+            built.partition_indices.astype(np.int32),
+            k=k, nprobe=nprobe)
+        r_tpu = _recall(list(np.asarray(rows)), gt)
+        r_orc = _recall([oracle.adc_query(qq, ob, k, nprobe)[0]
+                         for qq in q], gt)
+        assert abs(r_tpu - r_orc) < 0.05, (
+            f"recall@10 nprobe={nprobe}: tpu {r_tpu:.3f} "
+            f"vs oracle {r_orc:.3f}")
+
+
+def test_device_adc_exactly_matches_oracle_scan(data):
+    """Same model in -> same neighbors out: the fused device kernel computes
+    exactly the reference's ADC math (db/build.rs:521-565)."""
+    from flechasdb_tpu.ops.adc import query_masked_scan
+
+    x, q = data
+    q = q[:32]
+    p, d, c, k = 8, 4, 16, 10
+    ob = oracle.build(x[:2000], p, d, c, np.random.default_rng(5))
+
+    dists, rows, _ = query_masked_scan(
+        np.asarray(q), np.asarray(ob.partition_centroids),
+        np.asarray(ob.codebooks), np.asarray(ob.codes, np.int32),
+        np.asarray(ob.partition_indices, np.int32), k=k, nprobe=3)
+    dists, rows = np.asarray(dists), np.asarray(rows)
+    for b, qq in enumerate(q):
+        orc_rows, orc_d = oracle.adc_query(qq, ob, k, nprobe=3)
+        # Distances must agree to float tolerance; rows may swap on ties.
+        np.testing.assert_allclose(dists[b], orc_d, rtol=1e-4, atol=1e-4)
+        mismatch = rows[b] != orc_rows
+        if mismatch.any():
+            np.testing.assert_allclose(
+                dists[b][mismatch],
+                orc_d[mismatch], rtol=1e-5, atol=1e-5)
+
+
+def test_oracle_f64_build(data):
+    """The oracle is the f64-capable host path (numbers.rs:6-111 analogue):
+    the full pipeline runs end-to-end in float64."""
+    x, q = data
+    x64 = np.asarray(x[:1500], np.float64)
+    ob = oracle.build(x64, 4, 4, 8, np.random.default_rng(1),
+                      dtype=np.float64)
+    assert ob.partition_centroids.dtype == np.float64
+    assert ob.codebooks.dtype == np.float64
+    rows, dists = oracle.adc_query(np.asarray(q[0], np.float64), ob,
+                                   k=5, nprobe=4)
+    assert len(rows) == 5 and dists.dtype == np.float64
+    assert (np.diff(dists) >= 0).all()
+
+
+def test_oracle_kmeans_semantics():
+    """Edge semantics pinned by the reference: N == k shortcut, convergence
+    before reassignment, empty-input error."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 4)).astype(np.float32)
+    r = oracle.kmeans(x, 8, rng)
+    np.testing.assert_array_equal(r.indices, np.arange(8))
+    assert r.rounds == 0
+
+    with pytest.raises(ValueError):
+        oracle.kmeans(x, 9, rng)
+
+    # Two well-separated blobs, k=2: must converge quickly and split them.
+    a = rng.standard_normal((50, 4)).astype(np.float32) + 10
+    b = rng.standard_normal((50, 4)).astype(np.float32) - 10
+    r = oracle.kmeans(np.concatenate([a, b]), 2, rng)
+    assert r.rounds < oracle.MAX_ROUNDS
+    assert len(set(r.indices[:50])) == 1 and len(set(r.indices[50:])) == 1
+
+
+def test_gmm_corpus_is_clustered():
+    """The synthetic generator must actually produce clustered data: mean
+    nearest-neighbor distance far below mean random-pair distance."""
+    rng = np.random.default_rng(9)
+    x = gmm_corpus(rng, 2000, 32, n_clusters=32, intrinsic=8)
+    d = ((x[:200, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d[:, :200], np.inf)
+    nn = d.min(axis=1).mean()
+    rand = d[np.isfinite(d)].mean()
+    assert nn < 0.25 * rand, f"not clustered: nn {nn:.2f} vs rand {rand:.2f}"

@@ -54,3 +54,27 @@ def test_divide_whole_vector():
     d = divide_vector_set(x, 1)
     assert d.shape == (1, 2, 4)
     assert np.array_equal(d[0], x)
+
+
+def test_f64_input_checked_cast():
+    """f64 accepted with a checked cast (PARITY.md dtype policy)."""
+    x = np.array([[1.5, -2.25], [1e30, 0.0]], np.float64)
+    out = as_vector_set(x)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, x.astype(np.float32))
+
+
+def test_f64_overflow_rejected():
+    x = np.array([[1.0, 1e300]], np.float64)  # exceeds f32 range
+    with pytest.raises(InvalidArgs):
+        as_vector_set(x)
+
+
+def test_integer_input_cast():
+    out = as_vector_set(np.arange(8, dtype=np.int64), 4)
+    assert out.dtype == np.float32 and out.shape == (2, 4)
+
+
+def test_non_numeric_rejected():
+    with pytest.raises(InvalidArgs):
+        as_vector_set(np.array([["a", "b"]]))
