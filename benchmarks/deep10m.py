@@ -1,0 +1,161 @@
+"""Deep10M-scale single-chip benchmark (BASELINE.json "Deep10M scale-up").
+
+10M × 96 f32 (3.84 GB) fits one v5e chip's HBM (VERDICT.md round-1 #5), so
+the scale-up config's build/query numbers are measurable on real hardware
+today; the 8-device CPU-mesh run (`benchmarks/deep_sharded.py`) remains the
+sharding-correctness cross-check at reduced N.
+
+Memory plan for the build: the corpus is the dominant tenant, so the input
+buffer is DONATED to the build program (residuals alias it,
+`parallel/build.py:60-66`) and re-uploaded afterwards for ground truth /
+rerank. Query ground truth streams through `ops/exact.exact_topk` chunks.
+
+Usage: python benchmarks/deep10m.py [--n 10000000] [--nq 200]
+Emits one JSON line per measurement.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--nq", type=int, default=200)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
+    from flechasdb_tpu.ops.exact import exact_topk
+    from flechasdb_tpu.parallel.build import build_step_donating
+    from flechasdb_tpu.utils.synth import gmm_pair
+
+    n, m, p, d, c = args.n, 96, 4096, 8, 256
+    nq, k = args.nq, 10
+
+    t0 = time.time()
+    rng = np.random.default_rng(1)
+    x, q = gmm_pair(rng, n, nq, m, n_clusters=1024, intrinsic=12)
+    log({"config": "deep10m", "metric": f"prepare {n}x{m}",
+         "value": round(time.time() - t0, 1), "unit": "s"})
+
+    # ---- build (donating: residuals alias the corpus buffer) ----
+    xd = jax.device_put(x)
+    _ = np.asarray(xd[:1, :1])
+    t0 = time.time()
+    built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    cold = time.time() - t0
+    xd = jax.device_put(x)
+    _ = np.asarray(xd[:1, :1])
+    t0 = time.time()
+    built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    build_s = time.time() - t0
+    pops = np.unique(pidx).size
+    log({"config": "deep10m", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+         "value": round(build_s, 2), "unit": "s",
+         "compile_s": round(cold - build_s, 1),
+         "partitions_populated": int(pops)})
+
+    # ---- ground truth (exact scan on device, chunked) ----
+    xd = jax.device_put(x)
+    qd = jnp.asarray(q)
+    t0 = time.time()
+    gt_d, gt_rows = exact_topk(qd, xd, k=k)
+    gt = np.asarray(gt_rows)
+    log({"config": "deep10m", "metric": f"exact scan {nq} queries",
+         "value": round(time.time() - t0, 2), "unit": "s",
+         "qps": round(nq / (time.time() - t0))})
+
+    # ---- IVF-PQ serving sweep ----
+    codes = np.asarray(built.codes)
+    counts = np.bincount(pidx, minlength=p)
+    buckets = bucketize(codes, pidx, p)
+    l_pad = int(buckets.codes.shape[2])
+    log({"config": "deep10m", "metric": "bucket stats",
+         "avg_len": round(float(counts.mean()), 1),
+         "max_len": int(counts.max()), "l_pad": l_pad,
+         "padded_gb": round(p * l_pad * (d + 1) * 4 / 1e9, 2)})
+
+    # The bucket gather materializes [B, nprobe, D, L]; chunk the query
+    # batch so that transient stays under ~1.5 GB (serving.py applies the
+    # same discipline for the masked layout).
+    def chunk_for(nprobe):
+        per_q = nprobe * l_pad * (d + 2) * 4
+        return max(1, min(nq, int(1.5e9 / per_q)))
+
+    def run_batched(qdev, kk, nprobe):
+        cb = chunk_for(nprobe)
+        outs = []
+        for i in range(0, len(qdev), cb):
+            qc = qdev[i:i + cb]
+            if len(qc) < cb:                      # static shape: pad + slice
+                qc = jnp.pad(qc, ((0, cb - len(qc)), (0, 0)))
+            outs.append(query_bucketed(
+                qc, built.partition_centroids, built.codebooks, buckets,
+                k=kk, nprobe=nprobe))
+        dists = np.concatenate([np.asarray(o[0]) for o in outs])[:len(qdev)]
+        rows = np.concatenate([np.asarray(o[1]) for o in outs])[:len(qdev)]
+        return dists, rows
+
+    for nprobe in (8, 32, 128):
+        _, rows_h = run_batched(qd, k, nprobe)
+        recall = np.mean([
+            len(set(rows_h[b].tolist()) & set(gt[b].tolist())) / k
+            for b in range(nq)])
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            _, rows_h = run_batched(qd, k, nprobe)
+        dt = (time.time() - t0) / reps
+        log({"config": "deep10m", "nprobe": nprobe,
+             "recall@10": round(float(recall), 4),
+             "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2),
+             "query_chunk": chunk_for(nprobe)})
+
+    # ---- rerank row: top-100 ADC candidates re-scored exactly ----
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def refine(qv, rows, xdev, *, k):
+        cand = jnp.take(xdev, rows, axis=0)
+        ex = jnp.sum((cand - qv[:, None, :]) ** 2, axis=-1)
+        neg, sel = jax.lax.top_k(-ex, k)
+        return -neg, jnp.take_along_axis(rows, sel, axis=1)
+
+    nprobe, rerank = 32, 100
+
+    def run_rerank():
+        _, rows = run_batched(qd, rerank, nprobe)
+        _, rr = refine(qd, jnp.asarray(rows), xd, k=k)
+        return np.asarray(rr)
+
+    rr_h = run_rerank()
+    recall = np.mean([
+        len(set(rr_h[b].tolist()) & set(gt[b].tolist())) / k
+        for b in range(nq)])
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        rr_h = run_rerank()
+    dt = (time.time() - t0) / reps
+    log({"config": "deep10m", "nprobe": nprobe, "rerank": rerank,
+         "recall@10": round(float(recall), 4),
+         "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
+
+
+if __name__ == "__main__":
+    main()

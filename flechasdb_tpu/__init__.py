@@ -38,6 +38,7 @@ try:  # staged build-out: these land in later phases of the build plan
         save_flat_database,
     )
     from .io import FileSystem, LocalFileSystem
+    from .objectstore import AsyncFsspecFileSystem, FsspecFileSystem
     from .serialize import save_database
     from .stored import StoredDatabase, load_database
 except ImportError:  # pragma: no cover
@@ -46,12 +47,14 @@ except ImportError:  # pragma: no cover
 __version__ = "0.1.0"
 
 __all__ = [
+    "AsyncFsspecFileSystem",
     "AttributeTable",
     "Attributes",
     "AttributeValue",
     "Database",
     "DatabaseBuilder",
     "FileSystem",
+    "FsspecFileSystem",
     "FlatDatabase",
     "FlechasError",
     "InvalidArgs",

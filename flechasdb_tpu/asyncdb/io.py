@@ -69,6 +69,61 @@ class AsyncHashedFileReader:
                 f"Expected hash {stem!r}, but got {hash_}")
 
 
+class AsyncStreamingHashedFileReader:
+    """Incremental reader: hash + inflate chunk-by-chunk off-loop.
+
+    The reference inflates inside ``poll_read`` over a 1 KiB input ring
+    (``asyncdb/io.rs:200-363``) so the compressed stream is never resident
+    in full. Same property here: the file streams through a bounded chunk
+    buffer with SHA-256 and ``zlib.decompressobj`` advancing incrementally;
+    only the decompressed payload accumulates. Drop-in for
+    :class:`AsyncHashedFileReader` (``read`` then ``verify``); ``verify``
+    before ``read`` is an error since no bytes have been hashed yet.
+    """
+
+    def __init__(self, path, name: str, compressed: bool,
+                 chunk_size: int = 1 << 16) -> None:
+        self._path = path
+        self._name = name
+        self._compressed = compressed
+        self._chunk_size = chunk_size
+        self._hash = None
+
+    async def read(self) -> bytes:
+        import hashlib
+
+        def work() -> bytes:
+            import base64
+
+            h = hashlib.sha256()
+            d = zlib.decompressobj() if self._compressed else None
+            out = []
+            with open(self._path, "rb") as f:
+                while chunk := f.read(self._chunk_size):
+                    h.update(chunk)
+                    out.append(d.decompress(chunk) if d else chunk)
+                if d is not None:
+                    out.append(d.flush())
+            self._hash = base64.urlsafe_b64encode(
+                h.digest()).decode("ascii").rstrip("=")
+            return b"".join(out)
+
+        try:
+            return await asyncio.to_thread(work)
+        except zlib.error as e:
+            raise IOError_(f"zlib decompression failed: {e}") from e
+        except OSError as e:
+            raise IOError_(str(e)) from e
+
+    def verify(self) -> None:
+        if self._hash is None:
+            raise IOError_("verify() before read() on a streaming reader")
+        stem = Path(self._name).stem
+        if self._hash != stem:
+            raise VerificationFailure(
+                f"Expected hash {stem!r}, but got {self._hash}")
+
+
 class AsyncFileSystem(ABC):
     """Read-only async storage abstraction (``asyncdb/io.rs:20-39``)."""
 
@@ -80,16 +135,29 @@ class AsyncFileSystem(ABC):
 
 
 class AsyncLocalFileSystem(AsyncFileSystem):
-    """Local directory store (``asyncdb/io.rs:104-198``)."""
+    """Local directory store (``asyncdb/io.rs:104-198``).
 
-    def __init__(self, base_path) -> None:
+    Files at or above ``streaming_threshold`` bytes use the incremental
+    reader (bounded compressed-side memory, reference ring-decoder
+    parity); smaller files are read whole and inflated in one native
+    GIL-released pass, which is faster at artifact sizes.
+    """
+
+    def __init__(self, base_path,
+                 streaming_threshold: int = 8 << 20) -> None:
         self.base_path = Path(base_path)
+        self.streaming_threshold = streaming_threshold
 
     async def open_hashed_file(self, path: str,
                                compressed: bool = False,
                                ) -> AsyncHashedFileReader:
         full = self.base_path / path
         try:
+            size = await asyncio.to_thread(
+                lambda: full.stat().st_size)
+            if size >= self.streaming_threshold:
+                return AsyncStreamingHashedFileReader(
+                    full, full.name, compressed)
             raw = await asyncio.to_thread(full.read_bytes)
         except OSError as e:
             raise IOError_(str(e)) from e

@@ -29,6 +29,16 @@ from ..ops import kmeans
 from .mesh import AXIS
 
 
+#: Max rows used to TRAIN the PQ codebooks. Codebook quality saturates at a
+#: few thousand samples per code (C=256 → 1M rows is plenty; FAISS trains
+#: IVF-PQ on a sample for the same reason), while training cost and the
+#: ``[D, N, M/D]`` division intermediate scale with N — at Deep10M
+#: (10M × 96) that intermediate alone exceeded single-chip HBM alongside
+#: the corpus and residuals. Above the cap, codebooks train on a uniform
+#: subsample and full-corpus codes are assigned in a chunked pass.
+PQ_TRAIN_CAP = 1 << 20
+
+
 class ShardedBuild(NamedTuple):
     """Device-resident build output.
 
@@ -42,27 +52,75 @@ class ShardedBuild(NamedTuple):
     codes: jax.Array
 
 
-def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int,
-              c: int) -> ShardedBuild:
+def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
+                    codebooks: jax.Array, *,
+                    chunk: int = 1 << 16) -> jax.Array:
+    """PQ-encodes corpus residuals against ``codebooks [D, C, M/D]``.
+
+    ``codes[n, d] = argmin_c ||(x[n] - cents[idx[n]])_d - codebook[d, c]||²``
+    streamed over row chunks. Residuals are computed PER CHUNK — neither a
+    full-size residual array nor a divided ``[D, N, M/D]`` copy ever
+    materializes (at Deep10M each is ~4-5 GB of HBM next to the corpus;
+    both together crashed the chip). Transient: ``[chunk, D, C]``.
+    """
     n, m = x.shape
-    k_coarse, k_pq = jax.random.split(key)
+    d, c, sub = codebooks.shape
+    chunk = min(chunk, n)
+    steps = -(-n // chunk)
+    cc = jnp.sum(codebooks * codebooks, axis=-1)          # [D, C]
+
+    def body(i, codes):
+        # Last chunk shifts back; overlapping rows recompute identically.
+        start = jnp.minimum(i * chunk, n - chunk)
+        xi = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
+        ii = jax.lax.dynamic_slice_in_dim(idx, start, chunk, axis=0)
+        r = (xi - jnp.take(cents, ii, axis=0)).reshape(chunk, d, sub)
+        rc = jnp.einsum("nds,dcs->ndc", r, codebooks,
+                        precision=kmeans._PRECISION,
+                        preferred_element_type=jnp.float32)
+        ci = jnp.argmin(cc[None] - 2.0 * rc, axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice_in_dim(codes, ci, start,
+                                                   axis=0)
+
+    codes0 = jnp.zeros((n, d), jnp.int32)
+    return jax.lax.fori_loop(0, steps, body, codes0)
+
+
+def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
+              pq_cap: int = PQ_TRAIN_CAP) -> ShardedBuild:
+    n, m = x.shape
+    k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
     coarse = kmeans.fit(x[None], p, k_coarse)
     cents, idx = coarse.centroids[0], coarse.indices[0]
-    residues = x - jnp.take(cents, idx, axis=0)
-    divided = residues.reshape(n, d, m // d).transpose(1, 0, 2)
-    pq = kmeans.fit(divided, c, k_pq)
-    codes = pq.indices.T.astype(jnp.int32)               # [N, D]
+    if n > pq_cap:
+        # Train codebooks on a uniform residual subsample
+        # (with-replacement draws; duplicates only reweight the objective
+        # negligibly at this cap), then assign full-corpus codes chunked
+        # with per-chunk residuals — the corpus itself stays the only
+        # full-size array in HBM.
+        rows = jax.random.randint(k_sub, (pq_cap,), 0, n)
+        sample = (jnp.take(x, rows, axis=0)
+                  - jnp.take(cents, jnp.take(idx, rows), axis=0))
+        divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
+        pq = kmeans.fit(divided, c, k_pq)
+        codes = _encode_chunked(x, cents, idx, pq.centroids)
+    else:
+        residues = x - jnp.take(cents, idx, axis=0)
+        divided = residues.reshape(n, d, m // d).transpose(1, 0, 2)
+        pq = kmeans.fit(divided, c, k_pq)
+        codes = pq.indices.T.astype(jnp.int32)            # [N, D]
     return ShardedBuild(cents, idx, pq.centroids, codes)
 
 
-_build_step = jax.jit(_build_fn, static_argnames=("p", "d", "c"))
+_build_step = jax.jit(_build_fn, static_argnames=("p", "d", "c", "pq_cap"))
 
 #: Donating variant: the input buffer is released to XLA so the residual
 #: array can alias it — needed for corpora within ~2× of HBM (GIST1M-scale
 #: 1M×960 peaks at ~11.5 GB without donation and crashes a 16 GB chip).
 #: The caller's device array is invalidated; re-``device_put`` to rebuild.
-build_step_donating = jax.jit(_build_fn, static_argnames=("p", "d", "c"),
+build_step_donating = jax.jit(_build_fn,
+                              static_argnames=("p", "d", "c", "pq_cap"),
                               donate_argnums=(0,))
 
 

@@ -499,20 +499,29 @@ class StoredDatabase:
         dists, rows, _ = index.query(vs, k, nprobe)
         events(ev.FinishedPartitionSelection())
         events(ev.StartingResultSelection())
+        # Result materialization is host-bound at serving batch sizes
+        # (B·k python objects); gather everything with vectorized numpy
+        # indexing + one .tolist() pass instead of per-element scalar
+        # conversions. Distances ascend per row, so finite results form a
+        # prefix; +inf tail rows hold index 0 and are never touched.
+        counts = np.isfinite(dists).sum(axis=1).tolist()
+        p_rows = pidx[rows].tolist()
+        l_rows = local[rows].tolist()
+        d_rows = dists.tolist()
+        r_rows = rows.tolist()
         out: List[List[StoredQueryResult]] = []
         for b in range(len(vs)):
-            results: List[StoredQueryResult] = []
-            for dist, row in zip(dists[b], rows[b]):
-                if not np.isfinite(dist):
-                    break
-                results.append(StoredQueryResult(
+            pb, lb, db_, rb = p_rows[b], l_rows[b], d_rows[b], r_rows[b]
+            out.append([
+                StoredQueryResult(
                     db=self,
-                    partition_index=int(pidx[row]),
-                    vector_id=vector_ids[row],
-                    vector_index=int(local[row]),
-                    squared_distance=float(dist),
-                ))
-            out.append(results)
+                    partition_index=pb[i],
+                    vector_id=vector_ids[rb[i]],
+                    vector_index=lb[i],
+                    squared_distance=db_[i],
+                )
+                for i in range(counts[b])
+            ])
         events(ev.FinishedResultSelection())
         return out
 

@@ -148,3 +148,44 @@ def test_events_path_matches_fast_path(rng):
     kinds = [type(e).__name__ for e in seen]
     assert kinds[0] == "StartingCentroidInitialization"
     assert "FinishedCentroidUpdate" in kinds
+
+
+def test_pq_subsample_training_parity():
+    """Above PQ_TRAIN_CAP the build trains codebooks on a subsample and
+    assigns codes chunked; quality must match full-corpus training and the
+    chunked encoder must agree with a brute-force argmin."""
+    import jax
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.parallel.build import _build_step, _encode_chunked
+    from flechasdb_tpu.utils.synth import gmm_corpus
+
+    rng = np.random.default_rng(12)
+    x = gmm_corpus(rng, 4096, 16, n_clusters=16, intrinsic=6)
+    key = jax.random.key(7)
+
+    full = _build_step(x, key, p=4, d=4, c=8)
+    sub = _build_step(x, key, p=4, d=4, c=8, pq_cap=1024)
+
+    # Chunked encode == brute-force argmin against the same codebooks.
+    resid = jnp.asarray(x) - jnp.take(sub.partition_centroids,
+                                      sub.partition_indices, axis=0)
+    got = np.asarray(_encode_chunked(
+        jnp.asarray(x), sub.partition_centroids, sub.partition_indices,
+        sub.codebooks, chunk=300))
+    r = np.asarray(resid).reshape(4096, 4, 4)
+    cb = np.asarray(sub.codebooks)
+    want = np.argmin(((r[:, :, None, :] - cb[None]) ** 2).sum(-1), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+    # Reconstruction error parity: subsample-trained codebooks encode the
+    # corpus nearly as well as full-corpus-trained ones.
+    def err(b):
+        rr = np.asarray(x) - np.asarray(b.partition_centroids)[
+            np.asarray(b.partition_indices)]
+        rec = np.concatenate([
+            np.asarray(b.codebooks)[di][np.asarray(b.codes)[:, di]]
+            for di in range(4)], axis=1)
+        return float(((rr - rec) ** 2).sum())
+
+    assert err(sub) < 1.1 * err(full), (err(sub), err(full))
