@@ -37,9 +37,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from flechasdb_tpu import events as ev
     from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
     from flechasdb_tpu.ops.exact import exact_topk
-    from flechasdb_tpu.parallel.build import build_step_donating
+    from flechasdb_tpu.parallel.build import build_staged
     from flechasdb_tpu.utils.synth import gmm_pair
 
     n, m, p, d, c = args.n, 96, 4096, 8, 256
@@ -51,17 +52,20 @@ def main():
     log({"config": "deep10m", "metric": f"prepare {n}x{m}",
          "value": round(time.time() - t0, 1), "unit": "s"})
 
-    # ---- build (donating: residuals alias the corpus buffer) ----
+    # ---- build (staged: per-round device programs — one monolithic
+    # program at this scale trips the remote-execution deadline) ----
+    def progress(e):
+        if isinstance(e, ev.FinishedCentroidUpdate) and e.round % 20 == 0:
+            print(f"  round {e.round}", file=sys.stderr, flush=True)
+
     xd = jax.device_put(x)
     _ = np.asarray(xd[:1, :1])
     t0 = time.time()
-    built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
+    built = build_staged(xd, p, d, c, jax.random.key(0), progress)
     pidx = np.asarray(built.partition_indices)
     cold = time.time() - t0
-    xd = jax.device_put(x)
-    _ = np.asarray(xd[:1, :1])
     t0 = time.time()
-    built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
+    built = build_staged(xd, p, d, c, jax.random.key(1))
     pidx = np.asarray(built.partition_indices)
     build_s = time.time() - t0
     pops = np.unique(pidx).size

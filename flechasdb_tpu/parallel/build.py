@@ -124,6 +124,64 @@ build_step_donating = jax.jit(_build_fn,
                               donate_argnums=(0,))
 
 
+def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
+                 events=None, *,
+                 pq_cap: int = PQ_TRAIN_CAP) -> ShardedBuild:
+    """Host-stepped build for very large corpora (Deep10M-class).
+
+    Identical math to :func:`_build_fn`, but each Lloyd round / stage runs
+    as its OWN device program instead of one monolithic ``while_loop`` jit:
+    the coarse phase host-steps via :func:`..ops.kmeans.fit_with_events`.
+    Two reasons to prefer this at 10M+ rows on the tunnel-attached chip:
+
+    * a single program covering 100 rounds x ~10^3 update chunks runs for
+      minutes; remote execution paths enforce per-program deadlines, and a
+      deadline strike surfaces as a worker crash (observed at 10M x 96,
+      P=4096, while the same total HBM footprint at GIST shape ran fine);
+    * per-round host control gives progress events and a natural
+      checkpoint seam for builds that outlive a serverless budget.
+    """
+    import numpy as np
+
+    from .. import events as ev
+
+    handler = events if events is not None else (lambda e: None)
+    x = jnp.asarray(x, jnp.float32)
+    n, m = x.shape
+    k_coarse, k_pq, k_sub = jax.random.split(key, 3)
+
+    coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler)
+    cents, idx = coarse.centroids[0], coarse.indices[0]
+
+    handler(ev.StartingSubvectorDivision())
+    if n > pq_cap:
+        rows = jax.random.randint(k_sub, (pq_cap,), 0, n)
+        sample = _sample_residuals(x, cents, idx, rows)
+        divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
+    else:
+        divided = _all_residuals(x, cents, idx).reshape(
+            n, d, m // d).transpose(1, 0, 2)
+    handler(ev.FinishedSubvectorDivision())
+
+    pq = kmeans.fit_with_events(divided, c, k_pq, handler)
+    codes = _encode_jit(x, cents, idx, pq.centroids)
+    return ShardedBuild(cents, idx, pq.centroids, codes)
+
+
+@jax.jit
+def _sample_residuals(x, cents, idx, rows):
+    return (jnp.take(x, rows, axis=0)
+            - jnp.take(cents, jnp.take(idx, rows), axis=0))
+
+
+@jax.jit
+def _all_residuals(x, cents, idx):
+    return x - jnp.take(cents, idx, axis=0)
+
+
+_encode_jit = jax.jit(_encode_chunked)
+
+
 def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
                   mesh: Mesh) -> ShardedBuild:
     """Builds the full IVF-PQ index with the corpus sharded over ``mesh``.
