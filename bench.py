@@ -10,8 +10,13 @@ Prints exactly ONE JSON line on stdout:
 Diagnostics go to stderr.
 
 Round-2 cold-start fixes (VERDICT.md "What's weak" #2):
-* data prep generates float32 directly (r01 generated f64 then cast —
-  1.2 GB of wasted RNG work: 30.8 s → a few seconds);
+* data prep runs ON DEVICE (`jax.random.normal` + normalize): host RNG for
+  614 MB took 5–80 s depending on host load, plus a 614 MB device_put
+  through the axon tunnel; the TPU generates and normalizes the corpus in
+  milliseconds and the data never crosses the wire;
+* every fence fetches a tiny device-side slice (`np.asarray(x[:1, :4])`),
+  never the full array — a whole-array fetch through the tunnel previously
+  stalled the benchmark for minutes;
 * the JAX persistent compilation cache is enabled, so any process after the
   first skips XLA compilation entirely (the 86 s "compile+first build" was
   dominated by a cold XLA compile through the axon remote-compile tunnel).
@@ -61,18 +66,28 @@ def main() -> None:
 
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
 
-    rng = np.random.default_rng(42)
+    # First contact with the device pays tunnel/backend warm-up (observed
+    # 30-100 s through axon on a loaded host); do it on a tiny op so the
+    # phase timers below measure the workload, not the plumbing.
     t0 = time.time()
-    x = rng.standard_normal((N, M), dtype=np.float32)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    prep_s = time.time() - t0
-    log(f"prepare {N}x{M}: {prep_s:.2f}s (reference 0.912s)")
+    _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    log(f"backend warm-up (tiny op): {time.time() - t0:.2f}s")
 
-    # NOTE: sync points use host fetches (np.asarray), not
-    # block_until_ready — the axon PJRT plugin's block_until_ready does not
-    # actually block, so fetch-to-host is the only reliable fence.
-    xd = jax.device_put(x)
-    _ = np.asarray(xd)[:1]
+    # NOTE: sync points use host fetches of TINY device-side slices
+    # (np.asarray(x[:1, :4])), not block_until_ready — the axon PJRT
+    # plugin's block_until_ready does not actually block, and fetching a
+    # full array pulls the whole buffer through the tunnel.
+    @jax.jit
+    def _prepare(key):
+        v = jax.random.normal(key, (N, M), dtype=jnp.float32)
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+    t0 = time.time()
+    xd = _prepare(jax.random.key(42))
+    _ = np.asarray(xd[:1, :4])
+    prep_s = time.time() - t0
+    log(f"prepare {N}x{M} on device (incl. RNG compile): {prep_s:.2f}s "
+        f"(reference host prep 0.912s)")
 
     # Warm-up compile on identical shapes. With the persistent cache this is
     # a disk hit after the first-ever run; cold it is one XLA compile
@@ -95,7 +110,7 @@ def main() -> None:
     # Secondary diagnostics: warm batched query latency (k=10, nprobe=5)
     # through the production serving path (bucketed + Pallas lookup).
     from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
-    q = jnp.asarray(x[:64])
+    q = xd[:64]
     buckets = bucketize(np.asarray(built.codes),
                         np.asarray(built.partition_indices), P)
     dists, rows, _ = query_bucketed(
