@@ -30,6 +30,7 @@ from .errors import (
 
 try:  # staged build-out: these land in later phases of the build plan
     from .build import Database, DatabaseBuilder, QueryResult
+    from .filters import Eq, Exists, Filter, In, Range
     from .flat import (
         FlatDatabase,
         StoredFlatDatabase,
@@ -53,7 +54,12 @@ __all__ = [
     "AttributeValue",
     "Database",
     "DatabaseBuilder",
+    "Eq",
+    "Exists",
     "FileSystem",
+    "Filter",
+    "In",
+    "Range",
     "FsspecFileSystem",
     "FlatDatabase",
     "FlechasError",

@@ -243,17 +243,21 @@ class AsyncStoredDatabase:
 
     # -- query ---------------------------------------------------------------
 
-    async def query(self, v, k: int, nprobe: int
-                    ) -> List[AsyncQueryResult]:
-        return await self.query_with_events(v, k, nprobe, _noop)
+    async def query(self, v, k: int, nprobe: int,
+                    where=None) -> List[AsyncQueryResult]:
+        return await self.query_with_events(v, k, nprobe, _noop, where=where)
 
     async def query_with_events(self, v, k: int, nprobe: int,
-                                events: EventHandler
-                                ) -> List[AsyncQueryResult]:
+                                events: EventHandler,
+                                where=None) -> List[AsyncQueryResult]:
         """k-NN with fully-overlapped loads (``query.rs:208-356``).
 
         Events fire from the coroutine exactly where the reference's poll
         loop fires them; ``events`` must be a plain (non-async) callable.
+
+        ``where`` (optional :class:`..filters.Filter`): attribute filter —
+        each probed partition's attribute log loads concurrently with its
+        codes (the same overlap as everything else on this path).
         """
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
@@ -296,11 +300,19 @@ class AsyncStoredDatabase:
             part = await self._partition(int(pi))
             if cold:
                 events(ev.FinishedPartitionLoad(int(pi)))
+            if where is not None:
+                await self._attrlog(int(pi))
             codebooks = await cb_task
             rotation = await rot_task
             events(ev.StartingPartitionQuery(int(pi)))
             order, dists = adc_scan_partition(
                 v - centroids[pi], codebooks, part.codes, k, rotation)
+            if where is not None:
+                from ..filters import ColumnCache, evaluate_mask
+                mask = evaluate_mask(where, part.vector_ids,
+                                     self._attribute_table, ColumnCache())
+                dists = np.where(mask, dists, np.inf)
+                order = np.argsort(dists, kind="stable")[:k]
             results = [
                 AsyncQueryResult(
                     db=self,
@@ -310,6 +322,7 @@ class AsyncStoredDatabase:
                     squared_distance=float(dists[vi]),
                 )
                 for vi in order
+                if np.isfinite(dists[vi])
             ]
             events(ev.FinishedPartitionQuery(int(pi)))
             return results

@@ -232,6 +232,7 @@ class Database:
     _local_idx: Optional[np.ndarray] = field(default=None, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
     _dev_orig: Optional[object] = field(default=None, repr=False)
+    _filter_cache: Optional[object] = field(default=None, repr=False)
 
     # -- basic accessors (build.rs:178-224) --------------------------------
 
@@ -297,7 +298,41 @@ class Database:
         self._dev = None
         self._dev_orig = None
         self._local_idx = None
+        self._invalidate_filters()
         return list(vector_ids)
+
+    def remove_vectors(self, vector_ids: Iterable[_uuid.UUID]) -> int:
+        """Removes vectors by ID; returns the number removed.
+
+        Complements :meth:`add_vectors` ("Update database",
+        ``README.md:73``): unknown IDs raise :class:`InvalidArgs` (the
+        reference's unknown-vector-ID behaviour, ``build.rs:236-240``).
+        Because the storage format is content-addressed, re-saving after a
+        removal rewrites only the partitions that lost members — untouched
+        partitions keep their hashes and therefore their files.
+        """
+        doomed = set(vector_ids)
+        if not doomed:
+            return 0
+        row_of = {vid: i for i, vid in enumerate(self.vector_ids)}
+        missing = [vid for vid in doomed if vid not in row_of]
+        if missing:
+            raise InvalidArgs(f"no such vector ID: {missing[0]}")
+        keep = np.ones(self.num_vectors, bool)
+        keep[[row_of[vid] for vid in doomed]] = False
+        self.vector_ids = [vid for vid, kp in zip(self.vector_ids, keep)
+                           if kp]
+        self.partition_indices = self.partition_indices[keep]
+        self.codes = self.codes[keep]
+        if self.residues is not None:
+            self.residues = self.residues[keep]
+        for vid in doomed:
+            self.attribute_table.pop(vid, None)
+        self._dev = None
+        self._dev_orig = None
+        self._local_idx = None
+        self._invalidate_filters()
+        return len(doomed)
 
     # -- attributes (build.rs:228-285) --------------------------------------
 
@@ -317,6 +352,20 @@ class Database:
         value = check_attribute_value(value)
         vid = self.vector_ids[i]
         self.attribute_table.setdefault(vid, {})[str(key)] = value
+        self._invalidate_filters()
+
+    # -- attribute filtering (EXTENSION, see filters.py) ----------------------
+
+    def _invalidate_filters(self) -> None:
+        if self._filter_cache is not None:
+            self._filter_cache.invalidate()
+
+    def _filter_mask(self, where) -> np.ndarray:
+        from .filters import ColumnCache, evaluate_mask
+        if self._filter_cache is None:
+            self._filter_cache = ColumnCache()
+        return evaluate_mask(where, self.vector_ids, self.attribute_table,
+                             self._filter_cache)
 
     # -- queries (build.rs:293-382) ------------------------------------------
 
@@ -329,19 +378,29 @@ class Database:
                 rotation=self.rotation)
         return self._dev
 
-    def query(self, v, k: int, nprobe: int) -> List[QueryResult]:
-        return self.query_with_events(v, k, nprobe, _noop)
+    def query(self, v, k: int, nprobe: int,
+              where=None) -> List[QueryResult]:
+        return self.query_with_events(v, k, nprobe, _noop, where=where)
 
     def query_with_events(self, v, k: int, nprobe: int,
-                          events: EventHandler) -> List[QueryResult]:
-        """Single-vector k-NN (``build.rs:307-340``)."""
+                          events: EventHandler,
+                          where=None) -> List[QueryResult]:
+        """Single-vector k-NN (``build.rs:307-340``).
+
+        ``where`` (optional :class:`.filters.Filter`): only vectors whose
+        attributes satisfy the predicate are returned (EXTENSION — masked
+        on device before top-k, so results are the k nearest *matching*
+        vectors in the probed partitions).
+        """
         self._validate_query(k, nprobe)
         v = np.asarray(v, dtype=np.float32).reshape(1, -1)
         if v.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {v.shape[1]} != {self.vector_size}")
+        mask = None if where is None else self._filter_mask(where)
         events(ev.StartingPartitionSelection())
-        dists, rows, probed = self._device_state().query(v, k, nprobe)
+        dists, rows, probed = self._device_state().query(
+            v, k, nprobe, row_mask=mask)
         dists, rows, probed = dists[0], rows[0], probed[0]
         events(ev.FinishedPartitionSelection())
         for pi in probed:
@@ -353,8 +412,8 @@ class Database:
         return results
 
     def query_batch(self, vs, k: int, nprobe: int,
-                    rerank: Optional[int] = None
-                    ) -> List[List[QueryResult]]:
+                    rerank: Optional[int] = None,
+                    where=None) -> List[List[QueryResult]]:
         """Batched k-NN — one fused device program for all queries.
 
         ``rerank``: optionally re-score the top ``rerank`` (> k) ADC
@@ -363,21 +422,28 @@ class Database:
         doesn't have (its stored format drops originals; the in-memory
         database keeps residues, so reconstruction is a fused
         gather-add on device).
+
+        ``where`` (optional :class:`.filters.Filter`): attribute filter,
+        applied on device before top-k (and therefore before rerank —
+        candidates are already all matching).
         """
         self._validate_query(k, nprobe)
         vs = as_vector_set(vs)
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
+        mask = None if where is None else self._filter_mask(where)
         if rerank is None:
-            dists, rows, _ = self._device_state().query(vs, k, nprobe)
+            dists, rows, _ = self._device_state().query(
+                vs, k, nprobe, row_mask=mask)
             return [self._to_results(dists[b], rows[b])
                     for b in range(len(vs))]
         if rerank < k:
             raise InvalidArgs(f"rerank ({rerank}) must be >= k ({k})")
         if self.residues is None:
             raise InvalidArgs("rerank requires retained residues")
-        adc, rows, _ = self._device_state().query(vs, rerank, nprobe)
+        adc, rows, _ = self._device_state().query(
+            vs, rerank, nprobe, row_mask=mask)
         dists, rows = _rerank_exact(
             jnp.asarray(vs), jnp.asarray(rows),
             jnp.asarray(np.isfinite(adc)), self._device_originals(), k=k)

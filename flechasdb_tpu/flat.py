@@ -74,6 +74,7 @@ class FlatDatabase:
         self.attribute_table: AttributeTable = {}
         self._dev = None
         self._rng = rng
+        self._filter_cache = None
 
     # -- accessors -----------------------------------------------------------
 
@@ -103,7 +104,43 @@ class FlatDatabase:
         self._x = np.concatenate([self._x, new])
         self.vector_ids.extend(vector_ids)
         self._dev = None
+        self._invalidate_filters()
         return list(vector_ids)
+
+    def remove(self, vector_ids) -> int:
+        """Removes vectors by ID; returns the number removed.
+
+        Unknown IDs raise :class:`InvalidArgs`. Re-saving rewrites only
+        the chunks that lost members (content addressing keeps the rest).
+        """
+        doomed = set(vector_ids)
+        if not doomed:
+            return 0
+        row_of = {vid: i for i, vid in enumerate(self.vector_ids)}
+        missing = [vid for vid in doomed if vid not in row_of]
+        if missing:
+            raise InvalidArgs(f"no such vector ID: {missing[0]}")
+        keep = np.ones(self.num_vectors, bool)
+        keep[[row_of[vid] for vid in doomed]] = False
+        self._x = self._x[keep]
+        self.vector_ids = [vid for vid, kp in zip(self.vector_ids, keep)
+                           if kp]
+        for vid in doomed:
+            self.attribute_table.pop(vid, None)
+        self._dev = None
+        self._invalidate_filters()
+        return len(doomed)
+
+    def _invalidate_filters(self) -> None:
+        if self._filter_cache is not None:
+            self._filter_cache.invalidate()
+
+    def _filter_mask(self, where) -> np.ndarray:
+        from .filters import ColumnCache, evaluate_mask
+        if self._filter_cache is None:
+            self._filter_cache = ColumnCache()
+        return evaluate_mask(where, self.vector_ids, self.attribute_table,
+                             self._filter_cache)
 
     # -- attributes -----------------------------------------------------------
 
@@ -115,6 +152,7 @@ class FlatDatabase:
         value = check_attribute_value(value)
         vid = self.vector_ids[i]
         self.attribute_table.setdefault(vid, {})[str(key)] = value
+        self._invalidate_filters()
 
     def get_attribute(self, vector_id: _uuid.UUID,
                       key: str) -> Optional[AttributeValue]:
@@ -126,10 +164,12 @@ class FlatDatabase:
 
     # -- queries ---------------------------------------------------------------
 
-    def query(self, v, k: int) -> List[FlatQueryResult]:
-        return self.query_batch(np.asarray(v, np.float32)[None], k)[0]
+    def query(self, v, k: int, where=None) -> List[FlatQueryResult]:
+        return self.query_batch(np.asarray(v, np.float32)[None], k,
+                                where=where)[0]
 
-    def query_batch(self, vs, k: int) -> List[List[FlatQueryResult]]:
+    def query_batch(self, vs, k: int,
+                    where=None) -> List[List[FlatQueryResult]]:
         import jax.numpy as jnp
 
         from .ops.exact import exact_topk
@@ -139,7 +179,9 @@ class FlatDatabase:
         vs = as_vector_set(vs, self.vector_size)
         if self._dev is None:
             self._dev = jnp.asarray(self._x)
-        dists, rows = exact_topk(jnp.asarray(vs), self._dev, k=k)
+        mask = None if where is None else \
+            jnp.asarray(self._filter_mask(where))
+        dists, rows = exact_topk(jnp.asarray(vs), self._dev, mask, k=k)
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -229,6 +271,7 @@ class StoredFlatDatabase:
     _attr_loaded: List[bool] = field(default=None, repr=False)
     _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
+    _filter_cache: Optional[object] = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         self._chunks = [None] * len(self.root.chunk_ids)
@@ -278,10 +321,12 @@ class StoredFlatDatabase:
             self._dev = (jnp.asarray(x), ids)
         return self._dev
 
-    def query(self, v, k: int) -> List[FlatQueryResult]:
-        return self.query_batch(np.asarray(v, np.float32)[None], k)[0]
+    def query(self, v, k: int, where=None) -> List[FlatQueryResult]:
+        return self.query_batch(np.asarray(v, np.float32)[None], k,
+                                where=where)[0]
 
-    def query_batch(self, vs, k: int) -> List[List[FlatQueryResult]]:
+    def query_batch(self, vs, k: int,
+                    where=None) -> List[List[FlatQueryResult]]:
         import jax.numpy as jnp
 
         from .ops.exact import exact_topk
@@ -290,7 +335,15 @@ class StoredFlatDatabase:
             raise InvalidArgs(f"k must be positive: {k}")
         vs = as_vector_set(vs, self.vector_size)
         xd, ids = self._load_all()
-        dists, rows = exact_topk(jnp.asarray(vs), xd, k=k)
+        mask = None
+        if where is not None:
+            from .filters import ColumnCache, evaluate_mask
+            self._ensure_attrs_loaded()
+            if self._filter_cache is None:
+                self._filter_cache = ColumnCache()
+            mask = jnp.asarray(evaluate_mask(
+                where, ids, self._attribute_table, self._filter_cache))
+        dists, rows = exact_topk(jnp.asarray(vs), xd, mask, k=k)
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -307,8 +360,7 @@ class StoredFlatDatabase:
             out.append(results)
         return out
 
-    def get_attribute(self, vector_id: _uuid.UUID,
-                      key: str) -> Optional[AttributeValue]:
+    def _ensure_attrs_loaded(self) -> None:
         from .stored import replay_attributes_log
 
         for i in range(len(self.root.chunk_ids)):
@@ -329,6 +381,10 @@ class StoredFlatDatabase:
                 payload, self.root.chunk_ids[i],
                 self.root.attribute_names, _P, self._attribute_table, i)
             self._attr_loaded[i] = True
+
+    def get_attribute(self, vector_id: _uuid.UUID,
+                      key: str) -> Optional[AttributeValue]:
+        self._ensure_attrs_loaded()
         try:
             attrs = self._attribute_table[vector_id]
         except KeyError:

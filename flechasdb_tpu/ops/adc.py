@@ -81,6 +81,7 @@ def query_masked_scan(
     codes: jax.Array,
     pidx: jax.Array,
     rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
     *,
     k: int,
     nprobe: int,
@@ -88,9 +89,11 @@ def query_masked_scan(
     """Batched IVF-PQ k-NN over an in-memory corpus.
 
     ``q: [B, M]``; ``codes: [N, D] int32`` PQ codes per vector; ``pidx: [N]
-    int32`` owning partition per vector. Returns ``(sq_distances [B, k],
-    vector_rows [B, k] int32, probed [B, nprobe] int32)``. Entries beyond the
-    number of reachable vectors carry ``+inf`` distance.
+    int32`` owning partition per vector; ``row_mask: [N] bool`` (optional)
+    excludes rows whose mask is False (attribute filtering,
+    :mod:`..filters`). Returns ``(sq_distances [B, k], vector_rows [B, k]
+    int32, probed [B, nprobe] int32)``. Entries beyond the number of
+    reachable vectors carry ``+inf`` distance.
     """
     b, m = q.shape
     p = centroids.shape[0]
@@ -110,7 +113,10 @@ def query_masked_scan(
 
     selected = jax.vmap(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
-    vdist = jnp.where(selected[:, pidx], vdist, jnp.inf)
+    keep = selected[:, pidx]
+    if row_mask is not None:
+        keep &= row_mask[None, :]
+    vdist = jnp.where(keep, vdist, jnp.inf)
 
     # k may exceed the corpus (reference returns fewer results then,
     # build.rs:334-337); pad the tail with +inf instead of failing top_k.

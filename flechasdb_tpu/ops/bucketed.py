@@ -92,6 +92,7 @@ def query_bucketed(
     codebooks: jax.Array,
     buckets: Buckets,
     rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
     *,
     k: int,
     nprobe: int,
@@ -102,6 +103,10 @@ def query_bucketed(
     Same contract as :func:`.adc.query_masked_scan`: returns
     ``(sq_distances [B, k], rows [B, k] int32, probed [B, nprobe] int32)``
     with ``+inf`` beyond the number of reachable vectors.
+
+    ``row_mask [N] bool`` (optional): corpus rows whose mask is False are
+    excluded (attribute filtering, :mod:`..filters`) — one gather + select
+    after the ADC scan, before top-k.
 
     ``impl``: ``"pallas"`` (VMEM compare-select kernel, default on TPU),
     ``"gather"`` (XLA ``take_along_axis``, default elsewhere).
@@ -148,7 +153,10 @@ def query_bucketed(
         vdist = vdist.reshape(b, nprobe, d, l).sum(2)   # [B, nprobe, L]
     else:
         raise ValueError(f"unknown impl: {impl!r}")
-    vdist = jnp.where(brows >= 0, vdist, jnp.inf)
+    keep = brows >= 0
+    if row_mask is not None:
+        keep &= jnp.take(row_mask, jnp.maximum(brows, 0), axis=0)
+    vdist = jnp.where(keep, vdist, jnp.inf)
 
     # k may exceed the candidate count (reference returns fewer results
     # then); pad the tail with +inf instead of failing top_k.

@@ -18,12 +18,15 @@ from .distance import sqdist
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def exact_topk(q: jax.Array, x: jax.Array, *, k: int,
+def exact_topk(q: jax.Array, x: jax.Array,
+               row_mask: jax.Array | None = None, *, k: int,
                chunk: int = 1 << 17) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbours of each query.
 
     ``q: [B, M]``, ``x: [N, M]`` → ``(sq_distances [B, k], rows [B, k]
     int32)``, ascending. Entries beyond ``N`` carry ``+inf``.
+    ``row_mask [N] bool`` (optional) excludes rows whose mask is False
+    (attribute filtering, :mod:`..filters`).
     """
     b, m = q.shape
     n = x.shape[0]
@@ -42,6 +45,8 @@ def exact_topk(q: jax.Array, x: jax.Array, *, k: int,
         # Overlapping rows in the (shifted) last chunk must not appear
         # twice in the running set: mask rows already covered.
         fresh = rows >= i * chunk
+        if row_mask is not None:
+            fresh &= jax.lax.dynamic_slice_in_dim(row_mask, start, chunk)
         d = jnp.where(fresh[None, :], d, jnp.inf)
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate(

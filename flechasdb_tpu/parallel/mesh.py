@@ -49,3 +49,13 @@ def shard_corpus(mesh: Mesh, codes: np.ndarray, pidx: np.ndarray,
     codes_s = jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
     pidx_s = jax.device_put(pidx, NamedSharding(mesh, P(AXIS)))
     return codes_s, pidx_s
+
+
+def shard_mask(mesh: Mesh, mask: np.ndarray) -> jax.Array:
+    """Shards a boolean row mask like :func:`shard_corpus` shards ``pidx``.
+
+    Padding rows get ``False`` (they are already excluded via
+    ``pidx == -1``; ``False`` keeps the invariant explicit).
+    """
+    mask = pad_rows(np.asarray(mask, bool), mesh.devices.size, False)
+    return jax.device_put(mask, NamedSharding(mesh, P(AXIS)))

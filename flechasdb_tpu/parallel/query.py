@@ -29,7 +29,7 @@ from ..ops.adc import adc_tables
 from .mesh import AXIS
 
 
-def _local_scan(q, centroids, codebooks, codes, pidx, rotation,
+def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
                 *, k, nprobe):
     """Per-device body: scan local rows, return local top-k in global rows."""
     b = q.shape[0]
@@ -52,6 +52,8 @@ def _local_scan(q, centroids, codebooks, codes, pidx, rotation,
     selected = jax.vmap(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
     keep = selected[:, safe_pidx] & (pidx >= 0)[None, :]
+    if row_mask is not None:
+        keep &= row_mask[None, :]
     vdist = jnp.where(keep, vdist, jnp.inf)
 
     kk = min(k, nloc)
@@ -82,6 +84,7 @@ def query_sharded(
     codes: jax.Array,
     pidx: jax.Array,
     rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
     *,
     mesh: Mesh,
     k: int,
@@ -91,25 +94,30 @@ def query_sharded(
 
     ``codes [N, D]`` / ``pidx [N]`` must be sharded row-wise (see
     :func:`..parallel.mesh.shard_corpus`); ``q``, ``centroids`` and
-    ``codebooks`` are replicated. Returns the same ``(sq_distances [B, k],
-    rows [B, k], probed [B, nprobe])`` triple as the single-chip kernel, with
-    ``rows`` indexing the (padded) global corpus.
+    ``codebooks`` are replicated; ``row_mask [N] bool`` (optional,
+    attribute filtering) must be sharded like ``pidx`` with ``False`` pad
+    (:func:`..parallel.mesh.shard_mask`). Returns the same ``(sq_distances
+    [B, k], rows [B, k], probed [B, nprobe])`` triple as the single-chip
+    kernel, with ``rows`` indexing the (padded) global corpus.
     """
-    if rotation is None:
-        local = lambda q, c, cb, co, pi: _local_scan(
-            q, c, cb, co, pi, None, k=k, nprobe=nprobe)
-        fn = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        return fn(q, centroids, codebooks, codes, pidx)
+    has_rot, has_mask = rotation is not None, row_mask is not None
+    extras, especs = [], []
+    if has_rot:
+        extras.append(rotation)
+        especs.append(P())
+    if has_mask:
+        extras.append(row_mask)
+        especs.append(P(AXIS))
+
+    def local(q, c, cb, co, pi, *ex):
+        rot = ex[0] if has_rot else None
+        rm = ex[-1] if has_mask else None
+        return _local_scan(q, c, cb, co, pi, rot, rm, k=k, nprobe=nprobe)
+
     fn = jax.shard_map(
-        functools.partial(_local_scan, k=k, nprobe=nprobe),
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS), P()),
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS), *especs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(q, centroids, codebooks, codes, pidx, rotation)
+    return fn(q, centroids, codebooks, codes, pidx, *extras)

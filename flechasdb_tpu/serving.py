@@ -80,9 +80,12 @@ class DeviceIndex:
         per_query = 4 * (p * d * c + p * m + n * d)
         return max(1, self.hbm_budget_bytes // per_query)
 
-    def query(self, q: np.ndarray, k: int, nprobe: int
-              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def query(self, q: np.ndarray, k: int, nprobe: int,
+              row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched k-NN: ``q [B, M]`` → host ``(dists, rows, probed)``.
+
+        ``row_mask [N] bool`` (device array or numpy, optional) excludes
+        corpus rows before top-k (attribute filtering, :mod:`.filters`).
 
         Masked-layout batches are chunked so per-batch transients stay
         under ``hbm_budget_bytes`` (VERDICT.md round-1 #8: a skewed corpus
@@ -95,23 +98,26 @@ class DeviceIndex:
         from .ops.bucketed import query_bucketed
 
         qd = jnp.asarray(np.asarray(q, np.float32))
+        if row_mask is not None:
+            row_mask = jnp.asarray(row_mask, bool)
         if self.layout == "bucketed":
             d, r, p = query_bucketed(
                 qd, self.centroids, self.codebooks, self.buckets,
-                self.rotation, k=k, nprobe=nprobe)
+                self.rotation, row_mask, k=k, nprobe=nprobe)
             return np.asarray(d), np.asarray(r), np.asarray(p)
 
         limit = self._masked_batch_limit()
         if len(qd) <= limit:
             d, r, p = query_masked_scan(
                 qd, self.centroids, self.codebooks, self.codes, self.pidx,
-                self.rotation, k=k, nprobe=nprobe)
+                self.rotation, row_mask, k=k, nprobe=nprobe)
             return np.asarray(d), np.asarray(r), np.asarray(p)
         outs = []
         for i in range(0, len(qd), limit):
             outs.append(query_masked_scan(
                 qd[i:i + limit], self.centroids, self.codebooks,
-                self.codes, self.pidx, self.rotation, k=k, nprobe=nprobe))
+                self.codes, self.pidx, self.rotation, row_mask,
+                k=k, nprobe=nprobe))
         return (np.concatenate([np.asarray(o[0]) for o in outs]),
                 np.concatenate([np.asarray(o[1]) for o in outs]),
                 np.concatenate([np.asarray(o[2]) for o in outs]))
@@ -141,14 +147,17 @@ class ShardedIndex:
         self.codes, self.pidx = shard_corpus(
             mesh, np.asarray(codes, np.int32), np.asarray(pidx, np.int32))
 
-    def query(self, q: np.ndarray, k: int, nprobe: int
-              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def query(self, q: np.ndarray, k: int, nprobe: int,
+              row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
+        from .parallel.mesh import shard_mask
         from .parallel.query import query_sharded
 
         qd = jnp.asarray(np.asarray(q, np.float32))
+        if row_mask is not None:
+            row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
         d, r, p = query_sharded(
             qd, self.centroids, self.codebooks, self.codes, self.pidx,
-            self.rotation, mesh=self.mesh, k=k, nprobe=nprobe)
+            self.rotation, row_mask, mesh=self.mesh, k=k, nprobe=nprobe)
         return np.asarray(d), np.asarray(r), np.asarray(p)

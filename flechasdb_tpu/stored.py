@@ -213,6 +213,7 @@ class StoredDatabase:
     _rotation: Optional[np.ndarray] = field(default=None, repr=False)
     _rotation_loaded: bool = field(default=False, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
+    _filter_cache: Optional[object] = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         self._partitions = [None] * self.num_partitions
@@ -361,19 +362,49 @@ class StoredDatabase:
             partition_index)
         self._attr_loaded[partition_index] = True
 
+    # -- attribute filtering (EXTENSION, see filters.py) ----------------------
+
+    def _partition_filter_mask(self, where, partition_index: int,
+                               partition: StoredPartition) -> np.ndarray:
+        """Row mask over one partition's local rows (lazy: loads only that
+        partition's attribute log)."""
+        from .filters import ColumnCache, evaluate_mask
+        self._load_attributes_log(partition_index)
+        return evaluate_mask(where, partition.vector_ids,
+                             self._attribute_table or {}, ColumnCache())
+
+    def _global_filter_mask(self, where) -> np.ndarray:
+        """Row mask over the preloaded corpus (loads every attribute log
+        once; cached columns make repeated filters vectorized numpy)."""
+        from .filters import ColumnCache, evaluate_mask
+        for pi in range(self.num_partitions):
+            self._load_attributes_log(pi)
+        if self._filter_cache is None:
+            self._filter_cache = ColumnCache()
+        _, _, _, vector_ids = self._dev
+        return evaluate_mask(where, vector_ids,
+                             self._attribute_table or {},
+                             self._filter_cache)
+
     # -- queries (db/stored.rs:305-442, 534-598) -----------------------------
 
     def query(self, v, k: int, nprobe: int,
-              ) -> List[StoredQueryResult]:
-        return self.query_with_events(v, k, nprobe, _noop)
+              where=None) -> List[StoredQueryResult]:
+        return self.query_with_events(v, k, nprobe, _noop, where=where)
 
     def query_with_events(self, v, k: int, nprobe: int,
-                          events: EventHandler) -> List[StoredQueryResult]:
+                          events: EventHandler,
+                          where=None) -> List[StoredQueryResult]:
         """Single-vector k-NN with lazy partition loads.
 
         Cold queries run the per-partition ADC scan on the host (they are
         I/O-bound); once the database has been :meth:`preload`-ed, queries
         run the fused device kernel instead.
+
+        ``where`` (optional :class:`.filters.Filter`) restricts results to
+        vectors whose attributes match; on the cold path only the probed
+        partitions' attribute logs are loaded (lazy, like everything else
+        here).
         """
         self._validate_query(k, nprobe)
         v = np.asarray(v, np.float32).reshape(-1)
@@ -382,7 +413,9 @@ class StoredDatabase:
                 f"query vector size {v.shape[0]} != {self.vector_size}")
 
         if self._dev is not None:
-            return self._query_device(v[None], k, nprobe, events)[0]
+            mask = None if where is None else self._global_filter_mask(where)
+            return self._query_device(v[None], k, nprobe, events,
+                                      row_mask=mask)[0]
 
         events(ev.StartingQueryInitialization())
         centroids = self._load_partition_centroids()
@@ -403,6 +436,10 @@ class StoredDatabase:
             # (db/stored.rs:576-595)
             order, dists = adc_scan_partition(
                 v - centroids[pi], codebooks, part.codes, k, rotation)
+            if where is not None:
+                mask = self._partition_filter_mask(where, int(pi), part)
+                dists = np.where(mask, dists, np.inf)
+                order = np.argsort(dists, kind="stable")[:k]
             candidates.extend(
                 StoredQueryResult(
                     db=self,
@@ -412,6 +449,7 @@ class StoredDatabase:
                     squared_distance=float(dists[vi]),
                 )
                 for vi in order
+                if np.isfinite(dists[vi])
             )
             events(ev.FinishedPartitionQuery(int(pi)))
 
@@ -478,9 +516,12 @@ class StoredDatabase:
                     rotation=rotation)
         self._dev = (index, pidx, local, vector_ids)
 
-    def query_batch(self, vs, k: int, nprobe: int
-                    ) -> List[List[StoredQueryResult]]:
-        """Batched k-NN on device (loads everything on first use)."""
+    def query_batch(self, vs, k: int, nprobe: int,
+                    where=None) -> List[List[StoredQueryResult]]:
+        """Batched k-NN on device (loads everything on first use).
+
+        ``where`` (optional :class:`.filters.Filter`): attribute filter,
+        masked on device before top-k."""
         self._validate_query(k, nprobe)
         if self._dev is None:
             self.preload()
@@ -490,13 +531,15 @@ class StoredDatabase:
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
-        return self._query_device(vs, k, nprobe, _noop)
+        mask = None if where is None else self._global_filter_mask(where)
+        return self._query_device(vs, k, nprobe, _noop, row_mask=mask)
 
     def _query_device(self, vs: np.ndarray, k: int, nprobe: int,
-                      events: EventHandler) -> List[List[StoredQueryResult]]:
+                      events: EventHandler,
+                      row_mask=None) -> List[List[StoredQueryResult]]:
         index, pidx, local, vector_ids = self._dev
         events(ev.StartingPartitionSelection())
-        dists, rows, _ = index.query(vs, k, nprobe)
+        dists, rows, _ = index.query(vs, k, nprobe, row_mask=row_mask)
         events(ev.FinishedPartitionSelection())
         events(ev.StartingResultSelection())
         # Result materialization is host-bound at serving batch sizes
