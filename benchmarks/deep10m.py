@@ -41,15 +41,20 @@ def main():
     from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
     from flechasdb_tpu.ops.exact import exact_topk
     from flechasdb_tpu.parallel.build import build_staged
-    from flechasdb_tpu.utils.synth import gmm_pair
+    from flechasdb_tpu.utils.synth import gmm_pair_device
 
     n, m, p, d, c = args.n, 96, 4096, 8, 256
     nq, k = args.nq, 10
 
+    # Generate ON DEVICE: the host generator took 96 s of CPU (19 min on a
+    # 1-vCPU host) + a 3.84 GB device_put; the chunked device program fills
+    # HBM directly. Fence with a tiny slice (block_until_ready doesn't
+    # block through the axon tunnel).
     t0 = time.time()
-    rng = np.random.default_rng(1)
-    x, q = gmm_pair(rng, n, nq, m, n_clusters=1024, intrinsic=12)
-    log({"config": "deep10m", "metric": f"prepare {n}x{m}",
+    xd, qd0 = gmm_pair_device(jax.random.key(11), n, nq, m,
+                              n_clusters=1024, intrinsic=12)
+    _ = np.asarray(xd[:1, :1]), np.asarray(qd0[:1, :1])
+    log({"config": "deep10m", "metric": f"prepare {n}x{m} (on device)",
          "value": round(time.time() - t0, 1), "unit": "s"})
 
     # ---- build (staged: per-round device programs — one monolithic
@@ -58,8 +63,6 @@ def main():
         if isinstance(e, ev.FinishedCentroidUpdate) and e.round % 20 == 0:
             print(f"  round {e.round}", file=sys.stderr, flush=True)
 
-    xd = jax.device_put(x)
-    _ = np.asarray(xd[:1, :1])
     t0 = time.time()
     built = build_staged(xd, p, d, c, jax.random.key(0), progress)
     pidx = np.asarray(built.partition_indices)
@@ -75,8 +78,7 @@ def main():
          "partitions_populated": int(pops)})
 
     # ---- ground truth (exact scan on device, chunked) ----
-    xd = jax.device_put(x)
-    qd = jnp.asarray(q)
+    qd = qd0
     t0 = time.time()
     gt_d, gt_rows = exact_topk(qd, xd, k=k)
     gt = np.asarray(gt_rows)

@@ -248,15 +248,29 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
 
 def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
                     epsilon: float = DEFAULT_EPSILON,
-                    max_rounds: int = MAX_ROUNDS) -> KMeansResult:
+                    max_rounds: int = MAX_ROUNDS,
+                    rounds_per_step: int = 1) -> KMeansResult:
     """Observable variant of :func:`fit` (``kmeans.rs:104-139``).
 
     Runs the Lloyd loop from the host, emitting :mod:`..events` cluster events
-    each round (one device sync per round — use :func:`fit` for peak
-    throughput). Results are identical to :func:`fit` for the same key.
+    each round (use :func:`fit` for peak throughput when no events or host
+    stepping are needed). Results are identical to :func:`fit` for the same
+    key.
+
+    ``rounds_per_step``: Lloyd rounds fused into each device program
+    (``lax.scan``; per-batch ``done`` masks freeze converged entries, so
+    results are identical to stepping one round at a time). Raising it
+    amortizes the per-program host round-trip — on a tunnel-attached chip
+    that round-trip can rival the compute itself at 10M-row scale — at the
+    cost of up to ``rounds_per_step - 1`` wasted (frozen) rounds after
+    convergence. Per-round events still fire, replayed from the returned
+    gradient history.
     """
     from .. import events as ev
 
+    if rounds_per_step < 1:
+        raise ValueError(
+            f"rounds_per_step must be positive: {rounds_per_step}")
     b, n, m = x.shape
     if n < k:
         raise ValueError(f"vs has fewer vectors than k: {n} < {k}")
@@ -273,19 +287,28 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     done = jnp.zeros((b,), bool)
     rounds = jnp.zeros((b,), jnp.int32)
     gradient = jnp.full((b,), jnp.inf, jnp.float32)
-    for r in range(max_rounds):
-        handler(ev.StartingCentroidUpdate(r))
-        centroids, indices, done, rounds, gradient, grad = _round_jit(
+    r = 0
+    while r < max_rounds:
+        steps = min(rounds_per_step, max_rounds - r)
+        centroids, indices, done, rounds, gradient, grads = _scan_rounds_jit(
             x, centroids, indices, done, rounds, gradient, k=k,
-            epsilon=epsilon)
-        grad_host = jax.device_get(grad)
-        handler(ev.FinishedCentroidUpdate(
-            r, grad_host if b > 1 else float(grad_host[0])))
-        if bool(jax.device_get(jnp.all(done))):
+            epsilon=epsilon, steps=steps)
+        grads_host = jax.device_get(grads)          # [steps, B]
+        all_done = bool(jax.device_get(jnp.all(done)))
+        for i in range(steps):
+            gh = grads_host[i]
+            handler(ev.StartingCentroidUpdate(r + i))
+            handler(ev.FinishedCentroidUpdate(
+                r + i, gh if b > 1 else float(gh[0])))
+            converged_by_now = bool((grads_host[:i + 1] < epsilon)
+                                    .any(axis=0).all())
+            if converged_by_now:
+                break
+            handler(ev.StartingCentroidReassignment(r + i))
+            handler(ev.FinishedCentroidReassignment(r + i))
+        if all_done:
             break
-        handler(ev.StartingCentroidReassignment(r))
-        jax.block_until_ready(indices)
-        handler(ev.FinishedCentroidReassignment(r))
+        r += steps
     return KMeansResult(centroids, indices, rounds, gradient)
 
 
@@ -294,8 +317,26 @@ def _init_jit(x, k, key):
     return _subsampled_init(x, k, key)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "epsilon"))
-def _round_jit(x, centroids, indices, done, rounds, gradient, *, k, epsilon):
+@functools.partial(jax.jit, static_argnames=("k", "epsilon", "steps"))
+def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
+                     k, epsilon, steps):
+    """``steps`` Lloyd rounds in one program (``lax.scan`` over the
+    :func:`_round_body`); identical results to ``steps`` host-stepped
+    rounds — ``done`` freezes converged batch entries either way. Returns
+    the per-round gradient history ``[steps, B]`` for event replay."""
+
+    def body(state, _):
+        c, i, d, r, g = state
+        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon)
+        return (c, i, d, r, g), grad
+
+    (centroids, indices, done, rounds, gradient), grads = jax.lax.scan(
+        body, (centroids, indices, done, rounds, gradient), None,
+        length=steps)
+    return centroids, indices, done, rounds, gradient, grads
+
+
+def _round_body(x, centroids, indices, done, rounds, gradient, k, epsilon):
     new_c, grad = _centroid_update(x, indices, centroids, k)
     newly_done = grad < epsilon
     centroids = jnp.where(done[:, None, None], centroids, new_c)

@@ -126,7 +126,8 @@ build_step_donating = jax.jit(_build_fn,
 
 def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
                  events=None, *,
-                 pq_cap: int = PQ_TRAIN_CAP) -> ShardedBuild:
+                 pq_cap: int = PQ_TRAIN_CAP,
+                 rounds_per_step: int = 8) -> ShardedBuild:
     """Host-stepped build for very large corpora (Deep10M-class).
 
     Identical math to :func:`_build_fn`, but each Lloyd round / stage runs
@@ -140,6 +141,12 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
       P=4096, while the same total HBM footprint at GIST shape ran fine);
     * per-round host control gives progress events and a natural
       checkpoint seam for builds that outlive a serverless budget.
+
+    ``rounds_per_step`` Lloyd rounds fuse into each program (``lax.scan``)
+    so the per-program host round-trip — which rivals the compute itself
+    on a tunnel-attached chip — amortizes, while each program stays well
+    under the remote-execution deadline (~8 rounds ≈ a few seconds at
+    Deep10M scale vs minutes for the monolithic 100-round program).
     """
     import numpy as np
 
@@ -150,7 +157,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     n, m = x.shape
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
-    coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler)
+    coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler,
+                                    rounds_per_step=rounds_per_step)
     cents, idx = coarse.centroids[0], coarse.indices[0]
 
     handler(ev.StartingSubvectorDivision())
@@ -163,7 +171,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
             n, d, m // d).transpose(1, 0, 2)
     handler(ev.FinishedSubvectorDivision())
 
-    pq = kmeans.fit_with_events(divided, c, k_pq, handler)
+    pq = kmeans.fit_with_events(divided, c, k_pq, handler,
+                                rounds_per_step=rounds_per_step)
     codes = _encode_jit(x, cents, idx, pq.centroids)
     return ShardedBuild(cents, idx, pq.centroids, codes)
 

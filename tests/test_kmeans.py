@@ -150,6 +150,32 @@ def test_events_path_matches_fast_path(rng):
     assert "FinishedCentroidUpdate" in kinds
 
 
+def test_multi_round_stepping_matches_single(rng):
+    """rounds_per_step fuses Lloyd rounds into one program; results and
+    per-round gradients must be identical to stepping one at a time."""
+    x = jnp.asarray(rng.standard_normal((3, 200, 6)).astype(np.float32))
+    key = jax.random.key(4)
+    one = kmeans.fit_with_events(x, 7, key, lambda e: None)
+    grads = []
+
+    def grab(e):
+        if type(e).__name__ == "FinishedCentroidUpdate":
+            grads.append(np.asarray(e.gradient))
+
+    batched = kmeans.fit_with_events(x, 7, key, grab, rounds_per_step=6)
+    assert np.array_equal(np.asarray(one.centroids),
+                          np.asarray(batched.centroids))
+    assert np.array_equal(np.asarray(one.indices),
+                          np.asarray(batched.indices))
+    assert np.array_equal(np.asarray(one.rounds), np.asarray(batched.rounds))
+    # gradient history replays per round, not per program
+    assert len(grads) >= int(np.asarray(one.rounds).max()) - 6
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans.fit_with_events(x, 7, key, lambda e: None, rounds_per_step=0)
+
+
 def test_pq_subsample_training_parity():
     """Above PQ_TRAIN_CAP the build trains codebooks on a subsample and
     assigns codes chunked; quality must match full-corpus training and the

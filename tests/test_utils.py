@@ -115,3 +115,39 @@ def test_profiler_trace_writes_dump(tmp_path):
             _ = np.asarray(jnp.arange(8).sum())
     dumped = list(tmp_path.rglob("*"))
     assert any(p.is_file() for p in dumped), "no profiler output written"
+
+
+# --- synthetic data ------------------------------------------------------------
+
+def test_gmm_device_generator_matches_host_statistics():
+    """Device GMM (utils/synth.gmm_corpus_device) must look like the host
+    generator: same shape/dtype, comparable spread, clustered structure,
+    and chunking (incl. a non-dividing tail) must not distort the data."""
+    import jax
+    import numpy as np
+    from flechasdb_tpu.utils.synth import (
+        gmm_corpus, gmm_corpus_device, gmm_pair_device)
+
+    x = np.asarray(gmm_corpus_device(
+        jax.random.key(0), 4000, 24, n_clusters=32, intrinsic=6,
+        chunk=1700))  # 2 full chunks + 600-row tail
+    h = gmm_corpus(np.random.default_rng(0), 4000, 24,
+                   n_clusters=32, intrinsic=6)
+    assert x.shape == (4000, 24) and x.dtype == np.float32
+    assert np.isfinite(x).all()
+    assert 0.5 < x.std() / h.std() < 2.0
+    # tail rows must be drawn from the same mixture, not zeros/garbage
+    assert 0.5 < x[3400:].std() / x[:3400].std() < 2.0
+
+    c, q = gmm_pair_device(jax.random.key(1), 3000, 64, 24,
+                           n_clusters=32, intrinsic=6, chunk=999)
+    c, q = np.asarray(c), np.asarray(q)
+    assert c.shape == (3000, 24) and q.shape == (64, 24)
+    # queries come from the SAME mixture: their NN distance inside the
+    # corpus must look like corpus self-NN distance (same parameters),
+    # which fails if the pair helper re-drew the mixture.
+    dq = ((q[:, None, :] - c[None, :1000, :]) ** 2).sum(-1).min(1)
+    dc = ((c[:64, None, :] - c[None, :1000, :]) ** 2).sum(-1)
+    dc = np.partition(dc, 1, axis=1)[:, 1]
+    ratio = np.median(dq) / np.median(dc)
+    assert 0.2 < ratio < 5.0
