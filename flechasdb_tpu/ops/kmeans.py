@@ -111,13 +111,10 @@ def plusplus_init(x: jax.Array, k: int,
     return centroids, indices
 
 
-def _centroid_update(x: jax.Array, indices: jax.Array, old: jax.Array,
-                     k: int) -> tuple[jax.Array, jax.Array]:
-    """One centroid update (``kmeans.rs:232-276``).
-
-    Cluster sums/counts are accumulated with chunked one-hot matmuls — MXU
-    work instead of scatter-adds. Returns ``(new_centroids [B, K, M],
-    gradient [B])``. Empty clusters keep their old centroid.
+def _cluster_sums(x: jax.Array, indices: jax.Array,
+                  k: int) -> tuple[jax.Array, jax.Array]:
+    """Per-cluster member sums and sizes via chunked one-hot matmuls — MXU
+    work instead of scatter-adds. ``(sums [B, K, M] f32, counts [B, K])``.
     """
     b, n, m = x.shape
     # Bound the transient one-hot tile to ~2^25 elements. Chunks come from
@@ -146,18 +143,59 @@ def _centroid_update(x: jax.Array, indices: jax.Array, old: jax.Array,
     init = (jnp.zeros((b, k + 1, m), jnp.float32),
             jnp.zeros((b, k + 1), jnp.float32))
     sums, counts = jax.lax.fori_loop(0, steps, body, init)
-    sums, counts = sums[:, :k], counts[:, :k]
+    return sums[:, :k], counts[:, :k]
 
+
+def _means_grad(sums: jax.Array, counts: jax.Array, old: jax.Array,
+                dtype) -> tuple[jax.Array, jax.Array]:
+    """Centroid means + convergence gradient (``kmeans.rs:232-276``).
+
+    Empty clusters keep their old centroid; ``gradient =
+    max_k ||Δc|| / max_k ||c_new||`` (``kmeans.rs:261-275``).
+    """
     empty = counts == 0
     mean = sums / jnp.where(empty, 1.0, counts)[..., None]
-    new = jnp.where(empty[..., None], old, mean.astype(x.dtype))
+    new = jnp.where(empty[..., None], old, mean.astype(dtype))
 
-    # gradient = max_k ||Δc|| / max_k ||c_new||   (kmeans.rs:261-275)
     dist = jnp.linalg.norm(old - new, axis=-1)     # [B, K]
     norm = jnp.linalg.norm(new, axis=-1)           # [B, K]
     max_norm = jnp.max(norm, axis=-1)
     grad = jnp.where(max_norm > 0, jnp.max(dist, axis=-1) / max_norm, 0.0)
     return new, grad
+
+
+def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
+                 impl: str | None) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Assignment against ``centroids`` plus cluster sums/counts under that
+    fresh assignment — the whole data-touching part of one Lloyd round.
+
+    ``impl``: ``"pallas"`` (fused single-pass VMEM kernel,
+    :mod:`.pallas_kmeans`, default on TPU — interpreted elsewhere) or
+    ``"xla"`` (two chunked passes, default off-TPU).
+    """
+    if impl is None:
+        from .bucketed import _platform
+        impl = "pallas" if _platform() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_kmeans import lloyd_round
+        return lloyd_round(x, centroids)
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
+    sums, counts = _cluster_sums(x, indices, k)
+    return indices, sums, counts
+
+
+def _assign_only(x: jax.Array, centroids: jax.Array, k: int,
+                 impl: str | None) -> jax.Array:
+    """Assignment with the same tie-breaking as :func:`_fused_round`."""
+    if impl is None:
+        from .bucketed import _platform
+        impl = "pallas" if _platform() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_kmeans import lloyd_round
+        return lloyd_round(x, centroids)[0]
+    return assign_chunked(x, centroids, k=k, precision=_PRECISION)[0]
 
 
 def _seed_cap(k: int) -> int:
@@ -174,7 +212,8 @@ def _seed_cap(k: int) -> int:
     return max(4096, 32 * k)
 
 
-def _subsampled_init(x: jax.Array, k: int, key: jax.Array,
+def _subsampled_init(x: jax.Array, k: int, key: jax.Array, *,
+                     need_indices: bool = True,
                      ) -> tuple[jax.Array, jax.Array]:
     b, n, m = x.shape
     cap = _seed_cap(k)
@@ -185,19 +224,32 @@ def _subsampled_init(x: jax.Array, k: int, key: jax.Array,
     # chosen, so they are never picked twice; avoids an O(N log N) shuffle.
     rows = jax.random.randint(k_pick, (cap,), 0, n)
     centroids, _ = plusplus_init(x[:, rows], k, k_seed)
+    if not need_indices:
+        # The first Lloyd round recomputes the assignment from these same
+        # centroids anyway — skip the full-corpus pass (a whole corpus read
+        # at Deep10M scale) when the caller will run at least one round.
+        return centroids, jnp.zeros((b, n), jnp.int32)
     from .distance import assign_chunked
     indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
     return centroids, indices
 
 
-@functools.partial(jax.jit, static_argnames=("k", "epsilon", "max_rounds"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "epsilon", "max_rounds", "impl"))
 def fit(x: jax.Array, k: int, key: jax.Array, *,
         epsilon: float = DEFAULT_EPSILON,
-        max_rounds: int = MAX_ROUNDS) -> KMeansResult:
+        max_rounds: int = MAX_ROUNDS,
+        impl: str | None = None) -> KMeansResult:
     """k-means++ seeding followed by Lloyd's loop, fully on device.
 
     ``x: [B, N, M]``; ``k`` is static. ``N == k`` short-circuits to
     one-vector-per-cluster (``kmeans.rs:158-169``).
+
+    Each round runs assignment-then-update against the entering centroids
+    (one fused corpus pass on TPU, :func:`_fused_round`); the reference's
+    stop-before-reassignment rule (``kmeans.rs:130-136``) is preserved:
+    returned assignments always predate the final centroid update for
+    converged runs. ``impl`` as in :func:`_fused_round`.
     """
     b, n, m = x.shape
     if n < k:
@@ -207,7 +259,11 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return KMeansResult(x, idx, jnp.zeros((b,), jnp.int32),
                             jnp.zeros((b,), jnp.float32))
 
-    centroids, indices = _subsampled_init(x, k, key)
+    centroids, indices = _subsampled_init(x, k, key,
+                                          need_indices=max_rounds == 0)
+    if max_rounds == 0:
+        return KMeansResult(centroids, indices, jnp.zeros((b,), jnp.int32),
+                            jnp.full((b,), jnp.inf, jnp.float32))
 
     class S(NamedTuple):
         centroids: jax.Array
@@ -221,19 +277,18 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return (s.r < max_rounds) & ~jnp.all(s.done)
 
     def body(s: S):
-        new_c, grad = _centroid_update(x, s.indices, s.centroids, k)
+        idx_f, sums, counts = _fused_round(x, s.centroids, k, impl)
+        new_c, grad = _means_grad(sums, counts, s.centroids, x.dtype)
         newly_done = grad < epsilon
-        # Converged-before-this-round batches freeze entirely.
+        # Converged-before-this-round batches freeze entirely; freshly
+        # converged ones keep idx_f — the assignment against the
+        # PRE-update centroids, as the reference requires.
         centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
-        # Reference stops *before* reassignment once converged
-        # (kmeans.rs:130-136), so freshly-converged batches keep old indices.
-        new_idx, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
-        frozen = s.done | newly_done
-        indices = jnp.where(frozen[:, None], s.indices, new_idx)
+        indices = jnp.where(s.done[:, None], s.indices, idx_f)
         return S(
             centroids=centroids,
             indices=indices,
-            done=frozen,
+            done=s.done | newly_done,
             rounds=s.rounds + (~s.done).astype(jnp.int32),
             gradient=jnp.where(s.done, s.gradient, grad),
             r=s.r + 1,
@@ -243,13 +298,23 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
            jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
            jnp.full((b,), jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
     s = jax.lax.while_loop(cond, body, s0)
-    return KMeansResult(s.centroids, s.indices, s.rounds, s.gradient)
+    # Batches that exhausted max_rounds without converging end with a
+    # final centroid update the carried assignment predates; the reference
+    # reassigns after every non-converged update, so run one last
+    # assignment for them (skipped entirely when everything converged).
+    final_idx = jax.lax.cond(
+        jnp.all(s.done),
+        lambda: s.indices,
+        lambda: jnp.where(s.done[:, None], s.indices,
+                          _assign_only(x, s.centroids, k, impl)))
+    return KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)
 
 
 def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
                     epsilon: float = DEFAULT_EPSILON,
                     max_rounds: int = MAX_ROUNDS,
-                    rounds_per_step: int = 1) -> KMeansResult:
+                    rounds_per_step: int = 1,
+                    impl: str | None = None) -> KMeansResult:
     """Observable variant of :func:`fit` (``kmeans.rs:104-139``).
 
     Runs the Lloyd loop from the host, emitting :mod:`..events` cluster events
@@ -280,7 +345,7 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
                             jnp.zeros((b,), jnp.float32))
 
     handler(ev.StartingCentroidInitialization())
-    centroids, indices = _init_jit(x, k, key)
+    centroids, indices = _init_jit(x, k, key, skip_indices=max_rounds > 0)
     jax.block_until_ready(centroids)
     handler(ev.FinishedCentroidInitialization())
 
@@ -292,7 +357,7 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         steps = min(rounds_per_step, max_rounds - r)
         centroids, indices, done, rounds, gradient, grads = _scan_rounds_jit(
             x, centroids, indices, done, rounds, gradient, k=k,
-            epsilon=epsilon, steps=steps)
+            epsilon=epsilon, steps=steps, impl=impl)
         grads_host = jax.device_get(grads)          # [steps, B]
         all_done = bool(jax.device_get(jnp.all(done)))
         for i in range(steps):
@@ -309,17 +374,29 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         if all_done:
             break
         r += steps
+    else:
+        # max_rounds exhausted with unconverged batches: their carried
+        # assignment predates the final centroid update; reassign, as in
+        # :func:`fit`'s epilogue.
+        if not bool(jax.device_get(jnp.all(done))):
+            fresh = _assign_jit(x, centroids, k=k, impl=impl)
+            indices = jnp.where(done[:, None], indices, fresh)
     return KMeansResult(centroids, indices, rounds, gradient)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _init_jit(x, k, key):
-    return _subsampled_init(x, k, key)
+@functools.partial(jax.jit, static_argnames=("k", "skip_indices"))
+def _init_jit(x, k, key, *, skip_indices=False):
+    return _subsampled_init(x, k, key, need_indices=not skip_indices)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "epsilon", "steps"))
+@functools.partial(jax.jit, static_argnames=("k", "impl"))
+def _assign_jit(x, centroids, *, k, impl):
+    return _assign_only(x, centroids, k, impl)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "epsilon", "steps", "impl"))
 def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
-                     k, epsilon, steps):
+                     k, epsilon, steps, impl):
     """``steps`` Lloyd rounds in one program (``lax.scan`` over the
     :func:`_round_body`); identical results to ``steps`` host-stepped
     rounds — ``done`` freezes converged batch entries either way. Returns
@@ -327,7 +404,7 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
 
     def body(state, _):
         c, i, d, r, g = state
-        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon)
+        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon, impl)
         return (c, i, d, r, g), grad
 
     (centroids, indices, done, rounds, gradient), grads = jax.lax.scan(
@@ -336,13 +413,15 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
     return centroids, indices, done, rounds, gradient, grads
 
 
-def _round_body(x, centroids, indices, done, rounds, gradient, k, epsilon):
-    new_c, grad = _centroid_update(x, indices, centroids, k)
+def _round_body(x, centroids, indices, done, rounds, gradient, k, epsilon,
+                impl=None):
+    idx_f, sums, counts = _fused_round(x, centroids, k, impl)
+    new_c, grad = _means_grad(sums, counts, centroids, x.dtype)
     newly_done = grad < epsilon
     centroids = jnp.where(done[:, None, None], centroids, new_c)
-    new_idx, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
-    frozen = done | newly_done
-    indices = jnp.where(frozen[:, None], indices, new_idx)
+    # Freshly converged entries keep idx_f — the assignment against the
+    # PRE-update centroids (kmeans.rs:130-136).
+    indices = jnp.where(done[:, None], indices, idx_f)
     rounds = rounds + (~done).astype(jnp.int32)
     gradient = jnp.where(done, gradient, grad)
-    return centroids, indices, frozen, rounds, gradient, grad
+    return centroids, indices, done | newly_done, rounds, gradient, grad

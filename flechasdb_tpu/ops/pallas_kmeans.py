@@ -1,0 +1,188 @@
+"""Pallas TPU kernel for a fused Lloyd round (assign + cluster sums).
+
+One k-means round needs two full passes over the corpus the way XLA runs
+it: nearest-centroid assignment materializes a ``[chunk, K]`` distance
+tile per chunk and the centroid update materializes a ``[chunk, K+1]``
+one-hot tile per chunk — at Deep10M coarse shape (N=10M, K=4096) that is
+~164 GB of HBM written+read per pass, ~40x the corpus bytes, and the
+round is pure HBM bandwidth. The reference pays the same two passes in
+scalar form (``kmeans.rs:232-306``).
+
+This kernel fuses both stages into ONE pass in which neither tile ever
+leaves VMEM: for each row tile
+
+1. ``d = cc - 2 x·cᵀ`` on the MXU (the ``‖x‖²`` term is constant per row
+   and cannot change the argmin, so it is skipped),
+2. ``idx = argmin d`` on the VPU,
+3. ``onehot(idx)ᵀ @ x`` on the MXU accumulates cluster sums and counts
+   into a VMEM-resident accumulator (revisited output block).
+
+HBM traffic per round drops to ~corpus bytes (plus K·M outputs); the
+round becomes MXU-bound at ``4·N·K·M`` FLOPs. Centroid means, the
+convergence gradient, and empty-cluster handling stay in XLA
+(:mod:`.kmeans`) — they are O(K·M).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_kernel(x_ref, c_ref, cc_ref, idx_ref, sums_ref, counts_ref, *,
+                  n: int, t: int, fast_math: bool):
+    """One ``[T, M]`` row tile against all ``[K, M]`` centroids."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        sums_ref[...] = jnp.zeros(sums_ref.shape, sums_ref.dtype)
+        counts_ref[...] = jnp.zeros(counts_ref.shape, counts_ref.dtype)
+
+    xi = x_ref[0]                                    # [T, M] f32
+    cents = c_ref[0]                                 # [K, M] f32
+    k = cents.shape[0]
+
+    # Edge tile: rows past N are garbage from the padded block — zero them
+    # so 0·NaN cannot poison the sum matmul, and mask them out of the
+    # one-hot.  n is static, so full tiles compile with no mask at all.
+    # (Two iotas, not one transpose: Mosaic cannot transpose bool vectors.)
+    valid_col = None
+    if n % t:
+        rows = j * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+        xi = jnp.where(rows < n, xi, 0.0)
+        cols = j * t + jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        valid_col = cols < n                         # [1, T]
+
+    def dot_nt(a, b):                                # a @ bᵀ, f32 accum
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    xhi = xi.astype(jnp.bfloat16)
+    chi = cents.astype(jnp.bfloat16)
+    if fast_math:
+        # ‖x‖² is constant per row: argmin_k (‖c_k‖² - 2 x·c_k) suffices.
+        xc = dot_nt(xhi, chi)
+    else:
+        # Manual bf16x3 (hi/lo split): the same error-compensated product
+        # XLA's Precision.HIGH runs — the XLA training path's setting —
+        # at 3 MXU passes instead of HIGHEST's 6. Mosaic itself lowers
+        # only DEFAULT (1 bf16 pass) and HIGHEST.
+        xlo = (xi - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        clo = (cents - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xc = dot_nt(xhi, chi) + dot_nt(xhi, clo) + dot_nt(xlo, chi)
+    d = cc_ref[0] - 2.0 * xc                         # [T, K]
+    # argmin via min + iota-select (Mosaic has no argmin lowering); the
+    # inner min over matching positions keeps the FIRST minimum, matching
+    # jnp.argmin / assign_chunked tie-breaking.
+    k_num = d.shape[1]
+    dmin = jnp.min(d, axis=1, keepdims=True)         # [T, 1]
+    cand = jnp.where(d == dmin,
+                     jax.lax.broadcasted_iota(jnp.int32, d.shape, 1), k_num)
+    idx = jnp.min(cand, axis=1)                      # [T]
+    idx_ref[0, 0] = idx
+
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (k, t), 0)
+          == idx[None, :])                           # [K, T]
+    if valid_col is not None:
+        oh &= valid_col
+    # One-hot entries are exactly 0/1 in bf16, so the error in each pass
+    # comes only from x's rounding: hi alone for fast_math, hi+lo (the
+    # full f32 mantissa, split exactly) otherwise.
+    ohf = oh.astype(jnp.bfloat16)
+
+    def dot_nn(a, b):                                # [K,T] @ [T,M]
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s = dot_nn(ohf, xhi)
+    if not fast_math:
+        s += dot_nn(ohf, xlo)
+    sums_ref[0] += s                                 # [K, M]
+    counts_ref[0, 0] += jnp.sum(oh.astype(jnp.float32), axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "fast_math", "interpret"))
+def lloyd_round(x: jax.Array, centroids: jax.Array, *,
+                tile: int | None = None, fast_math: bool = False,
+                interpret: bool | None = None,
+                ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused assignment + cluster-sum pass.
+
+    ``x: [B, N, M]`` f32, ``centroids: [B, K, M]`` f32 →
+    ``(indices [B, N] int32, sums [B, K, M] f32, counts [B, K] f32)``
+    where ``indices[b, i] = argmin_k ‖x[b,i] - c[b,k]‖²`` (first minimum,
+    matching :func:`.distance.assign_chunked`) and ``sums/counts`` are the
+    per-cluster member sums/sizes under that fresh assignment.
+
+    Default numerics: distances via a manual bf16x3 (hi/lo) product —
+    the same error-compensated scheme as ``Precision.HIGH``, which the
+    XLA training path uses — and sums via bf16x2 (exact one-hot factor,
+    f32 accumulation), measured ≈0.9999 assignment agreement with the
+    XLA path. ``fast_math`` drops both to single bf16 passes (~0.995
+    agreement — ties flip where bf16 rounding collapses near-equal
+    distances).
+    """
+    b, n, m = x.shape
+    k = centroids.shape[1]
+    if tile is None:
+        # Row-tile auto-sizing: the [T, K]-shaped VMEM residents (the
+        # distance tile, the iota-select temp, the one-hot) cost ~9·T·K_pad
+        # bytes. Bigger tiles amortize per-step grid overhead (K=4096:
+        # 189 ms @128 → 104 ms @384 per 2M rows), but inside a larger
+        # program the scoped-VMEM allowance is < the 16 MB chip limit
+        # (measured: K=4096 T=384 runs standalone at 17.6 MB scoped, OOMs
+        # inside jit(fit)) — so budget ~9 MB: K=4096 → T=256.
+        kp = -(-k // 128) * 128
+        tile = max(128, min(1024, (9 << 20) // (9 * kp) // 128 * 128))
+    t = min(tile, max(128, -(-n // 128) * 128))
+    steps = -(-n // t)
+    if interpret is None:  # Mosaic needs a real TPU; interpret elsewhere
+        from .bucketed import _platform
+        interpret = _platform() != "tpu"
+
+    cc = jnp.sum(centroids * centroids, axis=-1)[:, None, :]  # [B, 1, K]
+
+    kernel = functools.partial(_round_kernel, n=n, t=t, fast_math=fast_math)
+    idx, sums, counts = pl.pallas_call(
+        kernel,
+        grid=(b, steps),
+        in_specs=[
+            pl.BlockSpec((1, t, m), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, m), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # Mosaic needs the last two block dims (8, 128)-divisible or
+            # equal to the array dims — hence the singleton sublane axes.
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, m), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, steps * t), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * k * m,
+            bytes_accessed=(x.size + centroids.size * steps) * 4
+            + b * n * 4 + (b * k * (m + 1)) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, centroids, cc)
+    return idx[:, 0, :n], sums, counts[:, 0]

@@ -6,7 +6,7 @@ shards across devices and the whole build compiles as ONE ``jit`` program:
 
 * coarse k-means++ / Lloyd over ``[N, M]`` — the cluster-sum and count
   reductions become ``psum`` collectives XLA inserts over ICI (the one-hot
-  matmul in :func:`..ops.kmeans._centroid_update` contracts over the sharded
+  matmul in :func:`..ops.kmeans._cluster_sums` contracts over the sharded
   axis, which is exactly a ``reduce_scatter``-friendly pattern);
 * residual subtraction — local, no communication;
 * batched PQ training over ``[D, N, M/D]`` — same sharded reduction per
@@ -87,11 +87,15 @@ def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
 
 
 def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
-              pq_cap: int = PQ_TRAIN_CAP) -> ShardedBuild:
+              pq_cap: int = PQ_TRAIN_CAP,
+              impl: str | None = None) -> ShardedBuild:
+    """``impl`` selects the Lloyd-round kernel (``ops.kmeans._fused_round``).
+    Sharded (GSPMD) callers must pin ``"xla"``: a ``pallas_call`` is a
+    custom call the SPMD partitioner cannot split over the mesh."""
     n, m = x.shape
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
-    coarse = kmeans.fit(x[None], p, k_coarse)
+    coarse = kmeans.fit(x[None], p, k_coarse, impl=impl)
     cents, idx = coarse.centroids[0], coarse.indices[0]
     if n > pq_cap:
         # Train codebooks on a uniform residual subsample
@@ -103,24 +107,26 @@ def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
         sample = (jnp.take(x, rows, axis=0)
                   - jnp.take(cents, jnp.take(idx, rows), axis=0))
         divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
-        pq = kmeans.fit(divided, c, k_pq)
+        pq = kmeans.fit(divided, c, k_pq, impl=impl)
         codes = _encode_chunked(x, cents, idx, pq.centroids)
     else:
         residues = x - jnp.take(cents, idx, axis=0)
         divided = residues.reshape(n, d, m // d).transpose(1, 0, 2)
-        pq = kmeans.fit(divided, c, k_pq)
+        pq = kmeans.fit(divided, c, k_pq, impl=impl)
         codes = pq.indices.T.astype(jnp.int32)            # [N, D]
     return ShardedBuild(cents, idx, pq.centroids, codes)
 
 
-_build_step = jax.jit(_build_fn, static_argnames=("p", "d", "c", "pq_cap"))
+_build_step = jax.jit(_build_fn,
+                      static_argnames=("p", "d", "c", "pq_cap", "impl"))
 
 #: Donating variant: the input buffer is released to XLA so the residual
 #: array can alias it — needed for corpora within ~2× of HBM (GIST1M-scale
 #: 1M×960 peaks at ~11.5 GB without donation and crashes a 16 GB chip).
 #: The caller's device array is invalidated; re-``device_put`` to rebuild.
 build_step_donating = jax.jit(_build_fn,
-                              static_argnames=("p", "d", "c", "pq_cap"),
+                              static_argnames=("p", "d", "c", "pq_cap",
+                                               "impl"),
                               donate_argnums=(0,))
 
 
@@ -201,4 +207,7 @@ def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
     """
     xs = jax.device_put(jnp.asarray(x, jnp.float32),
                         NamedSharding(mesh, P(AXIS, None)))
-    return _build_step(xs, key, p=p, d=d, c=c)
+    # "xla": the fused pallas round is a custom call GSPMD cannot
+    # partition; the one-hot matmul formulation propagates shardings and
+    # turns the cluster-sum contractions into mesh collectives.
+    return _build_step(xs, key, p=p, d=d, c=c, impl="xla")

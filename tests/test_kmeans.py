@@ -215,3 +215,64 @@ def test_pq_subsample_training_parity():
         return float(((rr - rec) ** 2).sum())
 
     assert err(sub) < 1.1 * err(full), (err(sub), err(full))
+
+
+# --- fused pallas round (interpret mode on CPU) -------------------------------
+
+def test_lloyd_round_matches_xla_pass(rng):
+    """The fused pallas round (ops/pallas_kmeans.lloyd_round) must agree
+    with the two-pass XLA formulation: same assignment (first-minimum
+    tie-breaking) and the same cluster sums/counts under it, including
+    batch entries and a tile-non-dividing N."""
+    from flechasdb_tpu.ops.pallas_kmeans import lloyd_round
+
+    for b, n, m, k, t in [(1, 1000, 24, 16, 256), (3, 517, 12, 7, 128)]:
+        x = jnp.asarray(rng.standard_normal((b, n, m)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((b, k, m)).astype(np.float32))
+        idx, sums, counts = lloyd_round(x, c, tile=t, interpret=True)
+        ref_idx, _ = assign_chunked(x, c, k=k,
+                                    precision=jax.lax.Precision.HIGH)
+        assert np.array_equal(np.asarray(idx), np.asarray(ref_idx))
+        xi, ii = np.asarray(x, np.float64), np.asarray(idx)
+        for bb in range(b):
+            oh = (np.arange(k)[:, None] == ii[bb][None, :]).astype(np.float64)
+            assert np.allclose(np.asarray(sums)[bb], oh @ xi[bb],
+                               rtol=1e-4, atol=1e-3)
+            assert np.array_equal(np.asarray(counts)[bb], oh.sum(1))
+
+
+def test_fit_pallas_impl_quality_parity(rng):
+    """fit(impl='pallas') (interpreted off-TPU) must converge to the same
+    quality as the XLA path: near-identical inertia, same convergence."""
+    x, _ = _blobs(rng, 50, 8, 6)
+    xj = jnp.asarray(x)[None]
+    key = jax.random.key(3)
+    ref = kmeans.fit(xj, 8, key, impl="xla")
+    got = kmeans.fit(xj, 8, key, impl="pallas")
+    i_ref = _inertia(x, ref.centroids[0], ref.indices[0])
+    i_got = _inertia(x, got.centroids[0], got.indices[0])
+    assert abs(i_ref - i_got) <= 0.02 * max(i_ref, 1e-9)
+    # events path with the pallas impl matches fit with the pallas impl
+    ev = kmeans.fit_with_events(xj, 8, key, lambda e: None, impl="pallas")
+    assert np.array_equal(np.asarray(ev.centroids), np.asarray(got.centroids))
+    assert np.array_equal(np.asarray(ev.indices), np.asarray(got.indices))
+
+
+def test_fit_exhaustion_reassigns(rng):
+    """When max_rounds exhausts before convergence the returned assignment
+    must match the returned (post-final-update) centroids, as the
+    reference's loop leaves it."""
+    x = rng.standard_normal((300, 5)).astype(np.float32)  # no structure:
+    xj = jnp.asarray(x)[None]                             # slow convergence
+    res = kmeans.fit(xj, 6, jax.random.key(0), max_rounds=2)
+    assert int(res.rounds[0]) == 2 and float(res.gradient[0]) > 1e-6
+    expect, _ = assign_chunked(xj, res.centroids, k=6,
+                               precision=jax.lax.Precision.HIGH)
+    assert np.array_equal(np.asarray(res.indices), np.asarray(expect))
+    # events path agrees
+    ev = kmeans.fit_with_events(xj, 6, jax.random.key(0), lambda e: None,
+                                max_rounds=2)
+    assert np.array_equal(np.asarray(ev.indices), np.asarray(res.indices))
+    # max_rounds=0 returns the seeding assignment unchanged
+    r0 = kmeans.fit(xj, 6, jax.random.key(0), max_rounds=0)
+    assert int(r0.rounds[0]) == 0
