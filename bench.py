@@ -42,17 +42,10 @@ def log(msg: str) -> None:
 def enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: the second process pays ~0 compile.
 
-    Applied before any compilation. Safe to call on any backend; harmless if
-    the plugin does not support it (JAX falls back to compiling).
+    Applied before any compilation (shared helper: ``utils/cache.py``).
     """
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:  # pragma: no cover - older jax knob names
-        log(f"compilation cache unavailable: {e}")
+    from flechasdb_tpu.utils.cache import enable_compilation_cache as go
+    go(CACHE_DIR)
 
 
 def main() -> None:

@@ -10,8 +10,11 @@ n=10M, k=4096, m=96 both stages are HBM-bound, not FLOP-bound:
 This script times alternatives on the real chip so the production kernel
 choice is measured, not guessed:
 
-  update: onehot-f32 (current) | onehot-bf16 | segment_sum | sort-cumsum
-  assign: f32 tile (current)   | bf16 tile
+  fused:  ops/pallas_kmeans.lloyd_round (assignment + sums, one pass,
+          tiles stay in VMEM) — the production TPU kernel; this race is
+          why (measured n=2M k=4096 m=96: 114 ms vs 73 + 1873 ms below)
+  update: onehot-f32 | onehot-bf16 | segment_sum | sort-cumsum
+  assign: f32 tile   | bf16 tile
 
 Usage: python benchmarks/kmeans_micro.py [--n 2000000] [--k 4096] [--m 96]
 """
@@ -63,6 +66,15 @@ def main():
         dt = (time.time() - t0) / args.reps
         print(f"{name:24s} {dt * 1e3:9.1f} ms", flush=True)
         return out
+
+    # ---- fused production kernel (assignment + sums in one pass) ---------
+
+    from flechasdb_tpu.ops.pallas_kmeans import lloyd_round
+
+    bench("fused lloyd_round", lambda a, b: lloyd_round(a[None], b[None]),
+          x, cents)
+    bench("fused lloyd_round fast", lambda a, b: lloyd_round(
+        a[None], b[None], fast_math=True), x, cents)
 
     # ---- update variants: cluster sums + counts --------------------------
 

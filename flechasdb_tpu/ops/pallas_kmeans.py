@@ -133,15 +133,19 @@ def lloyd_round(x: jax.Array, centroids: jax.Array, *,
     b, n, m = x.shape
     k = centroids.shape[1]
     if tile is None:
-        # Row-tile auto-sizing: the [T, K]-shaped VMEM residents (the
-        # distance tile, the iota-select temp, the one-hot) cost ~9·T·K_pad
-        # bytes. Bigger tiles amortize per-step grid overhead (K=4096:
-        # 189 ms @128 → 104 ms @384 per 2M rows), but inside a larger
-        # program the scoped-VMEM allowance is < the 16 MB chip limit
-        # (measured: K=4096 T=384 runs standalone at 17.6 MB scoped, OOMs
-        # inside jit(fit)) — so budget ~9 MB: K=4096 → T=256.
+        # Row-tile auto-sizing against the 16 MB scoped-VMEM limit.
+        # Empirical model (calibrated on two measured scoped sizes:
+        # K=4096/M=96/T=384 → 17.6 MB; K=100/M=1536/T=1024 → 26.0 MB):
+        #   scoped ≈ 7·T·K_pad  (distance tile + iota-select + one-hot)
+        #          + 12·T·M_pad (x tile f32 double-buffered + bf16 hi/lo)
+        #          + 12·K_pad·M_pad (sums accumulator + centroids hi/lo).
+        # Bigger tiles amortize per-step grid overhead (K=4096: 189 ms
+        # @T=128 → 104 ms @384 per 2M rows), so take the largest T that
+        # stays under ~14 MB.
         kp = -(-k // 128) * 128
-        tile = max(128, min(1024, (9 << 20) // (9 * kp) // 128 * 128))
+        mp = -(-m // 128) * 128
+        avail = max((14 << 20) - 12 * kp * mp, 1 << 20)
+        tile = max(128, min(1024, avail // (7 * kp + 12 * mp) // 128 * 128))
     t = min(tile, max(128, -(-n // 128) * 128))
     steps = -(-n // t)
     if interpret is None:  # Mosaic needs a real TPU; interpret elsewhere
