@@ -76,12 +76,14 @@ def run_sift(scale, rng, opq=False):
     n = 1_000_000 if scale == "full" else 200_000
     m, p, d, c = 128, 1024, 8, 256
     nq, k = 1000, 10
-    from flechasdb_tpu.utils.synth import gmm_pair
-    x, q = gmm_pair(rng, n, nq, m, n_clusters=256, intrinsic=12)
+    # On-device generation: the host GMM at 1M x 128 costs minutes of CPU
+    # on a small host plus a 512 MB transfer; the device program is ~1 s.
+    from flechasdb_tpu.utils.synth import gmm_pair_device
+    xd, qdev = gmm_pair_device(jax.random.key(17), n, nq, m,
+                               n_clusters=256, intrinsic=12)
+    x, q = xd, np.asarray(qdev)
     cfg = "sift-opq" if opq else "sift"
-
-    xd = jnp.asarray(x)
-    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
+    _ = np.asarray(xd[:1, :1])        # fence the generation
     t0 = time.time()
     built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
     pidx = np.asarray(built.partition_indices)
@@ -178,16 +180,23 @@ def run_gist(scale, rng):
 
     n = 1_000_000 if scale == "full" else 100_000
     m, p, d, c = 960, 1024, 60, 256
-    x = synth(rng, n, m, 32)
-    # At this scale the input must be donated so residuals alias its buffer.
-    xd = jax.device_put(x)
-    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
+    # On-device generation (host GMM at 1M x 960 is ~15 min of CPU on a
+    # 1-vCPU host + a 3.8 GB transfer). Donation invalidates the buffer,
+    # so regenerate between the cold and warm builds — same key, ~1 s.
+    from flechasdb_tpu.utils.synth import gmm_corpus_device
+
+    def gen():
+        xd = gmm_corpus_device(jax.random.key(23), n, m,
+                               n_clusters=256, intrinsic=32)
+        _ = np.asarray(xd[:1, :1])    # fence the generation
+        return xd
+
+    xd = gen()
     t0 = time.time()
     built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
     cold = time.time() - t0
-    xd = jax.device_put(x)
-    _ = np.asarray(xd[:1, :1])        # fence the host->device transfer
+    xd = gen()
     t0 = time.time()
     built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
     _ = np.asarray(built.partition_indices)
@@ -250,6 +259,8 @@ def main():
     ap.add_argument("--scale", default="small", choices=("small", "full"))
     ap.add_argument("--configs", default="sift,gist,async")
     args = ap.parse_args()
+    from flechasdb_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
     for cfg in args.configs.split(","):
         if cfg == "sift-opq":

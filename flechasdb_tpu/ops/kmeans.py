@@ -164,6 +164,25 @@ def _means_grad(sums: jax.Array, counts: jax.Array, old: jax.Array,
     return new, grad
 
 
+def _auto_impl(x: jax.Array) -> str:
+    """Kernel choice for :func:`_fused_round` when the caller passes None.
+
+    Pallas on TPU — EXCEPT when the vector width is below one lane tile
+    and the corpus is large: a pallas custom call pins its operand to the
+    default tiled layout, which lane-pads the minor axis to 128, so e.g.
+    GIST PQ training data ``[60, 1M, 16]`` would materialize at 30 GB
+    (8× its logical 3.8 GB) and OOM HBM. The XLA formulation lets the
+    layout assigner keep such arrays un-padded.
+    """
+    from .bucketed import _platform
+    if _platform() != "tpu":
+        return "xla"
+    b, n, m = x.shape
+    if m < 128 and b * n * 128 * 4 > 6 << 30:
+        return "xla"
+    return "pallas"
+
+
 def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
                  impl: str | None) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Assignment against ``centroids`` plus cluster sums/counts under that
@@ -171,11 +190,11 @@ def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
 
     ``impl``: ``"pallas"`` (fused single-pass VMEM kernel,
     :mod:`.pallas_kmeans`, default on TPU — interpreted elsewhere) or
-    ``"xla"`` (two chunked passes, default off-TPU).
+    ``"xla"`` (two chunked passes, default off-TPU and for lane-pad-heavy
+    shapes, :func:`_auto_impl`).
     """
     if impl is None:
-        from .bucketed import _platform
-        impl = "pallas" if _platform() == "tpu" else "xla"
+        impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
         return lloyd_round(x, centroids)
@@ -190,8 +209,7 @@ def _assign_only(x: jax.Array, centroids: jax.Array, k: int,
                  impl: str | None) -> jax.Array:
     """Assignment with the same tie-breaking as :func:`_fused_round`."""
     if impl is None:
-        from .bucketed import _platform
-        impl = "pallas" if _platform() == "tpu" else "xla"
+        impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
         return lloyd_round(x, centroids)[0]
