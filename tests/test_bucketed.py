@@ -89,3 +89,19 @@ def test_pallas_lookup_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+
+
+def test_pallas_lookup_c_not_lane_multiple(rng):
+    """C below/above one 128-lane vreg (the CLI's C=25, and C=300) must
+    lane-pad the table correctly in the gather kernel."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup
+
+    for c in (25, 300):
+        g, d, l = 6, 4, 256
+        codes = rng.integers(0, c, (g, d, l)).astype(np.int32)
+        tab = rng.standard_normal((g, d, c)).astype(np.float32)
+        out = np.asarray(adc_lookup(jnp.asarray(codes),
+                                    jnp.asarray(tab.reshape(g, d * c))))
+        ref = tab[np.arange(g)[:, None, None],
+                  np.arange(d)[None, :, None], codes].sum(1)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

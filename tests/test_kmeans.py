@@ -276,3 +276,16 @@ def test_fit_exhaustion_reassigns(rng):
     # max_rounds=0 returns the seeding assignment unchanged
     r0 = kmeans.fit(xj, 6, jax.random.key(0), max_rounds=0)
     assert int(r0.rounds[0]) == 0
+
+
+def test_fit_k1_and_tiny_n(rng):
+    """Degenerate shapes through the fused-round path: k=1 (single
+    cluster) and n smaller than one row tile must work on both impls."""
+    x = jnp.asarray(rng.standard_normal((2, 100, 5)).astype(np.float32))
+    for impl in ("xla", "pallas"):
+        r = kmeans.fit(x, 1, jax.random.key(0), impl=impl)
+        assert np.array_equal(np.asarray(r.indices),
+                              np.zeros((2, 100), np.int32))
+        mean = np.asarray(x).mean(axis=1)
+        assert np.allclose(np.asarray(r.centroids)[:, 0], mean,
+                           rtol=1e-4, atol=1e-4)
