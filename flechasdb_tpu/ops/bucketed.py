@@ -35,13 +35,19 @@ _PRECISION = jax.lax.Precision.HIGHEST
 class Buckets(NamedTuple):
     """Partition-major padded code layout.
 
-    ``codes: [P, D, L] int32`` (0 in pad slots); ``rows: [P, L] int32``
-    original corpus row per slot, ``-1`` in pad slots; ``lengths: [P]``.
+    ``codes: [P, D, L] int32`` (0 in pad slots) — or, packed,
+    ``[P, ceil(D/4), L] int32`` with four byte-sized codes per word
+    (division ``d`` in byte ``d % 4``, little-endian); ``rows: [P, L]
+    int32`` original corpus row per slot, ``-1`` in pad slots;
+    ``lengths: [P]``. :func:`query_bucketed` detects packing from the
+    shape (``codes.shape[1] != D``).
 
     The member axis ``L`` is minor: TPU tiled layouts pad the minor
     dimension to 128 lanes, so a ``[.., L, D]`` layout would inflate the
     small code axis ``D`` by up to 16× in HBM (observed: a 3 GB gather
-    becoming a 49 GB allocation at nprobe=50).
+    becoming a 49 GB allocation at nprobe=50). Packing cuts the resident
+    code array (and the per-query bucket gather) another 4× — at Deep10M
+    shape the padded array drops 1.34 GB → 0.34 GB.
     """
     codes: jax.Array
     rows: jax.Array
@@ -49,15 +55,26 @@ class Buckets(NamedTuple):
 
 
 def bucketize(codes: np.ndarray, pidx: np.ndarray, p: int,
-              lane: int = 128) -> Buckets:
+              lane: int = 128, pack: bool | str = False) -> Buckets:
     """Host-side bucketization of ``codes [N, D]`` by partition.
 
     ``L`` = max partition size rounded up to ``lane`` so the scan axis tiles
     cleanly onto the VPU/MXU.
+
+    ``pack``: ``True`` packs four codes per int32 word (requires every
+    code < 256 and D > 1, else raises); ``"auto"`` packs when possible;
+    ``False`` (default) keeps one code per int32.
     """
     codes = np.asarray(codes)
     pidx = np.asarray(pidx)
     n, d = codes.shape
+    packable = d > 1 and (n == 0 or int(codes.max(initial=0)) < 256)
+    if pack == "auto":
+        pack = packable
+    elif pack and not packable:
+        raise ValueError(
+            "pack=True needs D > 1 and all codes < 256 "
+            f"(D={d}, max code={int(codes.max(initial=0)) if n else 0})")
     counts = np.bincount(pidx, minlength=p)
     l = int(max(counts.max() if n else 1, 1))
     l = -(-l // lane) * lane
@@ -70,8 +87,23 @@ def bucketize(codes: np.ndarray, pidx: np.ndarray, p: int,
         members = order[starts[pi]:starts[pi + 1]]
         bcodes[pi, :, :len(members)] = codes[members].T
         brows[pi, :len(members)] = members
+    if pack:
+        dp = -(-d // 4)
+        packed = np.zeros((p, dp, l), np.int32)
+        for di in range(d):
+            w, b = divmod(di, 4)
+            packed[:, w] |= bcodes[:, di] << (8 * b)
+        bcodes = packed
     return Buckets(jnp.asarray(bcodes), jnp.asarray(brows),
                    jnp.asarray(counts.astype(np.int32)))
+
+
+def unpack_codes(words: jax.Array, d: int) -> jax.Array:
+    """``[..., ceil(D/4), L] int32`` packed words → ``[..., D, L]`` codes."""
+    idx = jnp.arange(d) // 4
+    shift = 8 * (jnp.arange(d) % 4)
+    w = jnp.take(words, idx, axis=-2)
+    return (w >> shift[..., :, None]) & 0xFF
 
 
 def _platform() -> str:
@@ -115,6 +147,7 @@ def query_bucketed(
     p = centroids.shape[0]
     d, c, sub = codebooks.shape
     l = buckets.codes.shape[2]
+    packed = buckets.codes.shape[1] != d  # see Buckets docstring
 
     coarse = sqdist(q, centroids)                       # [B, P]
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
@@ -133,8 +166,10 @@ def query_bucketed(
                     preferred_element_type=jnp.float32)
     tables = jnp.maximum(rr[..., None] + cc[None, None] - 2.0 * rc, 0.0)
 
-    # Bucket gather + table lookup-sum.
-    bcodes = jnp.take(buckets.codes, probed, axis=0)    # [B, nprobe, D, L]
+    # Bucket gather + table lookup-sum. Packed buckets gather 4× fewer
+    # bytes; the pallas kernel unpacks in VMEM, the XLA impl right after
+    # the gather.
+    bcodes = jnp.take(buckets.codes, probed, axis=0)    # [B, nprobe, D|DP, L]
     brows = jnp.take(buckets.rows, probed, axis=0)      # [B, nprobe, L]
     ftab = tables.reshape(b, nprobe, d * c)
     if impl is None:
@@ -142,10 +177,12 @@ def query_bucketed(
     if impl == "pallas":
         from .pallas_scan import adc_lookup
         vdist = adc_lookup(
-            bcodes.reshape(b * nprobe, d, l),
-            ftab.reshape(b * nprobe, d * c),
+            bcodes.reshape(b * nprobe, bcodes.shape[2], l),
+            ftab.reshape(b * nprobe, d * c), d=d,
         ).reshape(b, nprobe, l)
     elif impl == "gather":
+        if packed:
+            bcodes = unpack_codes(bcodes, d)            # [B, nprobe, D, L]
         gidx = (bcodes
                 + jnp.arange(d, dtype=jnp.int32)[None, None, :, None] * c)
         vdist = jnp.take_along_axis(

@@ -29,6 +29,23 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
+def _gather_sum(codes, tab, nsub):
+    """``Σ_rows tab[row, codes[row, :]]`` for one 128-lane chunk.
+
+    ``codes: [R, 128]`` int32 in ``[0, nsub·128)``, ``tab: [R, nsub·128]``
+    f32 → ``[128]``. The dynamic gather operates within one vreg of
+    lanes, so wider tables select across their 128-wide slices.
+    """
+    vals = None
+    for s in range(nsub):
+        sub = tab[:, s * _LANE:(s + 1) * _LANE]           # [R, 128]
+        idx = jnp.clip(codes - s * _LANE, 0, _LANE - 1)
+        v = jnp.take_along_axis(sub, idx, axis=1)         # dynamic_gather
+        vals = v if vals is None else jnp.where(
+            codes >= s * _LANE, v, vals)
+    return jnp.sum(vals, axis=0)
+
+
 def _lookup_kernel(codes_ref, tab_ref, out_ref, *, t: int, cp: int):
     """One ``[D, T]`` code tile against one ``[D, Cp]`` table.
 
@@ -37,33 +54,53 @@ def _lookup_kernel(codes_ref, tab_ref, out_ref, *, t: int, cp: int):
     """
     codes = codes_ref[0]                          # [D, T] int32
     tab = tab_ref[0]                              # [D, Cp] f32
-    nsub = cp // _LANE
     for j in range(t // _LANE):
-        chunk = codes[:, j * _LANE:(j + 1) * _LANE]       # [D, 128]
-        vals = None
-        for s in range(nsub):
-            sub = tab[:, s * _LANE:(s + 1) * _LANE]       # [D, 128]
-            idx = jnp.clip(chunk - s * _LANE, 0, _LANE - 1)
-            v = jnp.take_along_axis(sub, idx, axis=1)     # dynamic_gather
-            vals = v if vals is None else jnp.where(
-                chunk >= s * _LANE, v, vals)
-        out_ref[0, 0, j * _LANE:(j + 1) * _LANE] = jnp.sum(vals, axis=0)
+        out_ref[0, 0, j * _LANE:(j + 1) * _LANE] = _gather_sum(
+            codes[:, j * _LANE:(j + 1) * _LANE], tab, cp // _LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lookup_kernel_packed(codes_ref, tab_ref, out_ref, *, t: int, cp: int):
+    """Packed variant: ``[DP, T]`` words, four byte codes each.
+
+    Unpacking stays vreg-shaped: four shift/mask byte planes ``[DP, 128]``
+    concatenated along sublanes give ``[4·DP, 128]`` codes whose row
+    ``b·DP + w`` is division ``4w + b`` — the caller hands the table with
+    its rows permuted to that order (pad rows zeroed, so the pad bytes'
+    code 0 contributes nothing).
+    """
+    words = codes_ref[0]                          # [DP, T] int32
+    tab = tab_ref[0]                              # [4·DP, Cp] f32, permuted
+    for j in range(t // _LANE):
+        wc = words[:, j * _LANE:(j + 1) * _LANE]          # [DP, 128]
+        codes = jnp.concatenate(
+            [(wc >> (8 * bb)) & 0xFF for bb in range(4)], axis=0)
+        out_ref[0, 0, j * _LANE:(j + 1) * _LANE] = _gather_sum(
+            codes, tab, cp // _LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
 def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
+               d: int | None = None,
                interpret: bool | None = None) -> jax.Array:
     """Batched ADC lookup-sum.
 
-    ``codes: [G, D, L] int32`` (values in ``[0, C)``), ``ftab: [G, D*C]``
+    ``codes: [G, D, L] int32`` (values in ``[0, C)``) — or packed
+    ``[G, ceil(D/4), L]`` words (:func:`.bucketed.bucketize` with
+    ``pack``), in which case ``d`` must be given — and ``ftab: [G, D*C]``
     f32 → ``[G, L]`` f32. ``L`` must be a multiple of 128 (the bucketed
-    layout guarantees it, :func:`.bucketed.bucketize`).
+    layout guarantees it).
     """
-    g, d, l = codes.shape
+    g, rows, l = codes.shape
+    if d is None:
+        d = rows
+    packed = rows != d
     dc = ftab.shape[1]
     c = dc // d
     if l % _LANE:
         raise ValueError(f"L ({l}) must be a multiple of {_LANE}")
+    if packed and rows != -(-d // 4):
+        raise ValueError(f"codes rows {rows} match neither D={d} nor "
+                         f"ceil(D/4)={-(-d // 4)}")
     if interpret is None:  # Mosaic needs real TPU; interpret elsewhere
         from .bucketed import _platform
         interpret = _platform() != "tpu"
@@ -74,15 +111,29 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
         # Lane-pad the table so every 128-wide slice exists; codes stay
         # < C so the padding is never selected.
         tab = jnp.pad(tab, ((0, 0), (0, 0), (0, cp - c)))
+    if packed:
+        # Reorder table rows to the kernel's byte-plane-concat order
+        # (row b·DP + w ↔ division 4w + b) and zero the pad rows so the
+        # pad bytes' code 0 contributes nothing.
+        import numpy as np
+        perm = np.array([4 * w + bb
+                         for bb in range(4) for w in range(rows)])
+        tab = jnp.where(
+            (perm < d)[None, :, None],
+            jnp.take(tab, jnp.minimum(perm, d - 1), axis=1), 0.0)
+        kernel = functools.partial(_lookup_kernel_packed, t=l, cp=cp)
+        tab_rows = 4 * rows
+    else:
+        kernel = functools.partial(_lookup_kernel, t=l, cp=cp)
+        tab_rows = d
 
-    kernel = functools.partial(_lookup_kernel, t=l, cp=cp)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, d, l), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, cp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tab_rows, cp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),

@@ -56,8 +56,11 @@ class DeviceIndex:
         self.codebooks = jnp.asarray(codebooks)
         self.rotation = None if rotation is None else jnp.asarray(rotation)
         if layout == "bucketed":
+            # pack="auto": four byte codes per word when C <= 256 — 4×
+            # less resident HBM and 4× less bucket-gather traffic.
             self.buckets = bucketize(
-                np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p)
+                np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p,
+                pack="auto")
             self.codes = self.pidx = None
         elif layout == "masked":
             self.codes = jnp.asarray(np.asarray(codes, np.int32))

@@ -105,3 +105,33 @@ def test_pallas_lookup_c_not_lane_multiple(rng):
         ref = tab[np.arange(g)[:, None, None],
                   np.arange(d)[None, :, None], codes].sum(1)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [4, 5, 8, 2])
+def test_packed_buckets_match_unpacked(rng, d):
+    """Packed buckets (4 byte codes per word) must produce identical
+    query results through both impls, including D not a multiple of 4."""
+    m = d * 8
+    centroids, codebooks, codes, pidx = _random_index(
+        rng, n=500, m=m, p=7, d=d, c=200)
+    q = rng.standard_normal((5, m)).astype(np.float32)
+    plain = bucketize(codes, pidx, 7)
+    packed = bucketize(codes, pidx, 7, pack=True)
+    assert packed.codes.shape[1] == -(-d // 4)
+    args = (jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks))
+    ref = query_bucketed(*args, plain, k=10, nprobe=3)
+    for impl in ("gather", "pallas"):
+        got = query_bucketed(*args, packed, k=10, nprobe=3, impl=impl)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(ref[1]))
+
+
+def test_bucketize_pack_validation(rng):
+    codes = np.full((10, 4), 300, np.int32)   # codes >= 256: unpackable
+    pidx = np.zeros(10, np.int32)
+    with pytest.raises(ValueError):
+        bucketize(codes, pidx, 2, pack=True)
+    b = bucketize(codes, pidx, 2, pack="auto")   # falls back silently
+    assert b.codes.shape[1] == 4

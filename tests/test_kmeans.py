@@ -289,3 +289,27 @@ def test_fit_k1_and_tiny_n(rng):
         mean = np.asarray(x).mean(axis=1)
         assert np.allclose(np.asarray(r.centroids)[:, 0], mean,
                            rtol=1e-4, atol=1e-4)
+
+
+def test_exhaustion_with_partially_converged_batch(rng):
+    """One batch entry converges early (tight blobs), the other exhausts
+    max_rounds (unstructured): the converged entry must keep its frozen
+    pre-update assignment while the exhausted one is reassigned against
+    its final centroids."""
+    tight, _ = _blobs(rng, 50, 4, 5, spread=0.01)
+    loose = rng.standard_normal((200, 5)).astype(np.float32)
+    x = jnp.asarray(np.stack([tight[:200], loose]))
+    res = kmeans.fit(x, 4, jax.random.key(1), max_rounds=3)
+    ev = kmeans.fit_with_events(x, 4, jax.random.key(1), lambda e: None,
+                                max_rounds=3, rounds_per_step=2)
+    assert np.array_equal(np.asarray(res.indices), np.asarray(ev.indices))
+    assert np.array_equal(np.asarray(res.centroids),
+                          np.asarray(ev.centroids))
+    # the unconverged entry's indices match assignment to final centroids
+    for b in range(2):
+        if float(res.gradient[b]) > 1e-6:  # exhausted
+            expect, _ = assign_chunked(x[b:b + 1], res.centroids[b:b + 1],
+                                       k=4,
+                                       precision=jax.lax.Precision.HIGH)
+            assert np.array_equal(np.asarray(res.indices[b]),
+                                  np.asarray(expect[0]))
