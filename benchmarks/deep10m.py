@@ -109,12 +109,14 @@ def main():
     # ---- IVF-PQ serving sweep ----
     codes = np.asarray(built.codes)
     counts = np.bincount(pidx, minlength=p)
-    buckets = bucketize(codes, pidx, p)
+    buckets = bucketize(codes, pidx, p, pack="auto")
     l_pad = int(buckets.codes.shape[2])
+    words = int(buckets.codes.shape[1])
     log({"config": "deep10m", "metric": "bucket stats",
          "avg_len": round(float(counts.mean()), 1),
          "max_len": int(counts.max()), "l_pad": l_pad,
-         "padded_gb": round(p * l_pad * (d + 1) * 4 / 1e9, 2)})
+         "packed_words": words,
+         "padded_gb": round(p * l_pad * (words + 1) * 4 / 1e9, 2)})
 
     # The bucket gather materializes [B, nprobe, D, L]; chunk the query
     # batch so that transient stays under ~1.5 GB (serving.py applies the
