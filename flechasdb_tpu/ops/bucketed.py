@@ -83,10 +83,13 @@ def bucketize(codes: np.ndarray, pidx: np.ndarray, p: int,
     order = np.argsort(pidx, kind="stable")
     starts = np.zeros(p + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    for pi in range(p):
-        members = order[starts[pi]:starts[pi + 1]]
-        bcodes[pi, :, :len(members)] = codes[members].T
-        brows[pi, :len(members)] = members
+    # One bulk scatter instead of a Python loop over P partitions (the
+    # loop cost minutes at P=4096/N=10M on a 1-vCPU serving host): the
+    # slot of sorted row i is its rank within its partition.
+    sorted_p = pidx[order]
+    slot = np.arange(n, dtype=np.int64) - starts[sorted_p]
+    brows[sorted_p, slot] = order
+    bcodes[sorted_p, :, slot] = codes[order]
     if pack:
         dp = -(-d // 4)
         packed = np.zeros((p, dp, l), np.int32)
