@@ -116,6 +116,8 @@ class Range(Filter):
             if b is not None and (isinstance(b, bool)
                                   or not isinstance(b, int)):
                 raise InvalidArgs(f"Range bounds are uint64: {b!r}")
+            if b is not None and not 0 <= b < 2 ** 64:
+                raise InvalidArgs(f"uint64 out of range: {b}")
 
 
 @dataclass(frozen=True)

@@ -57,6 +57,10 @@ def test_filter_validation_errors():
     with pytest.raises(fdb.InvalidArgs):
         Range("k", lo="a")
     with pytest.raises(fdb.InvalidArgs):
+        Range("k", lo=-1)          # out-of-uint64 bounds fail fast
+    with pytest.raises(fdb.InvalidArgs):
+        Range("k", hi=2 ** 64)
+    with pytest.raises(fdb.InvalidArgs):
         Eq("k", "x") & "not a filter"
 
 
