@@ -18,6 +18,7 @@ first-class device-mesh component set:
 
 from .build import build_sharded, build_step_donating
 from .exact import exact_sharded, shard_flat
+from .kmeans import fit_sharded
 from .mesh import corpus_mesh, shard_corpus
 from .query import query_sharded
 
@@ -25,6 +26,7 @@ __all__ = [
     "build_sharded",
     "build_step_donating",
     "exact_sharded",
+    "fit_sharded",
     "shard_flat",
     "corpus_mesh",
     "query_sharded",

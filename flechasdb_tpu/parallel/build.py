@@ -4,13 +4,14 @@ The reference's 906-second hot path is two k-means phases over the corpus
 (``db/build.rs:78-129``; SURVEY.md §3.1). On a mesh, the corpus axis ``N``
 shards across devices and the whole build compiles as ONE ``jit`` program:
 
-* coarse k-means++ / Lloyd over ``[N, M]`` — the cluster-sum and count
-  reductions become ``psum`` collectives XLA inserts over ICI (the one-hot
-  matmul in :func:`..ops.kmeans._cluster_sums` contracts over the sharded
-  axis, which is exactly a ``reduce_scatter``-friendly pattern);
+* coarse k-means++ / Lloyd over ``[N, M]`` — each Lloyd round runs the
+  fused Pallas kernel per device under ``shard_map`` and ``psum``s the
+  ``[K, M]`` cluster sums + ``[K]`` counts over ICI (:mod:`.kmeans`;
+  GSPMD cannot split a ``pallas_call``, manual SPMD never asks it to);
 * residual subtraction — local, no communication;
-* batched PQ training over ``[D, N, M/D]`` — same sharded reduction per
-  division, all divisions in flight at once.
+* batched PQ training over ``[D, N, M/D]`` — same sharded rounds per
+  division, all divisions in flight at once;
+* PQ encoding — local per device (:func:`_encode_sharded`).
 
 Centroids and codebooks come back replicated; assignments and codes come back
 sharded, ready for :func:`..parallel.query.query_sharded`.
@@ -23,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import kmeans
@@ -89,9 +91,10 @@ def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
 def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
               pq_cap: int = PQ_TRAIN_CAP,
               impl: str | None = None) -> ShardedBuild:
-    """``impl`` selects the Lloyd-round kernel (``ops.kmeans._fused_round``).
-    Sharded (GSPMD) callers must pin ``"xla"``: a ``pallas_call`` is a
-    custom call the SPMD partitioner cannot split over the mesh."""
+    """Single-device build body (``impl`` selects the Lloyd-round kernel,
+    ``ops.kmeans._fused_round``). Never run this under GSPMD sharding —
+    a ``pallas_call`` is a custom call the SPMD partitioner cannot split;
+    the mesh path is :func:`_build_sharded_fn` (shard_map)."""
     n, m = x.shape
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
@@ -197,17 +200,97 @@ def _all_residuals(x, cents, idx):
 _encode_jit = jax.jit(_encode_chunked)
 
 
+def _encode_sharded(x: jax.Array, cents: jax.Array, idx: jax.Array,
+                    codebooks: jax.Array, mesh: Mesh) -> jax.Array:
+    """Per-device chunked PQ encode (no collectives; codes stay sharded)."""
+    from .mesh import AXIS as _AXIS
+
+    def local(xl, cl, il, cb):
+        return _encode_chunked(xl, cl, il, cb)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(_AXIS, None), P(), P(_AXIS), P()),
+        out_specs=P(_AXIS, None),
+        check_vma=False,
+    )(x, cents, idx, codebooks)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "n", "p", "d", "c", "pq_cap",
+                                    "impl"))
+def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
+                      p: int, d: int, c: int, pq_cap: int,
+                      impl: str | None) -> ShardedBuild:
+    """One-program sharded build: the Lloyd rounds run the per-device fused
+    kernel under ``shard_map`` (:mod:`.kmeans`); everything between them —
+    seeding, residuals, reshapes — is GSPMD-propagated XLA. Mirrors
+    :func:`_build_fn` key-for-key so sharded and single-chip builds agree.
+
+    ``x: [N', M]`` with rows ``>= n`` zero pads (``N'`` may already be
+    shard-aligned by the caller; any remainder is padded here).
+    """
+    from .kmeans import fit_sharded
+
+    m = x.shape[1]
+    n_dev = mesh.devices.size
+    xp = jnp.pad(x, ((0, (-x.shape[0]) % n_dev), (0, 0)))
+    np_total = xp.shape[0]
+    xp = jax.lax.with_sharding_constraint(
+        xp, NamedSharding(mesh, P(AXIS, None)))
+    rows_valid = jnp.arange(np_total) < n
+    k_coarse, k_pq, k_sub = jax.random.split(key, 3)
+
+    coarse = fit_sharded(xp[None], p, k_coarse, mesh=mesh, n_valid=n,
+                         impl=impl)
+    cents, idx = coarse.centroids[0], coarse.indices[0]    # idx [Np] sharded
+    dspec = NamedSharding(mesh, P(None, AXIS, None))
+    if n > pq_cap:
+        rows = jax.random.randint(k_sub, (pq_cap,), 0, n)
+        sample = (jnp.take(xp, rows, axis=0)
+                  - jnp.take(cents, jnp.take(idx, rows), axis=0))
+        spad = (-pq_cap) % n_dev
+        sp = jnp.pad(sample, ((0, spad), (0, 0)))
+        divided = jax.lax.with_sharding_constraint(
+            sp.reshape(pq_cap + spad, d, m // d).transpose(1, 0, 2), dspec)
+        pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=pq_cap,
+                         impl=impl)
+        codes = _encode_sharded(xp, cents, idx, pq.centroids, mesh)
+    else:
+        # Pad rows must stay zero: 0 - cents[garbage] would poison the
+        # sharded PQ cluster sums (see .kmeans padding convention).
+        residues = jnp.where(rows_valid[:, None],
+                             xp - jnp.take(cents, idx, axis=0), 0.0)
+        divided = jax.lax.with_sharding_constraint(
+            residues.reshape(np_total, d, m // d).transpose(1, 0, 2), dspec)
+        pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=n, impl=impl)
+        codes = pq.indices.T.astype(jnp.int32)
+    return ShardedBuild(cents, idx[:n], pq.centroids, codes[:n])
+
+
 def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
-                  mesh: Mesh) -> ShardedBuild:
+                  mesh: Mesh, pq_cap: int = PQ_TRAIN_CAP,
+                  impl: str | None = None) -> ShardedBuild:
     """Builds the full IVF-PQ index with the corpus sharded over ``mesh``.
 
-    ``x: [N, M]`` is placed row-sharded; everything else follows from GSPMD
-    propagation — no manual collectives. This is the multi-chip path behind
-    the <10 s target for the 100k×1536 build (BASELINE.md).
+    ``x: [N, M]`` is placed row-sharded (zero-padded to the mesh size).
+    The Lloyd rounds — the 906-second reference hot path — run the fused
+    Pallas kernel per device under ``shard_map`` with one ``psum`` of the
+    ``[K, M]`` sums + ``[K]`` counts per round over ICI (round 2 pinned
+    the 15×-slower XLA formulation here because GSPMD cannot split a
+    ``pallas_call``; manual SPMD never asks it to). ``impl`` as in
+    :func:`..ops.kmeans._fused_round`: default auto-selects Pallas on TPU
+    per device, XLA elsewhere.
     """
-    xs = jax.device_put(jnp.asarray(x, jnp.float32),
-                        NamedSharding(mesh, P(AXIS, None)))
-    # "xla": the fused pallas round is a custom call GSPMD cannot
-    # partition; the one-hot matmul formulation propagates shardings and
-    # turns the cluster-sum contractions into mesh collectives.
-    return _build_step(xs, key, p=p, d=d, c=c, impl="xla")
+    from .mesh import pad_rows
+
+    if not isinstance(x, jax.Array):
+        arr = np.asarray(x, np.float32)
+        n = arr.shape[0]
+        x = jax.device_put(pad_rows(arr, mesh.devices.size, 0.0),
+                           NamedSharding(mesh, P(AXIS, None)))
+    else:
+        n = x.shape[0]
+        x = jnp.asarray(x, jnp.float32)
+    return _build_sharded_fn(x, key, mesh=mesh, n=n, p=p, d=d, c=c,
+                             pq_cap=pq_cap, impl=impl)

@@ -1,0 +1,171 @@
+"""Sharded k-means: the fused Pallas Lloyd round per device + ``psum``.
+
+GSPMD cannot partition a ``pallas_call`` (a custom call is opaque to the
+SPMD partitioner), which is why the round-2 sharded build pinned the
+15×-slower two-pass XLA formulation. ``shard_map`` sidesteps the
+partitioner entirely: each device runs
+:func:`..ops.pallas_kmeans.lloyd_round` on its local corpus shard and the
+``[K, M]`` cluster sums + ``[K]`` counts — kilobytes per round — cross the
+ICI as one ``psum``. Seeding, centroid means, and the convergence rule are
+O(K·M) and stay replicated XLA, bit-identical to the single-chip
+:func:`..ops.kmeans.fit`.
+
+Reference hot path being scaled: ``kmeans.rs:232-306`` (the two O(N·K·M)
+phases of one Lloyd round, SURVEY.md §3.1).
+
+Padding convention: shard_map needs the sharded axis evenly divisible, so
+corpora are zero-padded. A zero row contributes nothing to the cluster
+sums (its one-hot row multiplies a zero vector) but would inflate one
+cluster's count — every zero row assigns to the first-minimum cluster of
+``argmin_k ‖c_k‖²`` — so that count is corrected after the ``psum``.
+Assignments in pad slots are garbage and must be sliced off by the caller.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import kmeans
+from .mesh import AXIS
+
+
+def _replicated(mesh: Mesh, x: jax.Array) -> jax.Array:
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+
+def _gather_rows(mesh: Mesh, x: jax.Array, rows: jax.Array) -> jax.Array:
+    """``x [B, Np, M]`` (row-sharded) → replicated ``[B, len(rows), M]``."""
+    return _replicated(mesh, jnp.take(x, rows, axis=1))
+
+
+def fused_round_sharded(x: jax.Array, centroids: jax.Array, k: int,
+                        impl: str | None, mesh: Mesh, n_pad: int,
+                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One Lloyd round over the mesh: per-device fused pass + ``psum``.
+
+    ``x: [B, Np, M]`` sharded ``P(None, AXIS, None)`` with ``n_pad``
+    trailing zero rows; ``centroids: [B, K, M]`` replicated. Returns
+    ``(indices [B, Np] sharded, sums [B, K, M], counts [B, K])`` with the
+    pad rows' count contribution removed.
+    """
+
+    def local(xl, c):
+        idx, sums, counts = kmeans._fused_round(xl, c, k, impl)
+        return (idx, jax.lax.psum(sums, AXIS), jax.lax.psum(counts, AXIS))
+
+    idx, sums, counts = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, AXIS, None), P()),
+        out_specs=(P(None, AXIS), P(), P()),
+        check_vma=False,
+    )(x, centroids)
+    if n_pad:
+        # Zero pad rows all landed on the first-minimum of ‖c_k‖² (their
+        # distance column is exactly cc); remove them from that count.
+        cc = jnp.sum(centroids * centroids, axis=-1)       # [B, K]
+        k0 = jnp.argmin(cc, axis=-1)                       # [B]
+        counts = counts - n_pad * jax.nn.one_hot(k0, k, dtype=counts.dtype)
+    return idx, sums, counts
+
+
+def _assign_sharded(x: jax.Array, centroids: jax.Array, k: int,
+                    impl: str | None, mesh: Mesh) -> jax.Array:
+    """Sharded assignment-only pass (no collective needed)."""
+
+    def local(xl, c):
+        return kmeans._assign_only(xl, c, k, impl)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, AXIS, None), P()),
+        out_specs=P(None, AXIS),
+        check_vma=False,
+    )(x, centroids)
+
+
+def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
+                n_valid: int,
+                epsilon: float = kmeans.DEFAULT_EPSILON,
+                max_rounds: int = kmeans.MAX_ROUNDS,
+                impl: str | None = None) -> kmeans.KMeansResult:
+    """Sharded analogue of :func:`..ops.kmeans.fit` — same key stream, same
+    convergence rule, same tie-breaking; cluster sums cross the mesh as
+    ``psum`` instead of living on one chip.
+
+    ``x: [B, Np, M]`` row-sharded over ``mesh`` with rows ``>= n_valid``
+    zero-padded. ``indices`` comes back sharded with garbage in pad slots.
+    Seeding draws the SAME subsample rows as the single-chip path (the
+    k-means++ chain is serial and tiny, so it runs replicated on the
+    gathered sample — identical arithmetic, identical draws).
+    """
+    b, np_, m = x.shape
+    n = n_valid
+    n_pad = np_ - n
+    if n < k:
+        raise ValueError(f"vs has fewer vectors than k: {n} < {k}")
+    if max_rounds < 1:
+        raise ValueError(
+            f"fit_sharded needs max_rounds >= 1: {max_rounds}")
+    if n == k:
+        cents = _gather_rows(mesh, x, jnp.arange(n))
+        idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32), (b, np_))
+        return kmeans.KMeansResult(cents, idx, jnp.zeros((b,), jnp.int32),
+                                   jnp.zeros((b,), jnp.float32))
+
+    # Seeding — mirrors kmeans._subsampled_init exactly (same key splits,
+    # same rows) on a replicated gather of the (sub)sample.
+    cap = kmeans._seed_cap(k)
+    if n <= cap:
+        sample = _gather_rows(mesh, x, jnp.arange(n))
+        centroids, _ = kmeans.plusplus_init(sample, k, key)
+    else:
+        k_pick, k_seed = jax.random.split(key)
+        rows = jax.random.randint(k_pick, (cap,), 0, n)
+        sample = _gather_rows(mesh, x, rows)
+        centroids, _ = kmeans.plusplus_init(sample, k, k_seed)
+    centroids = _replicated(mesh, centroids)
+    indices = jnp.zeros((b, np_), jnp.int32)
+
+    from typing import NamedTuple
+
+    class S(NamedTuple):
+        centroids: jax.Array
+        indices: jax.Array
+        done: jax.Array
+        rounds: jax.Array
+        gradient: jax.Array
+        r: jax.Array
+
+    def cond(s: S):
+        return (s.r < max_rounds) & ~jnp.all(s.done)
+
+    def body(s: S):
+        idx_f, sums, counts = fused_round_sharded(
+            x, s.centroids, k, impl, mesh, n_pad)
+        new_c, grad = kmeans._means_grad(sums, counts, s.centroids, x.dtype)
+        newly_done = grad < epsilon
+        centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
+        indices = jnp.where(s.done[:, None], s.indices, idx_f)
+        return S(
+            centroids=_replicated(mesh, centroids),
+            indices=indices,
+            done=s.done | newly_done,
+            rounds=s.rounds + (~s.done).astype(jnp.int32),
+            gradient=jnp.where(s.done, s.gradient, grad),
+            r=s.r + 1,
+        )
+
+    s0 = S(centroids, indices,
+           jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
+           jnp.full((b,), jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    s = jax.lax.while_loop(cond, body, s0)
+    # Unconverged batches carry an assignment predating the final centroid
+    # update — reassign, as in fit's epilogue (kmeans.rs:130-136).
+    final_idx = jax.lax.cond(
+        jnp.all(s.done),
+        lambda: s.indices,
+        lambda: jnp.where(s.done[:, None], s.indices,
+                          _assign_sharded(x, s.centroids, k, impl, mesh)))
+    return kmeans.KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)

@@ -125,6 +125,75 @@ def test_sharded_build_matches_unsharded(rng, mesh):
         np.asarray(sharded.codes), np.asarray(single.codes))
 
 
+def test_sharded_build_fused_kernel_matches(rng, mesh):
+    """The per-device fused Pallas Lloyd round (interpret mode on the CPU
+    mesh) + psum agrees with the single-device build — the round-3 path
+    that lets multi-chip builds keep the round-2 kernel win."""
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n, m, p, d, c = 256, 128, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    key = jax.random.key(11)
+
+    sharded = build_sharded(x, p, d, c, key, mesh=mesh, impl="pallas")
+    single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.partition_centroids),
+        np.asarray(single.partition_centroids), rtol=1e-3, atol=1e-4)
+    # bf16x3 kernel numerics vs HIGH XLA: assignments agree except where
+    # rounding collapses near-equal distances (measured agreement 0.9999).
+    agree = (np.asarray(sharded.partition_indices)
+             == np.asarray(single.partition_indices)).mean()
+    assert agree >= 0.99
+    agree_codes = (np.asarray(sharded.codes)
+                   == np.asarray(single.codes)).mean()
+    assert agree_codes >= 0.99
+
+
+def test_sharded_build_unpadded_corpus(rng, mesh):
+    """N not divisible by the mesh size: zero-pad rows must not perturb
+    the clustering (count correction) and never leak into outputs."""
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n, m, p, d, c = 251, 16, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    key = jax.random.key(5)
+
+    sharded = build_sharded(x, p, d, c, key, mesh=mesh)
+    single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c)
+
+    assert sharded.partition_indices.shape == (n,)
+    assert sharded.codes.shape == (n, d)
+    np.testing.assert_allclose(
+        np.asarray(sharded.partition_centroids),
+        np.asarray(single.partition_centroids), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.partition_indices),
+        np.asarray(single.partition_indices))
+    np.testing.assert_array_equal(
+        np.asarray(sharded.codes), np.asarray(single.codes))
+
+
+def test_sharded_build_pq_cap_engaged(rng, mesh):
+    """A reduced pq_cap routes the sharded build through the subsampled
+    codebook training + chunked encode, matching the single-chip path."""
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n, m, p, d, c = 512, 16, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    key = jax.random.key(9)
+
+    sharded = build_sharded(x, p, d, c, key, mesh=mesh, pq_cap=256)
+    single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c, pq_cap=256)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.codebooks), np.asarray(single.codebooks),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.codes), np.asarray(single.codes))
+
+
 def test_sharded_exact_matches_single_device(rng, mesh):
     from flechasdb_tpu.ops.exact import exact_topk
     from flechasdb_tpu.parallel import exact_sharded, shard_flat
@@ -163,7 +232,7 @@ def test_stored_database_sharded_serving(rng, mesh, tmp_path):
     sharded = fdb.load_database(fdb.LocalFileSystem(tmp_path),
                                 f"{root}.binpb")
     sharded.preload(mesh=mesh)
-    assert sharded._dev[0].layout == "sharded"
+    assert sharded._dev[0].layout.startswith("sharded")
 
     a = single.query_batch(x[:16], k=5, nprobe=3)
     b = sharded.query_batch(x[:16], k=5, nprobe=3)
@@ -172,3 +241,90 @@ def test_stored_database_sharded_serving(rng, mesh, tmp_path):
         for qa, qb in zip(ra, rb):
             assert qa.squared_distance == pytest.approx(
                 qb.squared_distance, rel=1e-5)
+
+
+# -------------------------------------------- sharded bucketed serving ----
+
+
+def test_sharded_bucketed_matches_single_device(rng, mesh):
+    """Partition-sharded bucketed scan == single-device bucketed scan
+    (global rows, distances, probed sets)."""
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
+    from flechasdb_tpu.parallel.bucketed import (query_bucketed_sharded,
+                                                 shard_buckets)
+
+    centroids, codebooks, codes, pidx = _random_index(
+        rng, n=700, m=64, p=13, d=4, c=16)  # P=13: pad partitions engage
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    buckets = bucketize(codes, pidx, 13, pack="auto")
+
+    ref_d, ref_r, ref_p = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, k=9, nprobe=5)
+
+    sb = shard_buckets(mesh, buckets)
+    sh_d, sh_r, sh_p = query_bucketed_sharded(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        sb, mesh=mesh, k=9, nprobe=5)
+
+    np.testing.assert_allclose(np.asarray(sh_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sh_p), np.asarray(ref_p))
+    ref_rows, sh_rows = np.asarray(ref_r), np.asarray(sh_r)
+    for b in range(len(q)):
+        mismatched = ref_rows[b] != sh_rows[b]
+        if mismatched.any():  # only exact-distance ties may reorder
+            np.testing.assert_allclose(
+                np.asarray(ref_d)[b][mismatched],
+                np.asarray(sh_d)[b][mismatched], rtol=1e-6)
+
+
+def test_sharded_bucketed_row_mask(rng, mesh):
+    """Attribute filtering on the sharded bucketed path: no masked row
+    may be returned, and results match the single-device filtered scan."""
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
+    from flechasdb_tpu.parallel.bucketed import (query_bucketed_sharded,
+                                                 shard_buckets)
+
+    centroids, codebooks, codes, pidx = _random_index(
+        rng, n=600, m=32, p=8, d=4, c=16)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    mask = rng.random(600) < 0.5
+    buckets = bucketize(codes, pidx, 8)
+
+    ref_d, ref_r, _ = query_bucketed(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        buckets, row_mask=jnp.asarray(mask), k=7, nprobe=8)
+    sb = shard_buckets(mesh, buckets)
+    sh_d, sh_r, _ = query_bucketed_sharded(
+        jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(codebooks),
+        sb, None, jnp.asarray(mask), mesh=mesh, k=7, nprobe=8)
+
+    np.testing.assert_allclose(np.asarray(sh_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
+    finite = np.isfinite(np.asarray(sh_d))
+    assert mask[np.asarray(sh_r)[finite]].all()
+
+
+def test_sharded_index_bucketed_layout(rng, mesh):
+    """ShardedIndex defaults to the bucketed layout when padding is sane
+    and agrees with DeviceIndex row for row."""
+    from flechasdb_tpu.serving import DeviceIndex, ShardedIndex
+
+    centroids, codebooks, codes, pidx = _random_index(
+        rng, n=800, m=64, p=8, d=4, c=16)
+    q = rng.standard_normal((5, 64)).astype(np.float32)
+
+    single = DeviceIndex(centroids, codebooks, codes, pidx)
+    assert single.layout == "bucketed"
+    sharded = ShardedIndex(centroids, codebooks, codes, pidx, mesh=mesh)
+    assert sharded.layout == "sharded-bucketed"
+
+    ds, rs, ps = single.query(q, k=6, nprobe=4)
+    dh, rh, ph = sharded.query(q, k=6, nprobe=4)
+    np.testing.assert_allclose(dh, ds, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ph, ps)
+    mismatched = rs != rh
+    if mismatched.any():
+        np.testing.assert_allclose(ds[mismatched], dh[mismatched],
+                                   rtol=1e-6)
