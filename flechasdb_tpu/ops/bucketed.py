@@ -109,6 +109,59 @@ def unpack_codes(words: jax.Array, d: int) -> jax.Array:
     return (w >> shift[..., :, None]) & 0xFF
 
 
+def probed_tables(q: jax.Array, centroids: jax.Array, codebooks: jax.Array,
+                  probed: jax.Array,
+                  rotation: jax.Array | None = None) -> jax.Array:
+    """ADC distance tables for the probed partitions only.
+
+    ``q [B, M]``, ``probed [B, nprobe]`` → ``[B, nprobe, D, C]`` where
+    ``tables[b, j, d, c] = ‖(q_b - centroid_{probed[b,j]})_d - cb[d,c]‖²``
+    (clamped at 0; OPQ rotation applied to the residual when given).
+    Shared by the single-chip and sharded bucketed query paths.
+    """
+    b = q.shape[0]
+    nprobe = probed.shape[1]
+    d, c, sub = codebooks.shape
+    pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
+    resid = q[:, None, :] - pc
+    if rotation is not None:  # OPQ: codes live in the rotated space
+        resid = jnp.matmul(resid, rotation, precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
+    resid = resid.reshape(b, nprobe, d, sub)
+    rr = jnp.sum(resid * resid, axis=-1)                # [B, nprobe, D]
+    cc = jnp.sum(codebooks * codebooks, axis=-1)        # [D, C]
+    rc = jnp.einsum("bjds,dcs->bjdc", resid, codebooks,
+                    precision=_PRECISION,
+                    preferred_element_type=jnp.float32)
+    return jnp.maximum(rr[..., None] + cc[None, None] - 2.0 * rc, 0.0)
+
+
+def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array, *,
+                d: int, impl: str) -> jax.Array:
+    """Lookup-sum of ``ftab`` over the buckets selected by ``bidx``.
+
+    ``codes [P, D|DP, L]`` resident buckets, ``ftab [G, D*C]``, ``bidx
+    [G]`` → ``[G, L]``. ``impl="pallas"`` streams buckets in place via
+    scalar prefetch (:func:`.pallas_scan.adc_lookup_indexed`);
+    ``"gather"`` materializes the gathered copy then looks up.
+    """
+    g = ftab.shape[0]
+    l = codes.shape[2]
+    c = ftab.shape[1] // d
+    packed = codes.shape[1] != d
+    if impl == "pallas":
+        from .pallas_scan import adc_lookup_indexed
+        return adc_lookup_indexed(codes, ftab, bidx, d=d)
+    if impl != "gather":
+        raise ValueError(f"unknown impl: {impl!r}")
+    bcodes = jnp.take(codes, bidx, axis=0)              # [G, D|DP, L]
+    if packed:
+        bcodes = unpack_codes(bcodes, d)
+    gidx = bcodes + jnp.arange(d, dtype=jnp.int32)[None, :, None] * c
+    vals = jnp.take_along_axis(ftab, gidx.reshape(g, d * l), axis=-1)
+    return vals.reshape(g, d, l).sum(axis=1)
+
+
 def _platform() -> str:
     """Effective platform: honours ``jax_default_device`` (tests pin it to
     CPU while a TPU plugin still owns the default backend)."""
@@ -150,51 +203,31 @@ def query_bucketed(
     p = centroids.shape[0]
     d, c, sub = codebooks.shape
     l = buckets.codes.shape[2]
-    packed = buckets.codes.shape[1] != d  # see Buckets docstring
 
     coarse = sqdist(q, centroids)                       # [B, P]
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
+    tables = probed_tables(q, centroids, codebooks, probed, rotation)
 
-    # ADC tables only for the probed partitions.
-    pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
-    resid = q[:, None, :] - pc
-    if rotation is not None:  # OPQ: codes live in the rotated space
-        resid = jnp.matmul(resid, rotation, precision=_PRECISION,
-                           preferred_element_type=jnp.float32)
-    resid = resid.reshape(b, nprobe, d, sub)
-    rr = jnp.sum(resid * resid, axis=-1)                # [B, nprobe, D]
-    cc = jnp.sum(codebooks * codebooks, axis=-1)        # [D, C]
-    rc = jnp.einsum("bjds,dcs->bjdc", resid, codebooks,
-                    precision=_PRECISION,
-                    preferred_element_type=jnp.float32)
-    tables = jnp.maximum(rr[..., None] + cc[None, None] - 2.0 * rc, 0.0)
-
-    # Bucket gather + table lookup-sum. Packed buckets gather 4× fewer
-    # bytes; the pallas kernel unpacks in VMEM, the XLA impl right after
-    # the gather.
-    bcodes = jnp.take(buckets.codes, probed, axis=0)    # [B, nprobe, D|DP, L]
-    brows = jnp.take(buckets.rows, probed, axis=0)      # [B, nprobe, L]
-    ftab = tables.reshape(b, nprobe, d * c)
+    # Table lookup-sum over the probed buckets. The pallas path reads the
+    # buckets IN PLACE via scalar-prefetch block indexing (the gathered
+    # [B, nprobe, D|DP, L] HBM copy never materializes — it used to be
+    # written once and read once per query batch); the XLA impl gathers
+    # then looks up, as before.
     if impl is None:
         impl = _default_impl()
-    if impl == "pallas":
-        from .pallas_scan import adc_lookup
-        vdist = adc_lookup(
-            bcodes.reshape(b * nprobe, bcodes.shape[2], l),
-            ftab.reshape(b * nprobe, d * c), d=d,
-        ).reshape(b, nprobe, l)
-    elif impl == "gather":
-        if packed:
-            bcodes = unpack_codes(bcodes, d)            # [B, nprobe, D, L]
-        gidx = (bcodes
-                + jnp.arange(d, dtype=jnp.int32)[None, None, :, None] * c)
-        vdist = jnp.take_along_axis(
-            ftab, gidx.reshape(b, nprobe, d * l), axis=-1)
-        vdist = vdist.reshape(b, nprobe, d, l).sum(2)   # [B, nprobe, L]
-    else:
-        raise ValueError(f"unknown impl: {impl!r}")
-    keep = brows >= 0
+    vdist = bucket_scan(
+        buckets.codes, tables.reshape(b * nprobe, d * c),
+        probed.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
+    ).reshape(b, nprobe, l)
+
+    # Pad-slot mask from bucket lengths (bucketize fills slots [0, count)
+    # in order, so slot < length ⟺ the old brows >= 0 test) — the full
+    # [B, nprobe, L] row gather is only paid on filtered queries.
+    lens = jnp.take(buckets.lengths, probed, axis=0)    # [B, nprobe]
+    keep = (jnp.arange(l, dtype=jnp.int32)[None, None, :]
+            < lens[..., None])
     if row_mask is not None:
+        brows = jnp.take(buckets.rows, probed, axis=0)  # [B, nprobe, L]
         keep &= jnp.take(row_mask, jnp.maximum(brows, 0), axis=0)
     vdist = jnp.where(keep, vdist, jnp.inf)
 
@@ -202,8 +235,11 @@ def query_bucketed(
     # then); pad the tail with +inf instead of failing top_k.
     kk = min(k, nprobe * l)
     neg, flat_idx = jax.lax.top_k(-vdist.reshape(b, nprobe * l), kk)
-    rows = jnp.take_along_axis(brows.reshape(b, nprobe * l), flat_idx,
-                               axis=-1)
+    # Winners → corpus rows: a [B, kk] gather instead of the full per-slot
+    # row matrix (pad slots map to buckets.rows == -1, as before).
+    win_part = jnp.take_along_axis(probed, flat_idx // l, axis=1)
+    rows = jnp.take(buckets.rows.reshape(-1),
+                    win_part * l + flat_idx % l)        # [B, kk]
     if kk < k:
         neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, k - kk)))

@@ -135,3 +135,45 @@ def test_bucketize_pack_validation(rng):
         bucketize(codes, pidx, 2, pack=True)
     b = bucketize(codes, pidx, 2, pack="auto")   # falls back silently
     assert b.codes.shape[1] == 4
+
+
+def test_adc_lookup_l_tiled(rng):
+    """Buckets larger than one L tile (2048) stream through a tiled grid;
+    results must match the small-bucket path slot for slot."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup
+
+    g, d, c, l = 2, 4, 64, 4352          # l > _L_TILE, not a tile multiple
+    codes = rng.integers(0, c, (g, d, l)).astype(np.int32)
+    tab = rng.standard_normal((g, d, c)).astype(np.float32)
+    out = np.asarray(adc_lookup(jnp.asarray(codes),
+                                jnp.asarray(tab.reshape(g, d * c))))
+    ref = tab[np.arange(g)[:, None, None],
+              np.arange(d)[None, :, None], codes].sum(1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_adc_lookup_indexed_matches_direct(rng, pack):
+    """The scalar-prefetch (in-place bucket) lookup must equal gathering
+    the bucket first and running the plain lookup."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup, adc_lookup_indexed
+
+    p, d, c, l, g = 6, 8, 256, 384, 10
+    bcodes = rng.integers(0, c, (p, d, l)).astype(np.int32)
+    if pack:
+        dp = -(-d // 4)
+        packed = np.zeros((p, dp, l), np.int32)
+        for di in range(d):
+            w, bb = divmod(di, 4)
+            packed[:, w] |= bcodes[:, di] << (8 * bb)
+        resident = packed
+    else:
+        resident = bcodes
+    ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+    bidx = rng.integers(0, p, (g,)).astype(np.int32)
+
+    got = np.asarray(adc_lookup_indexed(
+        jnp.asarray(resident), jnp.asarray(ftab), jnp.asarray(bidx), d=d))
+    ref = np.asarray(adc_lookup(
+        jnp.asarray(resident[bidx]), jnp.asarray(ftab), d=d))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
