@@ -129,35 +129,68 @@ class DeviceIndex:
 class ShardedIndex:
     """IVF-PQ index sharded across a device mesh (SPMD serving).
 
-    Same ``query`` contract as :class:`DeviceIndex`; the corpus rows shard
-    over the mesh's ``"shard"`` axis and only ``k`` candidates per device
-    cross the interconnect (:mod:`.parallel.query`).
+    Same ``query`` contract as :class:`DeviceIndex`, and the same two
+    layouts: **bucketed** (default — the :class:`..ops.bucketed.Buckets`
+    arrays shard on the PARTITION axis and each device scans only the
+    probed buckets it owns, :mod:`.parallel.bucketed`) or **masked**
+    (corpus rows shard; every device scans all its local rows,
+    :mod:`.parallel.query`). Either way only ``k`` candidates per device
+    cross the interconnect. ``self.layout`` is ``"sharded-bucketed"`` /
+    ``"sharded-masked"``.
     """
-
-    layout = "sharded"
 
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
                  codes: np.ndarray, pidx: np.ndarray,
-                 rotation: Optional[np.ndarray] = None, *, mesh) -> None:
+                 rotation: Optional[np.ndarray] = None, *, mesh,
+                 layout: Optional[str] = None) -> None:
         import jax.numpy as jnp
 
+        from .ops.bucketed import bucketize
+        from .parallel.bucketed import shard_buckets
         from .parallel.mesh import shard_corpus
 
         self.mesh = mesh
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
         self.rotation = None if rotation is None else jnp.asarray(rotation)
-        self.codes, self.pidx = shard_corpus(
-            mesh, np.asarray(codes, np.int32), np.asarray(pidx, np.int32))
+
+        p = centroids.shape[0]
+        n = max(len(codes), 1)
+        if layout is None:
+            counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
+            l_pad = -(-int(max(max(counts), 1)) // 128) * 128
+            layout = "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) \
+                else "masked"
+        if layout == "bucketed":
+            self.buckets = shard_buckets(mesh, bucketize(
+                np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p,
+                pack="auto"))
+            self.codes = self.pidx = None
+        elif layout == "masked":
+            self.codes, self.pidx = shard_corpus(
+                mesh, np.asarray(codes, np.int32),
+                np.asarray(pidx, np.int32))
+            self.buckets = None
+        else:
+            raise ValueError(f"unknown layout: {layout!r}")
+        self.layout = f"sharded-{layout}"
 
     def query(self, q: np.ndarray, k: int, nprobe: int,
               row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
+        from .parallel.bucketed import query_bucketed_sharded
         from .parallel.mesh import shard_mask
         from .parallel.query import query_sharded
 
         qd = jnp.asarray(np.asarray(q, np.float32))
+        if self.layout == "sharded-bucketed":
+            if row_mask is not None:
+                row_mask = jnp.asarray(row_mask, bool)  # replicated, global
+            d, r, p = query_bucketed_sharded(
+                qd, self.centroids, self.codebooks, self.buckets,
+                self.rotation, row_mask, mesh=self.mesh, k=k, nprobe=nprobe)
+            return np.asarray(d), np.asarray(r), np.asarray(p)
         if row_mask is not None:
             row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
         d, r, p = query_sharded(

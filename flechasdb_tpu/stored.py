@@ -465,9 +465,13 @@ class StoredDatabase:
 
         After this, :meth:`query` and :meth:`query_batch` run the fused
         device kernels (:mod:`.serving`) — the warm serving mode. With a
-        ``jax.sharding.Mesh``, the corpus shards across its devices and
-        queries run the SPMD program (:mod:`.parallel.query`): local top-k
-        per device, ``all_gather`` k-best merge over ICI.
+        ``jax.sharding.Mesh``, the index shards across its devices and
+        queries run an SPMD program: by default the PRUNED layout —
+        buckets shard on the partition axis, each device scans only the
+        probed buckets it owns (:mod:`.parallel.bucketed`) — falling back
+        to the masked full scan (:mod:`.parallel.query`) under partition
+        skew; either way local top-k per device then an ``all_gather``
+        k-best merge over ICI.
 
         Partition files load CONCURRENTLY on a thread pool — the native
         inflate+hash pass releases the GIL, so open→inflate→decode
