@@ -167,37 +167,51 @@ def _means_grad(sums: jax.Array, counts: jax.Array, old: jax.Array,
 def _auto_impl(x: jax.Array) -> str:
     """Kernel choice for :func:`_fused_round` when the caller passes None.
 
-    Pallas on TPU — EXCEPT when the vector width is below one lane tile
-    and the corpus is large: a pallas custom call pins its operand to the
-    default tiled layout, which lane-pads the minor axis to 128, so e.g.
-    GIST PQ training data ``[60, 1M, 16]`` would materialize at 30 GB
-    (8× its logical 3.8 GB) and OOM HBM. The XLA formulation lets the
-    layout assigner keep such arrays un-padded.
+    Pallas on TPU. Vector widths below one lane tile would lane-pad the
+    minor axis to 128 under the layout a pallas custom call pins (e.g.
+    GIST PQ training data ``[60, 1M, 16]`` materializing at 30 GB, 8× its
+    logical bytes) — those shapes route to the GROUPED kernel instead
+    (``pallas_kmeans.lloyd_round_grouped``): ``128/m`` divisions fold
+    into one full 128-lane tile with block-diagonal centroids, so
+    nothing pads and one MXU pass serves all of them. Widths that don't
+    divide the lane tile fall back to the XLA formulation when large
+    (the layout assigner keeps un-padded arrays there).
     """
     from .bucketed import _platform
     if _platform() != "tpu":
         return "xla"
     b, n, m = x.shape
-    if m < 128 and b * n * 128 * 4 > 6 << 30:
-        return "xla"
+    if m < 128:
+        if 128 % m == 0 and m >= 8:
+            return "pallas_grouped"
+        if b * n * 128 * 4 > 6 << 30:
+            return "xla"
     return "pallas"
 
 
 def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
-                 impl: str | None) -> tuple[jax.Array, jax.Array, jax.Array]:
+                 impl: str | None, xg: jax.Array | None = None,
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Assignment against ``centroids`` plus cluster sums/counts under that
     fresh assignment — the whole data-touching part of one Lloyd round.
 
     ``impl``: ``"pallas"`` (fused single-pass VMEM kernel,
-    :mod:`.pallas_kmeans`, default on TPU — interpreted elsewhere) or
-    ``"xla"`` (two chunked passes, default off-TPU and for lane-pad-heavy
-    shapes, :func:`_auto_impl`).
+    :mod:`.pallas_kmeans`, default on TPU — interpreted elsewhere),
+    ``"pallas_grouped"`` (division-folded variant for sub-lane vector
+    widths; ``xg`` may carry the pre-grouped corpus so loops regroup
+    once) or ``"xla"`` (two chunked passes, default off-TPU and for
+    remaining lane-pad-heavy shapes, :func:`_auto_impl`).
     """
     if impl is None:
         impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
         return lloyd_round(x, centroids)
+    if impl == "pallas_grouped":
+        from .pallas_kmeans import lloyd_round_grouped, regroup_divisions
+        if xg is None:
+            xg = regroup_divisions(x)
+        return lloyd_round_grouped(xg, centroids)
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
     indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
@@ -206,13 +220,18 @@ def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
 
 
 def _assign_only(x: jax.Array, centroids: jax.Array, k: int,
-                 impl: str | None) -> jax.Array:
+                 impl: str | None, xg: jax.Array | None = None) -> jax.Array:
     """Assignment with the same tie-breaking as :func:`_fused_round`."""
     if impl is None:
         impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
         return lloyd_round(x, centroids)[0]
+    if impl == "pallas_grouped":
+        from .pallas_kmeans import lloyd_round_grouped, regroup_divisions
+        if xg is None:
+            xg = regroup_divisions(x)
+        return lloyd_round_grouped(xg, centroids)[0]
     return assign_chunked(x, centroids, k=k, precision=_PRECISION)[0]
 
 
@@ -283,6 +302,13 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return KMeansResult(centroids, indices, jnp.zeros((b,), jnp.int32),
                             jnp.full((b,), jnp.inf, jnp.float32))
 
+    if impl is None:
+        impl = _auto_impl(x)
+    xg = None
+    if impl == "pallas_grouped":
+        from .pallas_kmeans import regroup_divisions
+        xg = regroup_divisions(x)  # once, outside the Lloyd loop
+
     class S(NamedTuple):
         centroids: jax.Array
         indices: jax.Array
@@ -295,7 +321,7 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return (s.r < max_rounds) & ~jnp.all(s.done)
 
     def body(s: S):
-        idx_f, sums, counts = _fused_round(x, s.centroids, k, impl)
+        idx_f, sums, counts = _fused_round(x, s.centroids, k, impl, xg)
         new_c, grad = _means_grad(sums, counts, s.centroids, x.dtype)
         newly_done = grad < epsilon
         # Converged-before-this-round batches freeze entirely; freshly
@@ -324,7 +350,7 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         jnp.all(s.done),
         lambda: s.indices,
         lambda: jnp.where(s.done[:, None], s.indices,
-                          _assign_only(x, s.centroids, k, impl)))
+                          _assign_only(x, s.centroids, k, impl, xg)))
     return KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)
 
 
@@ -419,10 +445,17 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
     :func:`_round_body`); identical results to ``steps`` host-stepped
     rounds — ``done`` freezes converged batch entries either way. Returns
     the per-round gradient history ``[steps, B]`` for event replay."""
+    if impl is None:
+        impl = _auto_impl(x)
+    xg = None
+    if impl == "pallas_grouped":
+        from .pallas_kmeans import regroup_divisions
+        xg = regroup_divisions(x)  # once per program, outside the scan
 
     def body(state, _):
         c, i, d, r, g = state
-        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon, impl)
+        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon,
+                                          impl, xg)
         return (c, i, d, r, g), grad
 
     (centroids, indices, done, rounds, gradient), grads = jax.lax.scan(
@@ -432,8 +465,8 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
 
 
 def _round_body(x, centroids, indices, done, rounds, gradient, k, epsilon,
-                impl=None):
-    idx_f, sums, counts = _fused_round(x, centroids, k, impl)
+                impl=None, xg=None):
+    idx_f, sums, counts = _fused_round(x, centroids, k, impl, xg)
     new_c, grad = _means_grad(sums, counts, centroids, x.dtype)
     newly_done = grad < epsilon
     centroids = jnp.where(done[:, None, None], centroids, new_c)

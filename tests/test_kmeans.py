@@ -313,3 +313,49 @@ def test_exhaustion_with_partially_converged_batch(rng):
                                        precision=jax.lax.Precision.HIGH)
             assert np.array_equal(np.asarray(res.indices[b]),
                                   np.asarray(expect[0]))
+
+
+def test_grouped_round_matches_xla_pass(rng):
+    """The division-grouped fused round (block-diagonal centroids, 128/m
+    divisions per lane tile) must agree with the XLA formulation — the
+    GIST-shape PQ path (D high, sub-lane m) that round 2 left on the
+    two-pass fallback."""
+    from flechasdb_tpu.ops.pallas_kmeans import (lloyd_round_grouped,
+                                                 regroup_divisions)
+
+    for b, n, m, k in [(6, 500, 16, 32), (3, 301, 32, 7), (1, 257, 64, 5)]:
+        x = jnp.asarray(rng.standard_normal((b, n, m)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((b, k, m)).astype(np.float32))
+        idx, sums, counts = lloyd_round_grouped(
+            regroup_divisions(x), c, interpret=True)
+        ref_idx, _ = assign_chunked(x, c, k=k,
+                                    precision=jax.lax.Precision.HIGH)
+        assert np.array_equal(np.asarray(idx), np.asarray(ref_idx))
+        xi, ii = np.asarray(x, np.float64), np.asarray(idx)
+        for bb in range(b):
+            oh = (np.arange(k)[:, None] == ii[bb][None, :]).astype(np.float64)
+            assert np.allclose(np.asarray(sums)[bb], oh @ xi[bb],
+                               rtol=1e-4, atol=1e-3)
+            assert np.array_equal(np.asarray(counts)[bb], oh.sum(1))
+
+
+def test_fit_grouped_impl_quality_parity(rng):
+    """fit(impl='pallas_grouped') (interpreted off-TPU) reaches XLA-path
+    quality on a many-division sub-lane-width shape, and the events path
+    matches fit."""
+    b, n, m, k = 10, 400, 16, 8
+    x = rng.standard_normal((b, n, m)).astype(np.float32)
+    xj = jnp.asarray(x)
+    key = jax.random.key(5)
+    ref = kmeans.fit(xj, k, key, impl="xla")
+    got = kmeans.fit(xj, k, key, impl="pallas_grouped")
+    for bb in range(b):
+        i_ref = _inertia(x[bb], np.asarray(ref.centroids[bb]),
+                         np.asarray(ref.indices[bb]))
+        i_got = _inertia(x[bb], np.asarray(got.centroids[bb]),
+                         np.asarray(got.indices[bb]))
+        assert abs(i_ref - i_got) <= 0.02 * max(i_ref, 1e-9)
+    ev = kmeans.fit_with_events(xj, k, key, lambda e: None,
+                                impl="pallas_grouped")
+    assert np.array_equal(np.asarray(ev.centroids), np.asarray(got.centroids))
+    assert np.array_equal(np.asarray(ev.indices), np.asarray(got.indices))
