@@ -89,10 +89,30 @@ class QueryResult:
 
 
 class DatabaseBuilder:
-    """Fluent builder (``build.rs:23-70``); defaults P=10, D=8, C=16."""
+    """Fluent builder (``build.rs:23-70``); defaults P=10, D=8, C=16.
 
-    def __init__(self, vs) -> None:
-        self._vs = as_vector_set(vs)
+    ``dtype``: ``np.float32`` (default) builds on the TPU pipeline.
+    ``np.float64`` routes the BUILD through the f64 host oracle
+    (:mod:`.oracle` — the dtype-generic path mirroring the reference's
+    trait-ready ``numbers.rs:6-111``); the resulting :class:`Database`
+    serves from f32 device arrays via a checked cast (values that would
+    overflow f32 raise :class:`InvalidArgs`), matching the reference's
+    implemented surface (f32-only serving, ``README.md:54,63``).
+    """
+
+    def __init__(self, vs, dtype=np.float32) -> None:
+        dt = np.dtype(dtype)
+        if dt == np.float64:
+            arr = np.asarray(vs, np.float64)
+            if arr.ndim != 2:
+                raise InvalidArgs(
+                    f"f64 build needs an [N, M] array, got {arr.shape}")
+            self._vs = arr
+        elif dt == np.float32:
+            self._vs = as_vector_set(vs)
+        else:
+            raise InvalidArgs(f"unsupported build dtype: {dt}")
+        self._dtype = dt.type
         self._num_partitions = 10
         self._num_divisions = 8
         self._num_clusters = 16
@@ -166,6 +186,9 @@ class DatabaseBuilder:
         vector_ids = _make_uuids(n, rng)
         events(ev.FinishedIdAssignment())
 
+        if self._dtype == np.float64:
+            return self._build_f64(x, p, d, c, rng, vector_ids, events)
+
         events(ev.StartingPartitioning())
         cluster_events = ((lambda e: events(ev.ClusterEvent(e)))
                           if events is not _noop else _noop)
@@ -206,6 +229,58 @@ class DatabaseBuilder:
             codes=np.asarray(pq.indices, dtype=np.uint32).T.copy(),
             residues=np.asarray(parts.residues),
             rotation=rotation,
+        )
+
+    def _build_f64(self, x, p, d, c, rng, vector_ids,
+                   events: EventHandler) -> "Database":
+        """f64 build via the host oracle (dtype seam, VERDICT.md r2 #8).
+
+        Training runs end-to-end in float64 (``oracle.build`` — the
+        reference's would-be f64 instantiation of its generic stack);
+        serving arrays cast to f32 with an overflow check, since the
+        device path (and the wire format, ``database.proto:66-72``) is
+        f32.
+        """
+        from . import oracle
+
+        if self._opq_iters:
+            raise InvalidArgs("OPQ is not supported on the f64 build path")
+
+        events(ev.StartingPartitioning())
+        ob = oracle.build(x, p, d, c, rng, dtype=np.float64)
+        events(ev.FinishedPartitioning())
+        events(ev.StartingSubvectorDivision())
+        residues64 = x - ob.partition_centroids[ob.partition_indices]
+        events(ev.FinishedSubvectorDivision())
+        for i in range(d):
+            events(ev.StartingQuantization(i))
+            events(ev.FinishedQuantization(i))
+
+        def cast32(a, what):
+            import warnings
+
+            with np.errstate(over="ignore"), warnings.catch_warnings():
+                # Overflow is detected and reported as InvalidArgs below.
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out = a.astype(np.float32)
+            if np.isinf(out[np.isfinite(a)]).any():
+                raise InvalidArgs(
+                    f"f64 {what} overflows f32 serving range")
+            return out
+
+        return Database(
+            vector_size=x.shape[1],
+            num_partitions=p,
+            num_divisions=d,
+            num_clusters=c,
+            vector_ids=vector_ids,
+            partition_centroids=cast32(ob.partition_centroids,
+                                       "partition centroids"),
+            partition_indices=np.asarray(ob.partition_indices, np.int32),
+            codebooks=cast32(ob.codebooks, "codebooks"),
+            codes=np.asarray(ob.codes, np.uint32),
+            residues=cast32(residues64, "residues"),
+            rotation=None,
         )
 
 

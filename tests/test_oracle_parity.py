@@ -173,3 +173,87 @@ def test_gmm_corpus_is_clustered():
     nn = d.min(axis=1).mean()
     rand = d[np.isfinite(d)].mean()
     assert nn < 0.25 * rand, f"not clustered: nn {nn:.2f} vs rand {rand:.2f}"
+
+
+def test_caps_parity_at_engaging_scale():
+    """The two quality-affecting shortcuts — k-means++ seeding on a
+    subsample (PARITY.md divergence #2) and PQ codebook training under
+    ``pq_cap`` — must not cost recall at a scale where they ENGAGE
+    (VERDICT.md round-2 weak #4: previous parity tests ran below both
+    thresholds, so a regression in the subsampled paths was invisible)."""
+    import jax
+
+    from flechasdb_tpu.ops import kmeans as tk
+    from flechasdb_tpu.ops.adc import query_masked_scan
+
+    rng = np.random.default_rng(7)
+    x, q = gmm_pair(rng, 50_000, 100, 32, n_clusters=64, intrinsic=8)
+    p, d, c, k = 16, 4, 16, 10
+    gt = _exact_topk(x, q, k)
+
+    from flechasdb_tpu.parallel.build import _build_step
+
+    def build(pq_cap):
+        return _build_step(np.asarray(x), jax.random.key(3), p=p, d=d, c=c,
+                           pq_cap=pq_cap)
+
+    def measure(built):
+        resid = x - np.asarray(built.partition_centroids)[
+            np.asarray(built.partition_indices)]
+        rec = np.concatenate([
+            np.asarray(built.codebooks)[di][np.asarray(built.codes)[:, di]]
+            for di in range(d)], axis=1)
+        err = float(((resid - rec) ** 2).sum())
+        _, rows, _ = query_masked_scan(
+            np.asarray(q), built.partition_centroids, built.codebooks,
+            built.codes.astype(np.int32),
+            built.partition_indices.astype(np.int32), k=k, nprobe=4)
+        return err, _recall(list(np.asarray(rows)), gt)
+
+    # Caps ON: N=50k > seed cap (max(4096, 32·16)=4096) and pq_cap=4096
+    # → both the seeding subsample and the PQ training subsample engage.
+    assert 50_000 > tk._seed_cap(p)
+    err_on, rec_on = measure(build(pq_cap=4096))
+
+    # Caps OFF: full-corpus seeding (reference semantics,
+    # kmeans.rs:142-229) and full-corpus PQ training.
+    orig = tk._seed_cap
+    tk._seed_cap = lambda k_: 1 << 30
+    try:
+        err_off, rec_off = measure(build(pq_cap=1 << 30))
+    finally:
+        tk._seed_cap = orig
+
+    assert abs(rec_on - rec_off) < 0.01, (
+        f"recall@10 caps-on {rec_on:.3f} vs caps-off {rec_off:.3f}")
+    assert 0.95 < err_on / err_off < 1.06, (
+        f"PQ reconstruction error caps-on/off ratio {err_on/err_off:.3f}")
+
+
+def test_builder_f64_dtype_seam(tmp_path):
+    """DatabaseBuilder(dtype=np.float64) routes the build through the f64
+    oracle pipeline and serves f32 end to end: build → save → load →
+    query round-trips (VERDICT.md round-2 #8)."""
+    import flechasdb_tpu as fdb
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((400, 16)).astype(np.float64)
+    db = (fdb.DatabaseBuilder(x, dtype=np.float64).with_partitions(4)
+          .with_divisions(4).with_clusters(8).with_seed(11).build())
+    assert db.partition_centroids.dtype == np.float32
+    db.set_attribute_at(0, ("tag", 7))
+
+    root = fdb.save_database(db, fdb.LocalFileSystem(tmp_path))
+    db2 = fdb.load_database(fdb.LocalFileSystem(tmp_path), f"{root}.binpb")
+    got = db2.query(x[0].astype(np.float32), k=5, nprobe=4)
+    assert len(got) == 5
+    # self-match: nearest neighbour of a corpus vector is itself
+    assert got[0].vector_id == db.vector_ids[0]
+
+    # overflow check: values finite in f64 but beyond f32 range must raise
+    import pytest as _pytest
+    bad = x.copy()
+    bad[0, 0] = 1e39
+    with _pytest.raises(fdb.InvalidArgs):
+        (fdb.DatabaseBuilder(bad, dtype=np.float64).with_partitions(4)
+         .with_divisions(4).with_clusters(8).with_seed(1).build())
