@@ -15,6 +15,7 @@ Device compute stays synchronous per step, as in the sync path.
 """
 
 from .io import AsyncFileSystem, AsyncLocalFileSystem
+from .save import save_database
 from .stored import AsyncStoredDatabase, AsyncQueryResult, load_database
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "AsyncQueryResult",
     "AsyncStoredDatabase",
     "load_database",
+    "save_database",
 ]

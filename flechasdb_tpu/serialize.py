@@ -73,28 +73,36 @@ def save_database(db: Database, fs: FileSystem) -> str:
     return f.persist(PROTOBUF_EXTENSION)
 
 
-def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
-    """One compressed file per partition (``db/build/proto.rs:66-98``).
+def _partition_payload(db: Database, pi: int) -> bytes:
+    """Encoded ``Partition`` message for partition ``pi``
+    (``db/build/proto.rs:66-98``). Members keep their original input
+    order — the same order the reference's index-filter extraction
+    produces (``db/build.rs:462-472``)."""
+    members = np.nonzero(db.partition_indices == pi)[0]
+    return PPartition(
+        vector_size=db.vector_size,
+        num_divisions=db.num_divisions,
+        centroid=db.partition_centroids[pi],
+        encoded_vectors=PEncodedVectorSet(
+            vector_size=db.num_divisions,
+            data=db.codes[members].reshape(-1),
+        ),
+        vector_ids=[PUuid.from_uuid(db.vector_ids[i]) for i in members],
+    ).encode()
 
-    Partition members keep their original input order — the same order the
-    reference's index-filter extraction produces (``db/build.rs:462-472``).
-    """
+
+def _vector_set_payload(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, np.float32)
+    return PVectorSet(vector_size=arr.shape[-1],
+                      data=arr.reshape(-1)).encode()
+
+
+def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
+    """One compressed file per partition (``db/build/proto.rs:66-98``)."""
     ids: List[str] = []
-    pidx = db.partition_indices
     for pi in range(db.num_partitions):
-        members = np.nonzero(pidx == pi)[0]
-        msg = PPartition(
-            vector_size=db.vector_size,
-            num_divisions=db.num_divisions,
-            centroid=db.partition_centroids[pi],
-            encoded_vectors=PEncodedVectorSet(
-                vector_size=db.num_divisions,
-                data=db.codes[members].reshape(-1),
-            ),
-            vector_ids=[PUuid.from_uuid(db.vector_ids[i]) for i in members],
-        )
         f = fs.create_hashed_file("partitions", compress=True)
-        f.write(msg.encode())
+        f.write(_partition_payload(db, pi))
         ids.append(f.persist(PROTOBUF_EXTENSION))
     return ids
 
@@ -102,10 +110,8 @@ def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
 def _save_vector_set(arr: np.ndarray, fs: FileSystem, subdir: str) -> str:
     """Uncompressed VectorSet file (centroids / codebooks,
     ``db/build/proto.rs:101-146``)."""
-    arr = np.asarray(arr, np.float32)
-    msg = PVectorSet(vector_size=arr.shape[-1], data=arr.reshape(-1))
     f = fs.create_hashed_file(subdir, compress=False)
-    f.write(msg.encode())
+    f.write(_vector_set_payload(arr))
     return f.persist(PROTOBUF_EXTENSION)
 
 
@@ -117,28 +123,35 @@ def _sorted_attribute_names(db: Database) -> List[str]:
     return sorted(names)
 
 
+def _attr_log_payload(db: Database, pi: int, partition_id: str,
+                      attribute_names: List[str]) -> bytes:
+    """Encoded set-op log for partition ``pi``
+    (``db/build/proto.rs:163-205``)."""
+    name_index = {n: i for i, n in enumerate(attribute_names)}
+    log = PAttributesLog(partition_id=partition_id)
+    for vi in np.nonzero(db.partition_indices == pi)[0]:
+        vid = db.vector_ids[vi]
+        attrs = db.attribute_table.get(vid)
+        if not attrs:
+            continue
+        for name, value in attrs.items():
+            log.entries.append(POperationSetAttribute(
+                vector_id=PUuid.from_uuid(vid),
+                name_index=name_index[name],
+                value=PAttributeValue(value=value),
+            ))
+    return log.encode()
+
+
 def _save_attribute_logs(db: Database, partition_ids: List[str],
                          attribute_names: List[str],
                          fs: FileSystem) -> List[str]:
     """One compressed set-op log per partition
     (``db/build/proto.rs:163-205``)."""
-    name_index = {n: i for i, n in enumerate(attribute_names)}
     ids: List[str] = []
-    pidx = db.partition_indices
     for pi in range(db.num_partitions):
-        log = PAttributesLog(partition_id=partition_ids[pi])
-        for vi in np.nonzero(pidx == pi)[0]:
-            vid = db.vector_ids[vi]
-            attrs = db.attribute_table.get(vid)
-            if not attrs:
-                continue
-            for name, value in attrs.items():
-                log.entries.append(POperationSetAttribute(
-                    vector_id=PUuid.from_uuid(vid),
-                    name_index=name_index[name],
-                    value=PAttributeValue(value=value),
-                ))
         f = fs.create_hashed_file("attributes", compress=True)
-        f.write(log.encode())
+        f.write(_attr_log_payload(db, pi, partition_ids[pi],
+                                  attribute_names))
         ids.append(f.persist(PROTOBUF_EXTENSION))
     return ids

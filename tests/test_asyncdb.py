@@ -148,3 +148,67 @@ def test_async_query_validation(saved_db):
         asyncio.run(go(0, 1))
     with pytest.raises(fdb.InvalidArgs):
         asyncio.run(go(3, 999))
+
+
+# ------------------------------------------------------ async save ----
+
+
+def test_async_save_identical_tree(tmp_path):
+    """asyncdb.save_database (concurrent writes — beyond the reference's
+    unchecked 'save asynchronously' box) must produce the exact artifact
+    set the sync saver does: content addressing makes the trees
+    byte-identical, so the file inventories and root hash must match."""
+    import flechasdb_tpu as fdb
+    from flechasdb_tpu.asyncdb import save_database as save_async
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(5).with_divisions(4)
+          .with_clusters(8).with_seed(2).build())
+    for i in range(0, 300, 7):
+        db.set_attribute_at(i, ("datum", i))
+
+    sync_dir = tmp_path / "sync"
+    async_dir = tmp_path / "async"
+    root_sync = fdb.save_database(db, fdb.LocalFileSystem(sync_dir))
+    root_async = asyncio.run(
+        save_async(db, fdb.LocalFileSystem(async_dir)))
+    assert root_sync == root_async
+
+    def inventory(base):
+        return sorted(p.relative_to(base).as_posix()
+                      for p in base.rglob("*.binpb"))
+
+    assert inventory(sync_dir) == inventory(async_dir)
+
+    db2 = fdb.load_database(fdb.LocalFileSystem(async_dir),
+                            f"{root_async}.binpb")
+    got = db2.query(x[0], k=3, nprobe=5)
+    assert got[0].vector_id == db.vector_ids[0]
+    assert got[0].get_attribute("datum") == 0
+
+
+def test_async_save_objectstore(tmp_path):
+    """Concurrent save onto an fsspec object store (memory://) and async
+    load back — the serverless S3 write path, end to end."""
+    import flechasdb_tpu as fdb
+    from flechasdb_tpu.asyncdb import load_database as load_async
+    from flechasdb_tpu.asyncdb import save_database as save_async
+    from flechasdb_tpu.objectstore import (AsyncFsspecFileSystem,
+                                           FsspecFileSystem)
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(4).with_divisions(2)
+          .with_clusters(8).with_seed(3).build())
+
+    store = FsspecFileSystem("memory://asave-test")
+    root = asyncio.run(save_async(db, store, max_concurrency=8))
+
+    async def roundtrip():
+        adb = await load_async(AsyncFsspecFileSystem("memory://asave-test"),
+                               f"{root}.binpb")
+        return await adb.query(x[0], k=3, nprobe=4)
+
+    got = asyncio.run(roundtrip())
+    assert got[0].vector_id == db.vector_ids[0]
