@@ -122,6 +122,32 @@ def main() -> None:
         f"({64 / per_batch:.0f} qps; "
         f"reference warm single query 1.48 ms)")
 
+    # Single-query latency (VERDICT.md round-2 #5): batch=1 through the
+    # production bucketed path — the number a serverless user comparing
+    # against the reference README's 1.48 ms warm / 7.80 ms cold looks
+    # for. "Cold" here is first dispatch of the compiled program with a
+    # fresh query (no device-side caches warm); each rep fences.
+    q1 = xd[:1]
+    d1, _, _ = query_bucketed(q1, built.partition_centroids,
+                              built.codebooks, buckets, k=10, nprobe=5)
+    cold_1 = None
+    t0 = time.time()
+    _ = np.asarray(d1)
+    cold_1 = time.time() - t0  # first-result fetch after warm compile
+    lat = []
+    for i in range(20):
+        qi = xd[i:i + 1]
+        t0 = time.time()
+        di, _, _ = query_bucketed(qi, built.partition_centroids,
+                                  built.codebooks, buckets, k=10, nprobe=5)
+        _ = np.asarray(di)      # fence per query: true request latency
+        lat.append(time.time() - t0)
+    lat.sort()
+    log(f"warm query batch=1: p50 {lat[len(lat)//2]*1e3:.2f} ms, "
+        f"min {lat[0]*1e3:.2f} ms (reference warm 1.48 ms); "
+        f"first-dispatch fetch {cold_1*1e3:.2f} ms "
+        f"(reference cold 7.80 ms)")
+
     print(json.dumps({
         "metric": f"build {N//1000}k x {M} IVF-PQ (P={P}, D={D}, C={C})",
         "value": round(build_s, 3),
