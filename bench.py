@@ -22,6 +22,7 @@ Round-2 cold-start fixes (VERDICT.md "What's weak" #2):
   dominated by a cold XLA compile through the axon remote-compile tunnel).
 """
 
+import functools
 import json
 import os
 import sys
@@ -147,6 +148,38 @@ def main() -> None:
         f"min {lat[0]*1e3:.2f} ms (reference warm 1.48 ms); "
         f"first-dispatch fetch {cold_1*1e3:.2f} ms "
         f"(reference cold 7.80 ms)")
+
+    # Device-serial batch=1: the per-request fence above is dominated by
+    # the axon tunnel round-trip (~26 ms), which the reference (measured
+    # in-process on the serving host) never pays. Chain CHAIN dependent
+    # single queries inside ONE program — query i+1 is perturbed by
+    # (result i) * 1e-38, forcing serial on-device execution — so the
+    # tunnel is crossed once and total/CHAIN is the true on-chip
+    # single-query service time.
+    CHAIN = 256
+    qs = xd[:CHAIN]
+
+    @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+    def _serial_chain(qs, centroids, codebooks, buckets, *, k, nprobe):
+        def body(carry, qi):
+            di, ri, _ = query_bucketed(
+                qi[None] + carry * 1e-38, centroids, codebooks, buckets,
+                k=k, nprobe=nprobe)
+            fin = jnp.sum(jnp.where(jnp.isfinite(di), di, 0.0))
+            return fin, (di[0], ri[0])
+        _, outs = jax.lax.scan(body, jnp.float32(0), qs)
+        return outs
+
+    outs = _serial_chain(qs, built.partition_centroids, built.codebooks,
+                         buckets, k=10, nprobe=5)
+    _ = np.asarray(outs[0][:1, :4])
+    t0 = time.time()
+    outs = _serial_chain(qs, built.partition_centroids, built.codebooks,
+                         buckets, k=10, nprobe=5)
+    _ = np.asarray(outs[0][:1, :4])
+    per_q = (time.time() - t0) / CHAIN
+    log(f"device-serial batch=1 ({CHAIN} chained queries, one dispatch): "
+        f"{per_q*1e3:.3f} ms/query (reference warm 1.48 ms)")
 
     print(json.dumps({
         "metric": f"build {N//1000}k x {M} IVF-PQ (P={P}, D={D}, C={C})",

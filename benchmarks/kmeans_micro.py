@@ -17,6 +17,16 @@ choice is measured, not guessed:
   assign: f32 tile   | bf16 tile
 
 Usage: python benchmarks/kmeans_micro.py [--n 2000000] [--k 4096] [--m 96]
+
+Orientation note (round 3): the transposed ``[K, T]`` distance tile that
+won 237 → 163 ms on the grouped sub-lane kernel was measured on the MAIN
+kernel across four production shapes and is a wash or a regression
+(bench-coarse K=100/M=1536: 6.9 → 10.2 ms; deep-coarse fast_math:
+86.5 → 96.6 ms; sift-coarse equal) — full-width tiles are VPU-bound on
+the argmin/select chain whose per-element op count is orientation-
+independent (~85 ms floor at n=2M, K=4096), so the row-major form was
+kept. The grouped kernel's win came from eliminating per-division
+narrow-lane masking, not from the transpose per se.
 """
 
 import argparse
@@ -177,5 +187,63 @@ def main():
     print(f"  assignment agreement bf16 vs f32: {agree:.4f}")
 
 
+def grouped_main():
+    """GIST-PQ-shape shootout: the division-grouped fused round vs the
+    two-pass XLA formulation (``python benchmarks/kmeans_micro.py
+    --grouped [--b 60 --n 1000000 --m 16 --k 256]``).
+
+    Round-3 history at the default shape (v5e): row-major grouped kernel
+    237 ms (VPU-bound), transposed [g·K, T] orientation 163 ms, XLA
+    two-pass 206 ms, fast_math 97 ms; regroup once-cost ~55 ms.
+    """
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grouped", action="store_true")
+    ap.add_argument("--b", type=int, default=60)
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    b, n, m, k = args.b, args.n, args.m, args.k
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.ops import kmeans
+    from flechasdb_tpu.ops.pallas_kmeans import (lloyd_round_grouped,
+                                                 regroup_divisions)
+
+    def fence3(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(leaf[(0,) * (leaf.ndim - 1)][:1])
+
+    x = jax.random.normal(jax.random.key(0), (b, n, m), jnp.float32)
+    cents = jax.random.normal(jax.random.key(1), (b, k, m), jnp.float32)
+    fence3(x), fence3(cents)
+
+    def bench(name, fn):
+        fence3(fn())
+        t0 = time.time()
+        out = None
+        for _ in range(args.reps):
+            out = fn()
+        fence3(out)
+        print(f"{name:28s} {(time.time() - t0) / args.reps * 1e3:9.1f} ms",
+              flush=True)
+
+    xg = jax.jit(regroup_divisions)(x)
+    fence3(xg)
+    bench("grouped lloyd_round", lambda: lloyd_round_grouped(xg, cents))
+    bench("grouped lloyd_round fast",
+          lambda: lloyd_round_grouped(xg, cents, fast_math=True))
+    xla = jax.jit(functools.partial(kmeans._fused_round, impl="xla", k=k))
+    bench("xla two-pass round", lambda: xla(x, cents))
+
+
 if __name__ == "__main__":
-    main()
+    if "--grouped" in sys.argv:
+        grouped_main()
+    else:
+        main()
