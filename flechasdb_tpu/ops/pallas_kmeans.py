@@ -33,9 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_kernel(x_ref, c_ref, cc_ref, idx_ref, sums_ref, counts_ref, *,
-                  n: int, t: int, fast_math: bool):
-    """One ``[T, M]`` row tile against all ``[K, M]`` centroids."""
+def _round_kernel(x_ref, chi_ref, clo_ref, cc_ref, idx_ref, sums_ref,
+                  counts_ref, *, n: int, t: int, kc: int, fast_math: bool):
+    """One ``[T, M]`` row tile against all ``[K, M]`` centroids.
+
+    Two round-3 structure changes over the original kernel (measured
+    ~8 µs of fixed cost per grid step; at the auto tile the step count
+    dominated the round):
+
+    * Centroids arrive PRE-SPLIT as bf16 hi/lo operands, computed once
+      in XLA outside the grid — the old kernel re-derived the split from
+      f32 centroids every step (K·M conversions × thousands of steps).
+    * The distance/argmin runs over K in chunks of ``kc`` with a running
+      ``(min, argmin)`` carry, so the ``[T, kc]`` distance + iota-select
+      tiles bound VMEM independently of K and the row tile ``T`` can
+      grow (fewer, fatter grid steps). Ties break to the globally FIRST
+      minimum: within a chunk via the iota-min trick, across chunks
+      because the carry update is strict ``<`` (an equal later chunk
+      never displaces an earlier winner).
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -44,8 +60,7 @@ def _round_kernel(x_ref, c_ref, cc_ref, idx_ref, sums_ref, counts_ref, *,
         counts_ref[...] = jnp.zeros(counts_ref.shape, counts_ref.dtype)
 
     xi = x_ref[0]                                    # [T, M] f32
-    cents = c_ref[0]                                 # [K, M] f32
-    k = cents.shape[0]
+    k = chi_ref.shape[1]
 
     # Edge tile: rows past N are garbage from the padded block — zero them
     # so 0·NaN cannot poison the sum matmul, and mask them out of the
@@ -64,48 +79,65 @@ def _round_kernel(x_ref, c_ref, cc_ref, idx_ref, sums_ref, counts_ref, *,
             preferred_element_type=jnp.float32)
 
     xhi = xi.astype(jnp.bfloat16)
-    chi = cents.astype(jnp.bfloat16)
-    if fast_math:
-        # ‖x‖² is constant per row: argmin_k (‖c_k‖² - 2 x·c_k) suffices.
-        xc = dot_nt(xhi, chi)
-    else:
+    if not fast_math:
         # Manual bf16x3 (hi/lo split): the same error-compensated product
         # XLA's Precision.HIGH runs — the XLA training path's setting —
         # at 3 MXU passes instead of HIGHEST's 6. Mosaic itself lowers
         # only DEFAULT (1 bf16 pass) and HIGHEST.
         xlo = (xi - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        clo = (cents - chi.astype(jnp.float32)).astype(jnp.bfloat16)
-        xc = dot_nt(xhi, chi) + dot_nt(xhi, clo) + dot_nt(xlo, chi)
-    d = cc_ref[0] - 2.0 * xc                         # [T, K]
-    # argmin via min + iota-select (Mosaic has no argmin lowering); the
-    # inner min over matching positions keeps the FIRST minimum, matching
-    # jnp.argmin / assign_chunked tie-breaking.
-    k_num = d.shape[1]
-    dmin = jnp.min(d, axis=1, keepdims=True)         # [T, 1]
-    cand = jnp.where(d == dmin,
-                     jax.lax.broadcasted_iota(jnp.int32, d.shape, 1), k_num)
-    idx = jnp.min(cand, axis=1)                      # [T]
+
+    dmin = None
+    idx = None
+    for ci, c0 in enumerate(range(0, k, kc)):
+        chi = chi_ref[0][c0:c0 + kc]                 # [kc, M] bf16
+        if fast_math:
+            # ‖x‖² is constant per row: argmin_k (‖c_k‖² - 2 x·c_k)
+            # suffices.
+            xc = dot_nt(xhi, chi)
+        else:
+            clo = clo_ref[0][c0:c0 + kc]
+            xc = dot_nt(xhi, chi) + dot_nt(xhi, clo) + dot_nt(xlo, chi)
+        # cc arrives chunk-major ([nchunks, kc] per batch row) so each
+        # chunk is a SUBLANE row starting at lane 0 — Mosaic cannot
+        # broadcast a lane-offset slice over rows ("Invalid input
+        # layout" on vector.broadcast of cc[:, c0:c0+kc]).
+        d = cc_ref[0][ci:ci + 1, :] - 2.0 * xc       # [T, kc]
+        # argmin via min + iota-select (Mosaic has no argmin lowering);
+        # the inner min over matching positions keeps the FIRST minimum,
+        # matching jnp.argmin / assign_chunked tie-breaking.
+        cmin = jnp.min(d, axis=1, keepdims=True)     # [T, 1]
+        cand = jnp.where(
+            d == cmin,
+            jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + c0, k)
+        cidx = jnp.min(cand, axis=1)                 # [T]
+        if dmin is None:
+            dmin, idx = cmin, cidx
+        else:
+            upd = cmin < dmin                        # strict: first chunk
+            dmin = jnp.where(upd, cmin, dmin)        # wins ties
+            idx = jnp.where(upd[:, 0], cidx, idx)
     idx_ref[0, 0] = idx
 
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (k, t), 0)
-          == idx[None, :])                           # [K, T]
-    if valid_col is not None:
-        oh &= valid_col
-    # One-hot entries are exactly 0/1 in bf16, so the error in each pass
-    # comes only from x's rounding: hi alone for fast_math, hi+lo (the
-    # full f32 mantissa, split exactly) otherwise.
-    ohf = oh.astype(jnp.bfloat16)
-
-    def dot_nn(a, b):                                # [K,T] @ [T,M]
+    def dot_nn(a, b):                                # [kc,T] @ [T,M]
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    s = dot_nn(ohf, xhi)
-    if not fast_math:
-        s += dot_nn(ohf, xlo)
-    sums_ref[0] += s                                 # [K, M]
-    counts_ref[0, 0] += jnp.sum(oh.astype(jnp.float32), axis=1)
+    for c0 in range(0, k, kc):
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (kc, t), 0) + c0
+              == idx[None, :])                       # [kc, T]
+        if valid_col is not None:
+            oh &= valid_col
+        # One-hot entries are exactly 0/1 in bf16, so the error in each
+        # pass comes only from x's rounding: hi alone for fast_math,
+        # hi+lo (the full f32 mantissa, split exactly) otherwise.
+        ohf = oh.astype(jnp.bfloat16)
+        s = dot_nn(ohf, xhi)
+        if not fast_math:
+            s += dot_nn(ohf, xlo)
+        sums_ref[0, c0:c0 + kc] += s                 # [kc, M]
+        counts_ref[0, c0:c0 + kc] += jnp.sum(
+            oh.astype(jnp.float32), axis=1, keepdims=True)  # [kc, 1]
 
 
 def _grouped_round_kernel(xg_ref, c_ref, cc_ref, idx_ref, sums_ref,
@@ -323,29 +355,50 @@ def lloyd_round(x: jax.Array, centroids: jax.Array, *,
     """
     b, n, m = x.shape
     k = centroids.shape[1]
+    # K-chunk size for the running-argmin loop: the largest 128-multiple
+    # divisor of k up to 512 (VMEM for the [T, kc] tiles), or all of k
+    # when k is small / not 128-divisible (single chunk ≡ the original
+    # whole-K formulation).
+    kc = k
+    for cand_kc in (512, 384, 256, 128):
+        if k > cand_kc and k % cand_kc == 0:
+            kc = cand_kc
+            break
     if tile is None:
         # Row-tile auto-sizing against the 16 MB scoped-VMEM limit.
-        # Empirical model (calibrated on two measured scoped sizes:
-        # K=4096/M=96/T=384 → 17.6 MB; K=100/M=1536/T=1024 → 26.0 MB):
-        #   scoped ≈ 7·T·K_pad  (distance tile + iota-select + one-hot)
-        #          + 12·T·M_pad (x tile f32 double-buffered + bf16 hi/lo)
-        #          + 12·K_pad·M_pad (sums accumulator + centroids hi/lo).
-        # Bigger tiles amortize per-step grid overhead (K=4096: 189 ms
-        # @T=128 → 104 ms @384 per 2M rows), so take the largest T that
-        # stays under ~14 MB.
+        # Model (round 3, chunked kernel with pre-split centroids),
+        # calibrated against two MEASURED scoped sizes (Mosaic keeps
+        # ~two chunks' distance/iota-select tiles live across the
+        # unrolled chunk loop): K=100/M=1536/T=640 → 16.21M and
+        # K=4096/kc=512/M=96/T=1280 → 21.11M:
+        #   scoped ≈ (19·kc_pad + 12·M_pad)·T   (2× d f32 + cand i32,
+        #            one-hot bool/bf16; x f32 double-buffered + hi/lo)
+        #          + 8·K_pad·M_pad + 4·kc_pad·M_pad (sums f32 + chi/clo
+        #            inputs + per-chunk sum tile) + ~2M misc.
+        # Bigger tiles amortize the ~6.4 µs fixed cost per grid step
+        # (measured: K=4096, 159 ms @T=128 → 109 ms @T=256 per 2M rows),
+        # so take the largest T that keeps the model under ~15.5 MB.
         kp = -(-k // 128) * 128
+        kcp = -(-kc // 128) * 128
         mp = -(-m // 128) * 128
-        avail = max((14 << 20) - 12 * kp * mp, 1 << 20)
-        tile = max(128, min(1024, avail // (7 * kp + 12 * mp) // 128 * 128))
+        avail = max(
+            (27 << 19) - 8 * kp * mp - 4 * kcp * mp, 1 << 20)
+        tile = max(128, min(2048, avail // (19 * kcp + 12 * mp) // 128 * 128))
     t = min(tile, max(128, -(-n // 128) * 128))
     steps = -(-n // t)
     if interpret is None:  # Mosaic needs a real TPU; interpret elsewhere
         from .bucketed import _platform
         interpret = _platform() != "tpu"
 
-    cc = jnp.sum(centroids * centroids, axis=-1)[:, None, :]  # [B, 1, K]
+    nch = k // kc
+    # Chunk-major centroid norms: [B, nchunks, kc] so the kernel reads
+    # each chunk as one sublane row (lane offset 0; see _round_kernel).
+    cc = jnp.sum(centroids * centroids, axis=-1).reshape(b, nch, kc)
+    chi = centroids.astype(jnp.bfloat16)
+    clo = (centroids - chi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    kernel = functools.partial(_round_kernel, n=n, t=t, fast_math=fast_math)
+    kernel = functools.partial(_round_kernel, n=n, t=t, kc=kc,
+                               fast_math=fast_math)
     idx, sums, counts = pl.pallas_call(
         kernel,
         grid=(b, steps),
@@ -354,23 +407,25 @@ def lloyd_round(x: jax.Array, centroids: jax.Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, k, m), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, kc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             # Mosaic needs the last two block dims (8, 128)-divisible or
-            # equal to the array dims — hence the singleton sublane axes.
+            # equal to the array dims — hence the singleton axes.
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, k, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, steps * t), jnp.int32),
             jax.ShapeDtypeStruct((b, k, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * k * m,
@@ -379,5 +434,5 @@ def lloyd_round(x: jax.Array, centroids: jax.Array, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, centroids, cc)
-    return idx[:, 0, :n], sums, counts[:, 0]
+    )(x, chi, clo, cc)
+    return idx[:, 0, :n], sums, counts[:, :, 0]
