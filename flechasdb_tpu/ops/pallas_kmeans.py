@@ -140,9 +140,9 @@ def _round_kernel(x_ref, chi_ref, clo_ref, cc_ref, idx_ref, sums_ref,
             oh.astype(jnp.float32), axis=1, keepdims=True)  # [kc, 1]
 
 
-def _grouped_round_kernel(xg_ref, c_ref, cc_ref, idx_ref, sums_ref,
-                          counts_ref, *, n: int, t: int, g: int, k: int,
-                          fast_math: bool):
+def _grouped_round_kernel(xg_ref, chi_ref, clo_ref, cc_ref, idx_ref,
+                          sums_ref, counts_ref, *, n: int, t: int, g: int,
+                          k: int, fast_math: bool):
     """One ``[T, 128]`` grouped row tile against block-diagonal centroids.
 
     Lanes hold ``g`` divisions' subvectors side by side; the centroid
@@ -158,6 +158,10 @@ def _grouped_round_kernel(xg_ref, c_ref, cc_ref, idx_ref, sums_ref,
     orientation (argmin over lanes) measured 237 ms/round at GIST PQ
     shape with the MXU floor at ~53 ms — the lane-axis reduce/select
     chains dominated.
+
+    As in :func:`_round_kernel` (round 3), the block-diagonal centroids
+    arrive PRE-SPLIT as bf16 hi/lo operands computed once in XLA — the
+    in-kernel split cost ``2·gK·128`` conversions per grid step.
     """
     j = pl.program_id(1)
 
@@ -167,7 +171,7 @@ def _grouped_round_kernel(xg_ref, c_ref, cc_ref, idx_ref, sums_ref,
         counts_ref[...] = jnp.zeros(counts_ref.shape, counts_ref.dtype)
 
     xi = xg_ref[0]                                   # [T, 128] f32
-    cents = c_ref[0]                                 # [g·K, 128] f32
+    chi = chi_ref[0]                                 # [g·K, 128] bf16
 
     valid_col = None
     if n % t:
@@ -182,12 +186,11 @@ def _grouped_round_kernel(xg_ref, c_ref, cc_ref, idx_ref, sums_ref,
             preferred_element_type=jnp.float32)
 
     xhi = xi.astype(jnp.bfloat16)
-    chi = cents.astype(jnp.bfloat16)
     if fast_math:
         xc = dot_ct(chi, xhi)
     else:
         xlo = (xi - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        clo = (cents - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+        clo = clo_ref[0]
         xc = dot_ct(chi, xhi) + dot_ct(clo, xhi) + dot_ct(chi, xlo)
     d = cc_ref[0] - 2.0 * xc                         # [g·K, T]
 
@@ -268,6 +271,9 @@ def lloyd_round_grouped(xg: jax.Array, centroids: jax.Array, *,
     cpad = cpad.reshape(gg, g, kp, m)
     eye = jnp.eye(g, dtype=centroids.dtype)
     bd = jnp.einsum("jikm,ih->jikhm", cpad, eye).reshape(gg, g * kp, 128)
+    # Pre-split hi/lo (off-block zeros split to exact zeros).
+    bdhi = bd.astype(jnp.bfloat16)
+    bdlo = (bd - bdhi.astype(jnp.float32)).astype(jnp.bfloat16)
     cc = jnp.sum(cpad * cpad, axis=-1)               # [G, g, Kp]
     if kp != k:
         pad_row = jnp.arange(kp) >= k
@@ -296,6 +302,8 @@ def lloyd_round_grouped(xg: jax.Array, centroids: jax.Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g * kp, 128), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * kp, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g * kp, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -319,7 +327,7 @@ def lloyd_round_grouped(xg: jax.Array, centroids: jax.Array, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xg, bd, cc)
+    )(xg, bdhi, bdlo, cc)
 
     indices = idx[:, :, :n].reshape(gg * g, n)[:b]
     # sums rows are [g·Kp, 128]; division (j·g+i) lives in rows
