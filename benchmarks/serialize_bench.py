@@ -1,0 +1,125 @@
+"""Serialize / load / stored-query latency at the reference's shape.
+
+Covers the BASELINE.md rows bench.py doesn't: serialize 0.143 s, load
+(root manifest only) 0.142 ms, sync query cold 7.80 ms / warm 1.48 ms,
+attribute fetch ×10 cold 3.39 ms (all reference numbers, M1 Pro SSD,
+``/root/reference/README.md:140,203-216``).
+
+Workload: the same 100k × 1536 DB as bench.py (P=100, D=12, C=256),
+built through the public ``DatabaseBuilder`` so the saved tree is the
+production artifact layout (partitions/codebooks/attribute logs/root,
+``serialize.py``). The corpus is generated on device and fetched once
+(untimed — the reference's corpus also pre-exists in RAM when its
+serialize timer starts).
+
+Usage: python benchmarks/serialize_bench.py [--n 100000]
+Emits one JSON line per measurement.
+"""
+
+import argparse
+import asyncio
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--m", type=int, default=1536)
+    args = ap.parse_args()
+    n, m, p, d, c = args.n, args.m, 100, 12, 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import flechasdb_tpu as fdb
+    from flechasdb_tpu.asyncdb.save import save_database as async_save
+
+    t0 = time.time()
+    _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    log({"metric": "backend warm-up (tiny op)",
+         "value": round(time.time() - t0, 1), "unit": "s"})
+
+    @jax.jit
+    def _prepare(key):
+        v = jax.random.normal(key, (n, m), dtype=jnp.float32)
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+    t0 = time.time()
+    x = np.asarray(_prepare(jax.random.key(42)))   # one full fetch, untimed
+    log({"metric": "prepare + fetch corpus to host",
+         "value": round(time.time() - t0, 1), "unit": "s"})
+
+    t0 = time.time()
+    db = (fdb.DatabaseBuilder(x).with_partitions(p).with_divisions(d)
+          .with_clusters(c).with_seed(7).build())
+    log({"metric": f"build {n//1000}k x {m} via DatabaseBuilder",
+         "value": round(time.time() - t0, 2), "unit": "s"})
+    for i in range(1000):                          # attribute load for logs
+        db.set_attribute_at(i, ("tag", f"v{i}"))
+
+    # --- serialize (sync), reference 0.143 s -----------------------------
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        root = fdb.save_database(db, fdb.LocalFileSystem(td))
+        save_s = time.time() - t0
+        log({"metric": "save_database (sync, local SSD)",
+             "value": round(save_s, 3), "unit": "s",
+             "reference_s": 0.143})
+
+        # --- load root manifest only, reference 0.142 ms -----------------
+        lats = []
+        for _ in range(20):
+            t0 = time.time()
+            sdb = fdb.load_database(fdb.LocalFileSystem(td), f"{root}.binpb")
+            lats.append(time.time() - t0)
+        lats.sort()
+        log({"metric": "load_database (root manifest only), p50",
+             "value": round(lats[10] * 1e3, 3), "unit": "ms",
+             "reference_ms": 0.142})
+
+        # --- sync stored query: cold (lazy loads) then warm --------------
+        q = x[0]
+        t0 = time.time()
+        res = sdb.query(q, k=10, nprobe=5)
+        cold_ms = (time.time() - t0) * 1e3
+        t0 = time.time()
+        res = sdb.query(q, k=10, nprobe=5)
+        warm_ms = (time.time() - t0) * 1e3
+        log({"metric": "stored sync query cold (lazy loads, host path)",
+             "value": round(cold_ms, 2), "unit": "ms", "reference_ms": 7.80})
+        log({"metric": "stored sync query warm (host path)",
+             "value": round(warm_ms, 2), "unit": "ms", "reference_ms": 1.48})
+
+        # --- attribute fetch x10 on cold logs ----------------------------
+        t0 = time.time()
+        got = [r.get_attribute("tag") for r in res]
+        attr_ms = (time.time() - t0) * 1e3
+        log({"metric": "attribute fetch x10 results (cold logs)",
+             "value": round(attr_ms, 2), "unit": "ms", "reference_ms": 3.39})
+        assert sum(g is not None for g in got) >= 0
+
+    # --- async concurrent save -------------------------------------------
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        root2 = asyncio.run(async_save(db, fdb.LocalFileSystem(td)))
+        log({"metric": "save_database (async concurrent, local SSD)",
+             "value": round(time.time() - t0, 3), "unit": "s"})
+        assert root2 == root, "async tree must be byte-identical"
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,12 @@ def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
     lib = _load()
     if lib is None:
         return None
+    if not compressed:
+        # Hash-only: the stored bytes ARE the payload — skip the C-side
+        # copy + ctypes copy-out (2 payload-sized memcpys for nothing).
+        hash_buf = ctypes.create_string_buffer(44)
+        lib.fio_hash(stored, len(stored), hash_buf)
+        return stored, hash_buf.value.decode("ascii")
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
     hash_buf = ctypes.create_string_buffer(44)

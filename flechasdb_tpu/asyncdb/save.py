@@ -32,6 +32,7 @@ from ..serialize import (
     _attr_log_payload,
     _partition_payload,
     _sorted_attribute_names,
+    _uuid_raw,
     _vector_set_payload,
 )
 
@@ -59,8 +60,10 @@ async def save_database(db: Database, fs: FileSystem, *,
             return await asyncio.to_thread(work)
 
     # Phase 1: everything that doesn't reference another artifact.
+    uuid_raw = _uuid_raw(db)
     part_tasks = [
-        put("partitions", lambda pi=pi: _partition_payload(db, pi), True)
+        put("partitions",
+            lambda pi=pi: _partition_payload(db, pi, uuid_raw), True)
         for pi in range(db.num_partitions)
     ]
     cent_task = put("partitions",

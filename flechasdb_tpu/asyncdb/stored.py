@@ -86,6 +86,10 @@ class AsyncStoredDatabase:
     _attrlog_tasks: Dict[int, asyncio.Task] = field(default_factory=dict,
                                                     repr=False)
     _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
+    _codebook_sq_norms: Optional[np.ndarray] = field(default=None,
+                                                     repr=False)
+    _centroid_sq_norms: Optional[np.ndarray] = field(default=None,
+                                                     repr=False)
 
     # -- accessors -----------------------------------------------------------
 
@@ -131,9 +135,12 @@ class AsyncStoredDatabase:
             f".{PROTOBUF_EXTENSION}")
         payload = await f.read()
         f.verify()  # async path verifies (asyncdb/stored.rs:284)
-        return decode_vector_set(
+        centroids = decode_vector_set(
             payload, self.vector_size, self.num_partitions,
             "partition centroids")
+        self._centroid_sq_norms = np.einsum(
+            "pm,pm->p", centroids, centroids)
+        return centroids
 
     def _rotation(self) -> asyncio.Task:
         if self._rotation_task is None:
@@ -172,7 +179,12 @@ class AsyncStoredDatabase:
 
         cbs = await asyncio.gather(
             *(one(di) for di in range(self.num_divisions)))
-        return np.stack(cbs)
+        stacked = np.stack(cbs)
+        # Cached alongside the codebooks for the ADC expansion form
+        # (see sync ``adc_scan_partition``).
+        self._codebook_sq_norms = np.einsum(
+            "dcm,dcm->dc", stacked, stacked)
+        return stacked
 
     def _partition(self, index: int) -> asyncio.Task:
         if not 0 <= index < self.num_partitions:
@@ -289,7 +301,8 @@ class AsyncStoredDatabase:
             events(ev.FinishedPartitionCentroidsLoad())
 
         events(ev.StartingPartitionSelection())
-        coarse = ((v[None] - centroids) ** 2).sum(-1)
+        # Ranking-only expansion; ‖c‖² cached at centroid load (see sync).
+        coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
         probed = np.argsort(coarse, kind="stable")[:nprobe]
         events(ev.FinishedPartitionSelection())
 
@@ -306,7 +319,8 @@ class AsyncStoredDatabase:
             rotation = await rot_task
             events(ev.StartingPartitionQuery(int(pi)))
             order, dists = adc_scan_partition(
-                v - centroids[pi], codebooks, part.codes, k, rotation)
+                v - centroids[pi], codebooks, part.codes, k, rotation,
+                codebook_sq_norms=self._codebook_sq_norms)
             if where is not None:
                 from ..filters import ColumnCache, evaluate_mask
                 mask = evaluate_mask(where, part.vector_ids,
@@ -317,7 +331,7 @@ class AsyncStoredDatabase:
                 AsyncQueryResult(
                     db=self,
                     partition_index=int(pi),
-                    vector_id=part.vector_ids[vi],
+                    vector_id=part.vector_id_at(int(vi)),
                     vector_index=int(vi),
                     squared_distance=float(dists[vi]),
                 )

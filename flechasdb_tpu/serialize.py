@@ -30,6 +30,7 @@ from .protos import (
     PUuid,
     PVectorSet,
 )
+from .protos.wire import encode_uuid_records as wire_encode_uuid_records
 
 PROTOBUF_EXTENSION = "binpb"
 
@@ -73,13 +74,21 @@ def save_database(db: Database, fs: FileSystem) -> str:
     return f.persist(PROTOBUF_EXTENSION)
 
 
-def _partition_payload(db: Database, pi: int) -> bytes:
+def _partition_payload(db: Database, pi: int,
+                       uuid_raw: np.ndarray | None = None,
+                       members: np.ndarray | None = None) -> bytes:
     """Encoded ``Partition`` message for partition ``pi``
     (``db/build/proto.rs:66-98``). Members keep their original input
     order — the same order the reference's index-filter extraction
-    produces (``db/build.rs:462-472``)."""
-    members = np.nonzero(db.partition_indices == pi)[0]
-    return PPartition(
+    produces (``db/build.rs:462-472``).
+
+    ``uuid_raw`` (``[N, 16] uint8``, precomputed once per save) enables
+    the bulk vector-ids encoding: field 12 is the message's last field,
+    so appending the records after the id-less encode is canonical field
+    order, byte-identical to the per-message loop."""
+    if members is None:
+        members = np.nonzero(db.partition_indices == pi)[0]
+    head = PPartition(
         vector_size=db.vector_size,
         num_divisions=db.num_divisions,
         centroid=db.partition_centroids[pi],
@@ -87,8 +96,13 @@ def _partition_payload(db: Database, pi: int) -> bytes:
             vector_size=db.num_divisions,
             data=db.codes[members].reshape(-1),
         ),
-        vector_ids=[PUuid.from_uuid(db.vector_ids[i]) for i in members],
-    ).encode()
+    )
+    if uuid_raw is not None:
+        raw = uuid_raw[members]
+        if bool(raw[:, :8].any(1).all()) and bool(raw[:, 8:].any(1).all()):
+            return head.encode() + wire_encode_uuid_records(12, raw)
+    head.vector_ids = [PUuid.from_uuid(db.vector_ids[i]) for i in members]
+    return head.encode()
 
 
 def _vector_set_payload(arr: np.ndarray) -> bytes:
@@ -97,12 +111,19 @@ def _vector_set_payload(arr: np.ndarray) -> bytes:
                       data=arr.reshape(-1)).encode()
 
 
+def _uuid_raw(db: Database) -> np.ndarray:
+    """``[N, 16] uint8`` big-endian UUID bytes, one bulk conversion."""
+    return np.frombuffer(
+        b"".join(u.bytes for u in db.vector_ids), np.uint8).reshape(-1, 16)
+
+
 def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
     """One compressed file per partition (``db/build/proto.rs:66-98``)."""
     ids: List[str] = []
+    uuid_raw = _uuid_raw(db)
     for pi in range(db.num_partitions):
         f = fs.create_hashed_file("partitions", compress=True)
-        f.write(_partition_payload(db, pi))
+        f.write(_partition_payload(db, pi, uuid_raw))
         ids.append(f.persist(PROTOBUF_EXTENSION))
     return ids
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import uuid as _uuid
 from dataclasses import dataclass, field
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -43,10 +43,36 @@ from .protos import (
 PROTOBUF_EXTENSION = "binpb"
 
 
-class StoredPartition(NamedTuple):
-    """One loaded partition (``db/stored.rs:449-454``)."""
-    codes: np.ndarray               # [L, D] uint32
-    vector_ids: List[_uuid.UUID]
+class StoredPartition:
+    """One loaded partition (``db/stored.rs:449-454``).
+
+    UUID objects materialize lazily from the bulk-decoded ``[L, 16]``
+    raw bytes: the cold query path touches only the k result IDs
+    (:meth:`vector_id_at`), so it never pays the ~1 µs/object × L list
+    build; attribute/filter/preload paths read :attr:`vector_ids` and
+    materialize once.
+    """
+
+    __slots__ = ("codes", "_ids", "_ids_raw")
+
+    def __init__(self, codes: np.ndarray,
+                 vector_ids: Optional[List[_uuid.UUID]] = None,
+                 ids_raw: Optional[np.ndarray] = None) -> None:
+        self.codes = codes              # [L, D] uint32
+        self._ids = vector_ids
+        self._ids_raw = ids_raw
+
+    @property
+    def vector_ids(self) -> List[_uuid.UUID]:
+        if self._ids is None:
+            self._ids = [_uuid.UUID(bytes=r.tobytes())
+                         for r in self._ids_raw]
+        return self._ids
+
+    def vector_id_at(self, i: int) -> _uuid.UUID:
+        if self._ids is not None:
+            return self._ids[i]
+        return _uuid.UUID(bytes=self._ids_raw[i].tobytes())
 
 
 def validate_root(root: PDatabase) -> PDatabase:
@@ -109,10 +135,12 @@ def decode_partition(payload: bytes, vector_size: int,
             len(evs.data) % max(evs.vector_size, 1):
         raise InvalidData("encoded vector shape mismatch")
     codes = evs.data.reshape(-1, num_divisions)
-    if len(codes) != len(msg.vector_ids):
+    if len(codes) != msg.ids_count:
         raise InvalidData(
             f"number of vector IDs is inconsistent: expected"
-            f" {len(codes)} but got {len(msg.vector_ids)}")
+            f" {len(codes)} but got {msg.ids_count}")
+    if msg.ids_raw is not None:
+        return StoredPartition(codes=codes, ids_raw=msg.ids_raw)
     return StoredPartition(
         codes=codes,
         vector_ids=[u.to_uuid() for u in msg.vector_ids],
@@ -152,6 +180,7 @@ def adc_scan_partition(centroid_delta: np.ndarray,
                        codebooks: np.ndarray,
                        codes: np.ndarray, k: int,
                        rotation: np.ndarray | None = None,
+                       codebook_sq_norms: np.ndarray | None = None,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side per-partition ADC scan, k best (``db/stored.rs:549-598``).
 
@@ -159,12 +188,24 @@ def adc_scan_partition(centroid_delta: np.ndarray,
     ``(order [<=k], dists)`` where ``order`` indexes the partition's local
     rows, best first. With an OPQ ``rotation`` the *residual* rotates before
     table construction (rotation applies to residuals, never the raw query).
+
+    The ``[D, C]`` table is built as ``‖local‖² + ‖c‖² − 2·c@local`` (one
+    BLAS batched matvec) rather than the subtract-square broadcast — the
+    broadcast materialized a ``[D, C, m]`` temporary and measured 0.5 ms of
+    the reference-headline warm query's budget (1.48 ms, README.md:216).
+    Callers that hold the codebooks cache ``codebook_sq_norms``
+    (``[D, C]``, see ``StoredDatabase._codebook_sq_norms``); it is
+    recomputed here when absent.
     """
     d, c, m_sub = codebooks.shape
     if rotation is not None:
         centroid_delta = centroid_delta @ rotation
     local = centroid_delta.reshape(d, m_sub)
-    table = ((local[:, None, :] - codebooks) ** 2).sum(-1)
+    if codebook_sq_norms is None:
+        codebook_sq_norms = np.einsum("dcm,dcm->dc", codebooks, codebooks)
+    cross = np.matmul(codebooks, local[:, :, None])[..., 0]      # [D, C]
+    table = ((local * local).sum(-1)[:, None]
+             + codebook_sq_norms - 2.0 * cross)
     dists = table[np.arange(d)[None, :], codes].sum(1)
     order = np.argsort(dists, kind="stable")[:k]
     return order, dists
@@ -212,6 +253,10 @@ class StoredDatabase:
                                                        repr=False)
     _rotation: Optional[np.ndarray] = field(default=None, repr=False)
     _rotation_loaded: bool = field(default=False, repr=False)
+    _codebook_sq_norms: Optional[np.ndarray] = field(default=None,
+                                                     repr=False)
+    _centroid_sq_norms: Optional[np.ndarray] = field(default=None,
+                                                     repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
     _filter_cache: Optional[object] = field(default=None, repr=False)
 
@@ -267,6 +312,9 @@ class StoredDatabase:
             self._partition_centroids = decode_vector_set(
                 payload, self.vector_size, self.num_partitions,
                 "partition centroids")
+            self._centroid_sq_norms = np.einsum(
+                "pm,pm->p", self._partition_centroids,
+                self._partition_centroids)
         return self._partition_centroids
 
     def _load_codebooks(self) -> np.ndarray:
@@ -283,6 +331,8 @@ class StoredDatabase:
                     payload, self.subvector_size, self.num_codes,
                     f"codebook[{di}]"))
             self._codebooks = np.stack(cbs)     # [D, C, m]
+            self._codebook_sq_norms = np.einsum(
+                "dcm,dcm->dc", self._codebooks, self._codebooks)
         return self._codebooks
 
     def _load_rotation(self) -> Optional[np.ndarray]:
@@ -424,7 +474,9 @@ class StoredDatabase:
         events(ev.FinishedQueryInitialization())
 
         events(ev.StartingPartitionSelection())
-        coarse = ((v[None] - centroids) ** 2).sum(-1)
+        # Ranking-only: ‖v−c‖² = ‖c‖² − 2·c·v + const(v); the constant
+        # cannot change the argsort, and ‖c‖² is cached at centroid load.
+        coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
         probed = np.argsort(coarse, kind="stable")[:nprobe]
         events(ev.FinishedPartitionSelection())
 
@@ -435,7 +487,8 @@ class StoredDatabase:
             # ADC table [D, C] then gather-sum; keep k best per partition
             # (db/stored.rs:576-595)
             order, dists = adc_scan_partition(
-                v - centroids[pi], codebooks, part.codes, k, rotation)
+                v - centroids[pi], codebooks, part.codes, k, rotation,
+                codebook_sq_norms=self._codebook_sq_norms)
             if where is not None:
                 mask = self._partition_filter_mask(where, int(pi), part)
                 dists = np.where(mask, dists, np.inf)
@@ -444,7 +497,7 @@ class StoredDatabase:
                 StoredQueryResult(
                     db=self,
                     partition_index=int(pi),
-                    vector_id=part.vector_ids[vi],
+                    vector_id=part.vector_id_at(int(vi)),
                     vector_index=int(vi),
                     squared_distance=float(dists[vi]),
                 )

@@ -24,9 +24,105 @@
 
 #include <zlib.h>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#define FIO_X86 1
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- sha-256 --
+
+static const uint32_t kSha256K[64] = {
+    0x428a2f98u, 0x71374491u, 0xb5c0fbcfu, 0xe9b5dba5u, 0x3956c25bu,
+    0x59f111f1u, 0x923f82a4u, 0xab1c5ed5u, 0xd807aa98u, 0x12835b01u,
+    0x243185beu, 0x550c7dc3u, 0x72be5d74u, 0x80deb1feu, 0x9bdc06a7u,
+    0xc19bf174u, 0xe49b69c1u, 0xefbe4786u, 0x0fc19dc6u, 0x240ca1ccu,
+    0x2de92c6fu, 0x4a7484aau, 0x5cb0a9dcu, 0x76f988dau, 0x983e5152u,
+    0xa831c66du, 0xb00327c8u, 0xbf597fc7u, 0xc6e00bf3u, 0xd5a79147u,
+    0x06ca6351u, 0x14292967u, 0x27b70a85u, 0x2e1b2138u, 0x4d2c6dfcu,
+    0x53380d13u, 0x650a7354u, 0x766a0abbu, 0x81c2c92eu, 0x92722c85u,
+    0xa2bfe8a1u, 0xa81a664bu, 0xc24b8b70u, 0xc76c51a3u, 0xd192e819u,
+    0xd6990624u, 0xf40e3585u, 0x106aa070u, 0x19a4c116u, 0x1e376c08u,
+    0x2748774cu, 0x34b0bcb5u, 0x391c0cb3u, 0x4ed8aa4au, 0x5b9cca4fu,
+    0x682e6ff3u, 0x748f82eeu, 0x78a5636fu, 0x84c87814u, 0x8cc70208u,
+    0x90befffau, 0xa4506cebu, 0xbef9a3f7u, 0xc67178f2u};
+
+#ifdef FIO_X86
+// Hardware SHA-256 (SHA-NI): ~8x the portable rounds on this image's
+// hosts (measured 160 MB/s portable vs ~1.3 GB/s OpenSSL, which uses the
+// same instructions). Runtime-dispatched; the portable implementation
+// below stays the fallback and the correctness oracle
+// (tests/test_native.py pins both against hashlib).
+__attribute__((target("sha,sse4.1,ssse3")))
+void sha256_blocks_shani(uint32_t state[8], const uint8_t* data,
+                         size_t nblocks) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bLL, 0x0405060700010203LL);
+  // Pack h[0..7] into the ABEF/CDGH register layout sha256rnds2 uses.
+  __m128i TMP = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&state[0]));
+  __m128i STATE1 =
+      _mm_loadu_si128(reinterpret_cast<const __m128i*>(&state[4]));
+  TMP = _mm_shuffle_epi32(TMP, 0xB1);
+  STATE1 = _mm_shuffle_epi32(STATE1, 0x1B);
+  __m128i STATE0 = _mm_alignr_epi8(TMP, STATE1, 8);
+  STATE1 = _mm_blend_epi16(STATE1, TMP, 0xF0);
+
+  while (nblocks--) {
+    const __m128i ABEF_SAVE = STATE0;
+    const __m128i CDGH_SAVE = STATE1;
+    __m128i m[4];
+    // 16 groups of 4 rounds; m[] cycles the 4-word message-schedule
+    // registers (the unrolled Intel flow re-rolled: at group g, msg2
+    // completes W[4(g+1)..] into m[(g+1)%4] and msg1 pre-stages
+    // m[(g+3)%4]). Fully unrolled so the m[] indices are compile-time
+    // and the four schedule registers stay in xmm (measured 2.9x).
+#pragma GCC unroll 16
+    for (int g = 0; g < 16; ++g) {
+      __m128i msg;
+      if (g < 4) {
+        m[g] = _mm_shuffle_epi8(
+            _mm_loadu_si128(
+                reinterpret_cast<const __m128i*>(data + 16 * g)),
+            MASK);
+        msg = m[g];
+      } else {
+        msg = m[g & 3];
+      }
+      msg = _mm_add_epi32(
+          msg, _mm_loadu_si128(
+                   reinterpret_cast<const __m128i*>(&kSha256K[4 * g])));
+      STATE1 = _mm_sha256rnds2_epu32(STATE1, STATE0, msg);
+      if (g >= 3 && g < 15) {
+        __m128i nxt = _mm_add_epi32(
+            m[(g + 1) & 3], _mm_alignr_epi8(m[g & 3], m[(g + 3) & 3], 4));
+        m[(g + 1) & 3] = _mm_sha256msg2_epu32(nxt, m[g & 3]);
+      }
+      msg = _mm_shuffle_epi32(msg, 0x0E);
+      STATE0 = _mm_sha256rnds2_epu32(STATE0, STATE1, msg);
+      if (g >= 1 && g < 13)
+        m[(g + 3) & 3] = _mm_sha256msg1_epu32(m[(g + 3) & 3], m[g & 3]);
+    }
+    STATE0 = _mm_add_epi32(STATE0, ABEF_SAVE);
+    STATE1 = _mm_add_epi32(STATE1, CDGH_SAVE);
+    data += 64;
+  }
+
+  TMP = _mm_shuffle_epi32(STATE0, 0x1B);
+  STATE1 = _mm_shuffle_epi32(STATE1, 0xB1);
+  STATE0 = _mm_blend_epi16(TMP, STATE1, 0xF0);
+  STATE1 = _mm_alignr_epi8(STATE1, TMP, 8);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[0]), STATE0);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[4]), STATE1);
+}
+
+bool sha_ni_available() {
+  static const bool ok = __builtin_cpu_supports("sha") &&
+                         __builtin_cpu_supports("sse4.1") &&
+                         __builtin_cpu_supports("ssse3");
+  return ok;
+}
+#endif  // FIO_X86
 
 struct Sha256 {
   uint32_t h[8];
@@ -50,20 +146,7 @@ struct Sha256 {
   }
 
   void block(const uint8_t* p) {
-    static const uint32_t k[64] = {
-        0x428a2f98u, 0x71374491u, 0xb5c0fbcfu, 0xe9b5dba5u, 0x3956c25bu,
-        0x59f111f1u, 0x923f82a4u, 0xab1c5ed5u, 0xd807aa98u, 0x12835b01u,
-        0x243185beu, 0x550c7dc3u, 0x72be5d74u, 0x80deb1feu, 0x9bdc06a7u,
-        0xc19bf174u, 0xe49b69c1u, 0xefbe4786u, 0x0fc19dc6u, 0x240ca1ccu,
-        0x2de92c6fu, 0x4a7484aau, 0x5cb0a9dcu, 0x76f988dau, 0x983e5152u,
-        0xa831c66du, 0xb00327c8u, 0xbf597fc7u, 0xc6e00bf3u, 0xd5a79147u,
-        0x06ca6351u, 0x14292967u, 0x27b70a85u, 0x2e1b2138u, 0x4d2c6dfcu,
-        0x53380d13u, 0x650a7354u, 0x766a0abbu, 0x81c2c92eu, 0x92722c85u,
-        0xa2bfe8a1u, 0xa81a664bu, 0xc24b8b70u, 0xc76c51a3u, 0xd192e819u,
-        0xd6990624u, 0xf40e3585u, 0x106aa070u, 0x19a4c116u, 0x1e376c08u,
-        0x2748774cu, 0x34b0bcb5u, 0x391c0cb3u, 0x4ed8aa4au, 0x5b9cca4fu,
-        0x682e6ff3u, 0x748f82eeu, 0x78a5636fu, 0x84c87814u, 0x8cc70208u,
-        0x90befffau, 0xa4506cebu, 0xbef9a3f7u, 0xc67178f2u};
+    const uint32_t* k = kSha256K;
     uint32_t w[64];
     for (int i = 0; i < 16; ++i)
       w[i] = (uint32_t(p[4 * i]) << 24) | (uint32_t(p[4 * i + 1]) << 16) |
@@ -89,6 +172,16 @@ struct Sha256 {
     h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
   }
 
+  void blocks(const uint8_t* data, size_t n) {
+#ifdef FIO_X86
+    if (sha_ni_available()) {
+      sha256_blocks_shani(h, data, n);
+      return;
+    }
+#endif
+    for (; n; --n, data += 64) block(data);
+  }
+
   void update(const uint8_t* data, size_t len) {
     bits += uint64_t(len) * 8;
     if (fill) {
@@ -98,14 +191,15 @@ struct Sha256 {
       data += take;
       len -= take;
       if (fill == 64) {
-        block(buf);
+        blocks(buf, 1);
         fill = 0;
       }
     }
-    while (len >= 64) {
-      block(data);
-      data += 64;
-      len -= 64;
+    if (len >= 64) {
+      size_t n = len / 64;
+      blocks(data, n);
+      data += n * 64;
+      len -= n * 64;
     }
     if (len) {
       std::memcpy(buf, data, len);

@@ -272,3 +272,42 @@ def test_unknown_fields_skipped():
                   partition_centroids_id="y", codebook_ids=["a", "b"])
     q = PDatabase.decode(d.encode() + extra)
     assert q.vector_size == 4 and q.partition_ids == ["x"]
+
+
+def test_bulk_uuid_records_byte_identical(rng):
+    """wire.encode_uuid_records == the per-message Writer loop."""
+    ids = [uuid.uuid4() for _ in range(257)]
+    raw = np.frombuffer(b"".join(u.bytes for u in ids),
+                        np.uint8).reshape(-1, 16)
+    bulk = wire.encode_uuid_records(12, raw)
+    w = wire.Writer()
+    for u in ids:
+        w.message_field(12, PUuid.from_uuid(u))
+    assert bulk == w.getvalue()
+
+
+def test_partition_payload_zero_half_uuid_fallback():
+    """A zero 64-bit half must take the per-message path (proto3 skips
+    zero scalars, shrinking that record)."""
+    from flechasdb_tpu.serialize import _partition_payload
+    from flechasdb_tpu.build import Database
+
+    weird = uuid.UUID(int=(0 << 64) | 5)           # upper == 0
+    normal = uuid.uuid4()
+    db = Database(
+        vector_size=4,
+        num_partitions=1,
+        num_divisions=2,
+        num_clusters=1,
+        vector_ids=[weird, normal],
+        partition_centroids=np.zeros((1, 4), np.float32),
+        partition_indices=np.zeros(2, np.int32),
+        codebooks=np.zeros((2, 1, 2), np.float32),
+        codes=np.zeros((2, 2), np.uint32),
+    )
+    raw = np.frombuffer(b"".join(u.bytes for u in db.vector_ids),
+                        np.uint8).reshape(-1, 16)
+    assert (_partition_payload(db, 0, raw)
+            == _partition_payload(db, 0, None))
+    got = PPartition.decode(_partition_payload(db, 0, raw))
+    assert [u.to_uuid() for u in got.vector_ids] == [weird, normal]
