@@ -202,6 +202,14 @@ class FlatDatabase:
         return self.attribute_table.get(vid, {}).get(key)
 
 
+def _chunk_uuids(msg: PFlatChunk) -> List[_uuid.UUID]:
+    """Chunk ids as ``uuid.UUID``s — straight from the bulk-decoded raw
+    bytes when available (skips the intermediate PUuid objects)."""
+    if msg.ids_raw is not None:
+        return [_uuid.UUID(bytes=r.tobytes()) for r in msg.ids_raw]
+    return [u.to_uuid() for u in msg.vector_ids]
+
+
 def save_flat_database(db: FlatDatabase, fs: FileSystem) -> str:
     """Serializes into content-addressed chunks; returns the root hash."""
     chunk_ids: List[str] = []
@@ -209,16 +217,27 @@ def save_flat_database(db: FlatDatabase, fs: FileSystem) -> str:
     names = sorted({k for attrs in db.attribute_table.values()
                     for k in attrs})
     name_index = {n: i for i, n in enumerate(names)}
+    uuid_raw = (np.frombuffer(
+        b"".join(u.bytes for u in db.vector_ids),
+        np.uint8).reshape(-1, 16) if db.num_vectors else None)
     for start in range(0, max(db.num_vectors, 1), CHUNK_ROWS):
         rows = db.vectors[start:start + CHUNK_ROWS]
         ids = db.vector_ids[start:start + CHUNK_ROWS]
         if not len(rows):
             break
+        raw = uuid_raw[start:start + CHUNK_ROWS]
+        # Bulk-record encode needs every 64-bit half non-zero (proto3
+        # omits zero scalars, changing the record length); fall back to
+        # the per-message path for the ~2^-64-probability zero halves.
+        if bool(raw[:, :8].any(1).all()) and bool(raw[:, 8:].any(1).all()):
+            id_args = {"ids_raw": raw}
+        else:
+            id_args = {"vector_ids": [PUuid.from_uuid(v) for v in ids]}
         chunk = PFlatChunk(
             vector_size=db.vector_size,
             vectors=PVectorSet(vector_size=db.vector_size,
                                data=rows.reshape(-1)),
-            vector_ids=[PUuid.from_uuid(v) for v in ids],
+            **id_args,
         )
         f = fs.create_hashed_file("chunks", compress=True)
         f.write(chunk.encode())
@@ -304,9 +323,9 @@ class StoredFlatDatabase:
             if msg.vectors is None:
                 raise InvalidData("missing chunk vectors")
             x = msg.vectors.data.reshape(-1, self.vector_size)
-            if len(x) != len(msg.vector_ids):
+            if len(x) != msg.ids_count:
                 raise InvalidData("chunk id/vector count mismatch")
-            self._chunks[i] = (x, [u.to_uuid() for u in msg.vector_ids])
+            self._chunks[i] = (x, _chunk_uuids(msg))
         return self._chunks[i]
 
     def _load_all(self):
@@ -431,9 +450,9 @@ class AsyncStoredFlatDatabase:
                     if msg.vectors is None:
                         raise InvalidData("missing chunk vectors")
                     x = msg.vectors.data.reshape(-1, self.root.vector_size)
-                    if len(x) != len(msg.vector_ids):
+                    if len(x) != msg.ids_count:
                         raise InvalidData("chunk id/vector count mismatch")
-                    return x, [u.to_uuid() for u in msg.vector_ids]
+                    return x, _chunk_uuids(msg)
 
                 parts = await asyncio.gather(
                     *(one(i) for i in range(len(self.root.chunk_ids))))

@@ -133,6 +133,46 @@ class PEncodedVectorSet:
         return m
 
 
+def _scan_uuid_tail(buf: bytes, tag: int) -> int:
+    """Start offset of the longest suffix of ``buf`` made entirely of
+    canonical 20-byte Uuid records for field tag byte ``tag`` (the layout
+    every known writer emits: this serializer, protoc, the reference's
+    rust-protobuf). All candidate tail starts are ≡ len(buf) (mod 20), so
+    one vectorized pass suffices; callers accept the offset only if their
+    field cursor lands exactly on it, which rules out look-alike bytes
+    inside another field's payload. Returns ``len(buf)`` if no tail."""
+    n = len(buf)
+    if n < 20:
+        return n
+    a = np.frombuffer(buf, np.uint8)[n % 20:].reshape(-1, 20)
+    ok = ((a[:, 0] == tag) & (a[:, 1] == 18)
+          & (a[:, 2] == 0x09) & (a[:, 11] == 0x11))
+    bad = np.nonzero(~ok)[0]
+    first = (int(bad[-1]) + 1) if bad.size else 0
+    if first < len(ok):
+        return n % 20 + 20 * first
+    return n
+
+
+def _uuid_tail_records(buf: bytes, pos: int) -> np.ndarray:
+    """``[N, 20] uint8`` record view of the tail starting at ``pos``."""
+    return np.frombuffer(buf, np.uint8)[pos:].reshape(-1, 20)
+
+
+def _uuid_tail_raw(rec: np.ndarray) -> np.ndarray:
+    """Record view → ``[N, 16]`` big-endian UUID bytes (little-endian
+    wire halves reversed)."""
+    return np.concatenate([rec[:, 10:2:-1], rec[:, 19:11:-1]], axis=1)
+
+
+def _materialize_puuids(ids_raw: np.ndarray) -> List["PUuid"]:
+    return [
+        PUuid(upper=int.from_bytes(r[:8].tobytes(), "big"),
+              lower=int.from_bytes(r[8:].tobytes(), "big"))
+        for r in ids_raw
+    ]
+
+
 class PPartition:
     """``Partition`` message.
 
@@ -161,11 +201,7 @@ class PPartition:
     @property
     def vector_ids(self) -> List[PUuid]:
         if self._vector_ids is None:
-            self._vector_ids = [
-                PUuid(upper=int.from_bytes(r[:8].tobytes(), "big"),
-                      lower=int.from_bytes(r[8:].tobytes(), "big"))
-                for r in self._ids_raw
-            ]
+            self._vector_ids = _materialize_puuids(self._ids_raw)
         return self._vector_ids
 
     @vector_ids.setter
@@ -202,34 +238,19 @@ class PPartition:
     def decode(cls, buf: bytes) -> "PPartition":
         m = cls()
         n = len(buf)
-        # Probe for a contiguous tail of canonical 20-byte Uuid records
-        # (the layout every known writer emits: this serializer, protoc,
-        # the reference's rust-protobuf). All candidate tail starts are
-        # ≡ n (mod 20), so one vectorized pass finds the longest
-        # all-records suffix; the cursor loop below accepts it only if
-        # field parsing lands exactly on that boundary, which rules out
-        # look-alike bytes inside another field's payload.
-        tail_start = n
-        if n >= 20:
-            a = np.frombuffer(buf, np.uint8)[n % 20:].reshape(-1, 20)
-            ok = ((a[:, 0] == ((12 << 3) | wire.WT_LEN)) & (a[:, 1] == 18)
-                  & (a[:, 2] == 0x09) & (a[:, 11] == 0x11))
-            bad = np.nonzero(~ok)[0]
-            first = (int(bad[-1]) + 1) if bad.size else 0
-            if first < len(ok):
-                tail_start = n % 20 + 20 * first
+        # See _scan_uuid_tail: bulk-parse a canonical record tail, accept
+        # only if the field cursor lands exactly on its start.
+        tail_start = _scan_uuid_tail(buf, (12 << 3) | wire.WT_LEN)
         id_payloads: List[bytes] = []
         decode_varint = wire.decode_varint
         pos = 0
         while pos < n:
             if pos == tail_start:
-                rec = np.frombuffer(buf, np.uint8)[pos:].reshape(-1, 20)
-                raw = np.concatenate(
-                    [rec[:, 10:2:-1], rec[:, 19:11:-1]], axis=1)
+                rec = _uuid_tail_records(buf, pos)
                 if id_payloads:     # records preceded by odd ids: merge
                     id_payloads.extend(bytes(r[2:]) for r in rec)
                 else:
-                    m._vector_ids, m._ids_raw = None, raw
+                    m._vector_ids, m._ids_raw = None, _uuid_tail_raw(rec)
                 pos = n
                 break
             key, pos = decode_varint(buf, pos)
@@ -390,8 +411,39 @@ class PDatabase:
     @classmethod
     def decode(cls, buf: bytes) -> "PDatabase":
         m = cls()
-        for f, wt, value, payload in iter_fields(buf):
-            if wt == wire.WT_VARINT:
+        # The repeated-id fields (2·P + D content-hash strings) decode as
+        # bulk same-prefix record runs — the generic field walk was ~80 %
+        # of load_database (see wire.decode_string_run). Non-run fields
+        # fall through to the serial cursor below, so any interleaving or
+        # unusual writer layout still parses.
+        runs = {10: "partition_ids", 12: "codebook_ids",
+                13: "attributes_log_ids", 14: "attribute_names"}
+        decode_varint = wire.decode_varint
+        pos, n = 0, len(buf)
+        while pos < n:
+            tag_pos = pos
+            key, pos = decode_varint(buf, pos)
+            f, wt = key >> 3, key & 7
+            if wt == wire.WT_LEN:
+                if f in runs and key < 128:
+                    strs, end = wire.decode_string_run(buf, tag_pos)
+                    if strs:
+                        getattr(m, runs[f]).extend(strs)
+                        pos = end
+                        continue
+                length, pos = decode_varint(buf, pos)
+                if pos + length > n:
+                    raise ProtobufError("truncated length-delimited field")
+                payload = buf[pos:pos + length]
+                pos += length
+                if f == 11:
+                    m.partition_centroids_id = payload.decode("utf-8")
+                elif f == 20:
+                    m.rotation_id = payload.decode("utf-8")
+                elif f in runs:     # 2-byte length (>127-char string)
+                    getattr(m, runs[f]).append(payload.decode("utf-8"))
+            elif wt == wire.WT_VARINT:
+                value, pos = decode_varint(buf, pos)
                 if f == 1:
                     m.vector_size = value
                 elif f == 2:
@@ -400,19 +452,16 @@ class PDatabase:
                     m.num_divisions = value
                 elif f == 4:
                     m.num_codes = value
-            elif wt == wire.WT_LEN:
-                if f == 10:
-                    m.partition_ids.append(payload.decode("utf-8"))
-                elif f == 11:
-                    m.partition_centroids_id = payload.decode("utf-8")
-                elif f == 12:
-                    m.codebook_ids.append(payload.decode("utf-8"))
-                elif f == 13:
-                    m.attributes_log_ids.append(payload.decode("utf-8"))
-                elif f == 14:
-                    m.attribute_names.append(payload.decode("utf-8"))
-                elif f == 20:
-                    m.rotation_id = payload.decode("utf-8")
+            elif wt == wire.WT_FIXED64:
+                if pos + 8 > n:
+                    raise ProtobufError("truncated fixed64")
+                pos += 8
+            elif wt == wire.WT_FIXED32:
+                if pos + 4 > n:
+                    raise ProtobufError("truncated fixed32")
+                pos += 4
+            else:
+                raise ProtobufError(f"unsupported wire type {wt}")
         return m
 
 
@@ -423,33 +472,109 @@ class PDatabase:
 # chunks, the same Uuid/AttributesLog machinery, a dedicated root manifest.
 
 
-@dataclass
 class PFlatChunk:
-    """One chunk of raw vectors with their IDs (extension message)."""
-    vector_size: int = 0
-    vectors: Optional[PVectorSet] = None
-    vector_ids: List[PUuid] = dfield(default_factory=list)
+    """One chunk of raw vectors with their IDs (extension message).
+
+    Same lazy bulk-Uuid machinery as :class:`PPartition` (field 11 is the
+    message's last field): a 100k-row flat chunk decodes its ids in one
+    vectorized pass instead of ~4 µs/record through the field walk."""
+
+    def __init__(self, vector_size: int = 0,
+                 vectors: Optional[PVectorSet] = None,
+                 vector_ids: Optional[List[PUuid]] = None,
+                 ids_raw: Optional[np.ndarray] = None) -> None:
+        self.vector_size = vector_size
+        self.vectors = vectors
+        if ids_raw is not None:
+            self._vector_ids: Optional[List[PUuid]] = None
+            self._ids_raw: Optional[np.ndarray] = ids_raw
+        else:
+            self._vector_ids = (list(vector_ids)
+                                if vector_ids is not None else [])
+            self._ids_raw = None
+
+    @property
+    def vector_ids(self) -> List[PUuid]:
+        if self._vector_ids is None:
+            self._vector_ids = _materialize_puuids(self._ids_raw)
+        return self._vector_ids
+
+    @vector_ids.setter
+    def vector_ids(self, value: List[PUuid]) -> None:
+        self._vector_ids = list(value)
+        self._ids_raw = None
+
+    @property
+    def ids_raw(self) -> Optional[np.ndarray]:
+        """``[N, 16] uint8`` big-endian UUID bytes when bulk-decoded."""
+        return self._ids_raw
+
+    @property
+    def ids_count(self) -> int:
+        if self._vector_ids is not None:
+            return len(self._vector_ids)
+        return len(self._ids_raw)
 
     def encode(self) -> bytes:
         w = Writer()
         w.varint_field(1, self.vector_size)
         w.message_field(10, self.vectors)
-        for vid in self.vector_ids:
-            w.message_field(11, vid)
+        if self._vector_ids is None:
+            w.raw(wire.encode_uuid_records(11, self._ids_raw))
+        else:
+            for vid in self._vector_ids:
+                w.message_field(11, vid)
         return w.getvalue()
 
     @classmethod
     def decode(cls, buf: bytes) -> "PFlatChunk":
         m = cls()
-        for f, wt, value, payload in iter_fields(buf):
-            if f == 1 and wt == wire.WT_VARINT:
-                m.vector_size = value
-            elif f == 10 and wt == wire.WT_LEN:
-                m.vectors = PVectorSet.decode(
-                    _expect_payload(payload, "FlatChunk.vectors"))
-            elif f == 11 and wt == wire.WT_LEN:
-                m.vector_ids.append(PUuid.decode(
-                    _expect_payload(payload, "FlatChunk.vector_ids")))
+        n = len(buf)
+        tail_start = _scan_uuid_tail(buf, (11 << 3) | wire.WT_LEN)
+        id_payloads: List[bytes] = []
+        decode_varint = wire.decode_varint
+        pos = 0
+        while pos < n:
+            if pos == tail_start:
+                rec = _uuid_tail_records(buf, pos)
+                if id_payloads:     # records preceded by odd ids: merge
+                    id_payloads.extend(bytes(r[2:]) for r in rec)
+                else:
+                    m._vector_ids, m._ids_raw = None, _uuid_tail_raw(rec)
+                pos = n
+                break
+            key, pos = decode_varint(buf, pos)
+            f, wt = key >> 3, key & 7
+            if wt == wire.WT_VARINT:
+                value, pos = decode_varint(buf, pos)
+                if f == 1:
+                    m.vector_size = value
+            elif wt == wire.WT_LEN:
+                length, pos = decode_varint(buf, pos)
+                if pos + length > n:
+                    raise ProtobufError("truncated length-delimited field")
+                payload = buf[pos:pos + length]
+                pos += length
+                if f == 10:
+                    m.vectors = PVectorSet.decode(payload)
+                elif f == 11:
+                    id_payloads.append(payload)
+            elif wt == wire.WT_FIXED64:
+                if pos + 8 > n:
+                    raise ProtobufError("truncated fixed64")
+                pos += 8
+            elif wt == wire.WT_FIXED32:
+                if pos + 4 > n:
+                    raise ProtobufError("truncated fixed32")
+                pos += 4
+            else:
+                raise ProtobufError(f"unsupported wire type {wt}")
+        if id_payloads:
+            raw = wire.decode_uuid_records_raw(id_payloads)
+            if raw is not None:
+                m._vector_ids, m._ids_raw = None, raw
+            else:  # zero half / unusual field layout: per-message path
+                m._vector_ids = [PUuid.decode(p) for p in id_payloads]
         return m
 
 

@@ -162,6 +162,42 @@ def decode_uuid_records_raw(payloads: list) -> "np.ndarray | None":
     return np.concatenate([a[:, 8:0:-1], a[:, 17:9:-1]], axis=1)
 
 
+def decode_string_run(buf: bytes, pos: int) -> "tuple[list[str], int]":
+    """Bulk decode of a run of same-tag, same-length string records.
+
+    ``buf[pos]`` must be a single-byte LEN tag whose length byte is
+    < 128 (callers check ``key < 128``; the length check is here). Returns
+    ``(strings, next_pos)`` for the maximal run of consecutive records
+    sharing that exact (tag, length) prefix — equivalent to what the
+    field-by-field parser would produce, since records are
+    self-delimiting from ``pos`` and the run stops at the first record
+    whose prefix differs (which the caller's serial loop then handles).
+    Exists because a root manifest holds ~2·P 45-byte content-hash id
+    records and the generic varint walk was ~80 % of ``load_database``.
+    """
+    n = len(buf)
+    tag, length = buf[pos], buf[pos + 1] if pos + 1 < n else 0x80
+    if length >= 128:           # 2-byte length varint: not a fixed record
+        return [], pos
+    rec = 2 + length
+    avail = (n - pos) // rec
+    a = np.frombuffer(buf, np.uint8)
+    starts = pos + rec * np.arange(avail)
+    ok = (a[starts] == tag) & (a[starts + 1] == length)
+    bad = np.nonzero(~ok)[0]
+    r = int(bad[0]) if bad.size else avail
+    if r == 0:
+        return [], pos
+    chunk = buf[pos:pos + r * rec]
+    try:                        # hash ids are ASCII; slice one decoded str
+        s = chunk.decode("ascii")
+        strs = [s[i + 2:i + rec] for i in range(0, r * rec, rec)]
+    except UnicodeDecodeError:  # arbitrary utf-8 (attribute names)
+        strs = [chunk[i + 2:i + rec].decode("utf-8")
+                for i in range(0, r * rec, rec)]
+    return strs, pos + r * rec
+
+
 class Writer:
     """Accumulates encoded fields; fields must be appended in order."""
 

@@ -311,3 +311,67 @@ def test_partition_payload_zero_half_uuid_fallback():
             == _partition_payload(db, 0, None))
     got = PPartition.decode(_partition_payload(db, 0, raw))
     assert [u.to_uuid() for u in got.vector_ids] == [weird, normal]
+
+
+def test_database_string_run_decode_variants():
+    """PDatabase.decode's bulk string-run path must match the generic
+    field walk for uniform runs, mixed lengths, >127-char strings,
+    non-ASCII names, and empty strings."""
+    m = PDatabase(
+        vector_size=96, num_partitions=4, num_divisions=2, num_codes=8,
+        partition_ids=["A" * 43] * 4,
+        partition_centroids_id="C" * 43,
+        codebook_ids=["B" * 43, "b" * 43],
+        attributes_log_ids=["D" * 43] * 4,
+        attribute_names=["", "tag", "naïve-名前", "x" * 200, "y"],
+        rotation_id="R" * 43,
+    )
+    got = PDatabase.decode(m.encode())
+    for f in ("vector_size", "num_partitions", "num_divisions",
+              "num_codes", "partition_ids", "partition_centroids_id",
+              "codebook_ids", "attributes_log_ids", "attribute_names",
+              "rotation_id"):
+        assert getattr(got, f) == getattr(m, f), f
+
+
+def test_string_run_stops_at_prefix_change():
+    """A run must end exactly where the (tag, length) prefix changes —
+    the serial cursor handles the rest."""
+    w = wire.Writer()
+    for s in ["aa", "bb", "c", "dd"]:       # length change mid-run
+        w.string_field(10, s, force=True)
+    w.string_field(11, "root")
+    got = PDatabase.decode(w.getvalue())
+    assert got.partition_ids == ["aa", "bb", "c", "dd"]
+    assert got.partition_centroids_id == "root"
+
+
+def test_flat_chunk_bulk_ids_byte_identical(rng):
+    """PFlatChunk bulk ids_raw encode == per-message encode; decode
+    recovers the same ids either way."""
+    from flechasdb_tpu.protos import PFlatChunk
+
+    ids = [uuid.uuid4() for _ in range(100)]
+    raw = np.frombuffer(b"".join(u.bytes for u in ids),
+                        np.uint8).reshape(-1, 16)
+    vs = PVectorSet(vector_size=4,
+                    data=rng.standard_normal(400).astype(np.float32))
+    bulk = PFlatChunk(vector_size=4, vectors=vs, ids_raw=raw).encode()
+    slow = PFlatChunk(vector_size=4, vectors=vs,
+                      vector_ids=[PUuid.from_uuid(u) for u in ids]).encode()
+    assert bulk == slow
+    got = PFlatChunk.decode(bulk)
+    assert got.ids_raw is not None          # bulk tail path engaged
+    assert [u.to_uuid() for u in got.vector_ids] == ids
+
+
+def test_flat_chunk_zero_half_fallback():
+    """Zero-half uuids force the per-message path end to end."""
+    from flechasdb_tpu.protos import PFlatChunk
+
+    ids = [uuid.UUID(int=7), uuid.uuid4()]   # upper half of first is 0
+    vs = PVectorSet(vector_size=2, data=np.zeros(4, np.float32))
+    enc = PFlatChunk(vector_size=2, vectors=vs,
+                     vector_ids=[PUuid.from_uuid(u) for u in ids]).encode()
+    got = PFlatChunk.decode(enc)
+    assert [u.to_uuid() for u in got.vector_ids] == ids
