@@ -68,6 +68,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fio_unpack.restype = ctypes.c_int
     lib.fio_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.fio_free.restype = None
+    lib.fio_adc_sum.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_size_t, ctypes.c_size_t,
+                                ctypes.c_size_t, ctypes.c_void_p]
+    lib.fio_adc_sum.restype = None
+    lib.fio_topk_f32.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                 ctypes.c_size_t, ctypes.c_void_p]
+    lib.fio_topk_f32.restype = ctypes.c_size_t
     _lib = lib
     return lib
 
@@ -105,6 +112,42 @@ def pack(payload: bytes, compress: bool,
     finally:
         lib.fio_free(out)
     return stored, hash_buf.value.decode("ascii")
+
+
+def adc_sum(table, codes) -> "Optional[object]":
+    """``out[l] = sum_d table[d, codes[l, d]]`` — the ADC gather-accumulate
+    of the host query path (db/stored.rs:576-595). ``table`` is ``[D, C]``
+    f32 C-contiguous, ``codes`` ``[L, D]`` uint32 C-contiguous. None if
+    native IO is unavailable (caller falls back to numpy fancy indexing).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    if not (table.dtype == np.float32 and table.flags.c_contiguous
+            and codes.dtype == np.uint32 and codes.flags.c_contiguous):
+        return None
+    rows, d = codes.shape
+    out = np.empty(rows, np.float32)
+    lib.fio_adc_sum(table.ctypes.data, codes.ctypes.data,
+                    rows, d, table.shape[1], out.ctypes.data)
+    return out
+
+
+def topk_f32(dists, k: int) -> "Optional[object]":
+    """Indices of the ``k`` smallest (ascending, stable tie-break — the
+    same prefix a stable argsort yields). ``dists`` is f32 C-contiguous
+    and NaN-free (``inf`` is fine). None if native IO is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    if not (dists.dtype == np.float32 and dists.flags.c_contiguous):
+        return None
+    out = np.empty(min(k, len(dists)), np.uint32)
+    got = lib.fio_topk_f32(dists.ctypes.data, len(dists), k,
+                           out.ctypes.data)
+    return out[:got]
 
 
 def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:

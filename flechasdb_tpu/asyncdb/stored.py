@@ -35,10 +35,12 @@ from ..events import EventHandler, _noop
 from ..protos import PDatabase
 from ..stored import (
     StoredPartition,
-    adc_scan_partition,
+    adc_scan_with_table,
+    adc_tables,
     decode_partition,
     decode_vector_set,
     replay_attributes_log,
+    topk_stable,
     validate_root,
 )
 from .io import AsyncFileSystem
@@ -303,52 +305,77 @@ class AsyncStoredDatabase:
         events(ev.StartingPartitionSelection())
         # Ranking-only expansion; ‖c‖² cached at centroid load (see sync).
         coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
-        probed = np.argsort(coarse, kind="stable")[:nprobe]
+        probed = topk_stable(coarse, nprobe)
         events(ev.FinishedPartitionSelection())
 
-        async def run_partition(pi: int) -> List[AsyncQueryResult]:
-            cold = pi not in self._partition_tasks
+        # Kick every probed partition's (memoized-Task) load NOW so the
+        # IO overlaps the codebook/rotation awaits below; a warm query
+        # creates no tasks and none of these awaits suspends (awaiting a
+        # done Task returns synchronously), so the hot path pays no event
+        # -loop scheduling — the old per-query run_partition coroutines +
+        # gather cost ~0.4 ms/query of create_task/call_soon overhead.
+        cold_load = []
+        part_tasks = []
+        for pi in probed:
+            cold = int(pi) not in self._partition_tasks
+            cold_load.append(cold)
             if cold:
                 events(ev.StartingPartitionLoad(int(pi)))
-            part = await self._partition(int(pi))
-            if cold:
+            part_tasks.append(self._partition(int(pi)))
+        if where is not None:
+            attr_tasks = [self._attrlog(int(pi)) for pi in probed]
+        codebooks = await cb_task
+        rotation = await rot_task
+
+        # All nprobe ADC tables in one batched GEMM (they depend only on
+        # the probed centroids, never on partition contents).
+        tables, qnorms = adc_tables(v[None] - centroids[probed], codebooks,
+                                    rotation, self._codebook_sq_norms)
+
+        per_partition = []
+        for j, pi in enumerate(probed):
+            part = await part_tasks[j]
+            if cold_load[j]:
                 events(ev.FinishedPartitionLoad(int(pi)))
             if where is not None:
-                await self._attrlog(int(pi))
-            codebooks = await cb_task
-            rotation = await rot_task
+                await attr_tasks[j]
             events(ev.StartingPartitionQuery(int(pi)))
-            order, dists = adc_scan_partition(
-                v - centroids[pi], codebooks, part.codes, k, rotation,
-                codebook_sq_norms=self._codebook_sq_norms)
+            order, dists = adc_scan_with_table(
+                tables[j], float(qnorms[j]), part.codes, k)
             if where is not None:
                 from ..filters import ColumnCache, evaluate_mask
                 mask = evaluate_mask(where, part.vector_ids,
                                      self._attribute_table, ColumnCache())
                 dists = np.where(mask, dists, np.inf)
-                order = np.argsort(dists, kind="stable")[:k]
-            results = [
-                AsyncQueryResult(
-                    db=self,
-                    partition_index=int(pi),
-                    vector_id=part.vector_id_at(int(vi)),
-                    vector_index=int(vi),
-                    squared_distance=float(dists[vi]),
-                )
-                for vi in order
-                if np.isfinite(dists[vi])
-            ]
+                order = topk_stable(dists, k)
+            dsel = dists[order]
+            fin = np.isfinite(dsel)
+            if not fin.all():
+                order, dsel = order[fin], dsel[fin]
             events(ev.FinishedPartitionQuery(int(pi)))
-            return results
-
-        per_partition = await asyncio.gather(
-            *(run_partition(pi) for pi in probed))
+            per_partition.append((int(pi), part, order, dsel))
         if cb_cold:
             events(ev.FinishedCodebookLoad())
 
         events(ev.StartingResultSelection())
-        merged = [r for rs in per_partition for r in rs]
-        merged.sort(key=lambda r: r.squared_distance)
-        del merged[k:]
+        # Stable top-k over the probe-ordered concatenation == a stable
+        # sort of the merged candidate list; result objects (and their
+        # UUIDs) materialize only for the final k winners (see the sync
+        # path, stored.py).
+        alld = (np.concatenate([d for _, _, _, d in per_partition])
+                if per_partition else np.empty(0, np.float32))
+        bounds = np.cumsum([0] + [len(d) for _, _, _, d in per_partition])
+        merged = []
+        for gi in topk_stable(alld, k):
+            pj = int(np.searchsorted(bounds, gi, side="right")) - 1
+            pi, part, order, _ = per_partition[pj]
+            vi = int(order[gi - bounds[pj]])
+            merged.append(AsyncQueryResult(
+                db=self,
+                partition_index=pi,
+                vector_id=part.vector_id_at(vi),
+                vector_index=vi,
+                squared_distance=float(alld[gi]),
+            ))
         events(ev.FinishedResultSelection())
         return merged

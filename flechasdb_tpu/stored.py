@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import _native
 from . import events as ev
 from .attributes import AttributeTable, AttributeValue
 from .build import _local_indices
@@ -176,6 +177,27 @@ def replay_attributes_log(payload: bytes, expected_partition_id: str,
         table.setdefault(vid, {})
 
 
+def topk_stable(dists: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the ``k`` smallest, ascending, stable tie-break —
+    exactly ``np.argsort(dists, kind="stable")[:k]``, without paying a
+    full mergesort (the reference keeps a k-bounded n-best heap instead
+    of sorting, ``nbest.rs``). Native ``partial_sort`` when the IO
+    runtime is loaded; a partition + boundary-tie repair in numpy
+    otherwise."""
+    n = len(dists)
+    if k >= n:
+        return np.argsort(dists, kind="stable")
+    if dists.dtype == np.float32:        # f64 must not round through f32
+        got = _native.topk_f32(np.ascontiguousarray(dists), k)
+        if got is not None:
+            return got
+    kth = np.partition(dists, k - 1)[k - 1]
+    lt = np.nonzero(dists < kth)[0]              # ascending by construction
+    eq = np.nonzero(dists == kth)[0][:k - len(lt)]
+    cand = np.concatenate([lt, eq])
+    return cand[np.argsort(dists[cand], kind="stable")]
+
+
 def adc_scan_partition(centroid_delta: np.ndarray,
                        codebooks: np.ndarray,
                        codes: np.ndarray, k: int,
@@ -189,25 +211,62 @@ def adc_scan_partition(centroid_delta: np.ndarray,
     rows, best first. With an OPQ ``rotation`` the *residual* rotates before
     table construction (rotation applies to residuals, never the raw query).
 
-    The ``[D, C]`` table is built as ``‖local‖² + ‖c‖² − 2·c@local`` (one
-    BLAS batched matvec) rather than the subtract-square broadcast — the
-    broadcast materialized a ``[D, C, m]`` temporary and measured 0.5 ms of
-    the reference-headline warm query's budget (1.48 ms, README.md:216).
-    Callers that hold the codebooks cache ``codebook_sq_norms``
-    (``[D, C]``, see ``StoredDatabase._codebook_sq_norms``); it is
-    recomputed here when absent.
+    The ``[D, C]`` table is built as ``‖c‖² − 2·c@local`` (one BLAS batched
+    matvec; ``‖local‖²`` is a per-query scalar added after accumulation)
+    rather than the subtract-square broadcast — the broadcast materialized
+    a ``[D, C, m]`` temporary and measured 0.5 ms of the reference-headline
+    warm query's budget (1.48 ms, README.md:216). The per-row table
+    gather-accumulate runs in the native IO runtime when available
+    (``fio_adc_sum``; numpy fancy indexing measured 42 us vs 6 us native at
+    L=1000, D=12). Callers that hold the codebooks cache
+    ``codebook_sq_norms`` (``[D, C]``, see
+    ``StoredDatabase._codebook_sq_norms``); it is recomputed here when
+    absent.
+    """
+    tables, qnorms = adc_tables(centroid_delta[None], codebooks,
+                                rotation, codebook_sq_norms)
+    return adc_scan_with_table(tables[0], float(qnorms[0]), codes, k)
+
+
+def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
+               rotation: np.ndarray | None = None,
+               codebook_sq_norms: np.ndarray | None = None,
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """ADC lookup tables for ``n`` query residuals at once.
+
+    ``centroid_deltas: [n, M]`` → ``(tables [n, D, C] f32 C-contiguous,
+    qnorms [n])`` where ``tables[j] + qnorms[j]`` is the per-partition
+    ``‖local−c‖²`` table of :func:`adc_scan_partition`. All ``n`` cross
+    terms come from ONE batched GEMM ``[D, C, m] @ [D, m, n]`` — the
+    query path builds its nprobe tables in a single BLAS call instead of
+    nprobe matvecs (they depend only on the probed centroids, never on
+    partition contents, so they batch before any partition loads).
     """
     d, c, m_sub = codebooks.shape
+    locs = centroid_deltas
     if rotation is not None:
-        centroid_delta = centroid_delta @ rotation
-    local = centroid_delta.reshape(d, m_sub)
+        locs = locs @ rotation
+    qnorms = np.einsum("nm,nm->n", locs, locs).astype(np.float32)
+    locd = locs.reshape(len(locs), d, m_sub)
     if codebook_sq_norms is None:
         codebook_sq_norms = np.einsum("dcm,dcm->dc", codebooks, codebooks)
-    cross = np.matmul(codebooks, local[:, :, None])[..., 0]      # [D, C]
-    table = ((local * local).sum(-1)[:, None]
-             + codebook_sq_norms - 2.0 * cross)
-    dists = table[np.arange(d)[None, :], codes].sum(1)
-    order = np.argsort(dists, kind="stable")[:k]
+    cross = np.matmul(codebooks, locd.transpose(1, 2, 0))      # [D, C, n]
+    tables = np.ascontiguousarray(
+        (codebook_sq_norms[:, :, None] - 2.0 * cross).transpose(2, 0, 1),
+        dtype=np.float32)
+    return tables, qnorms
+
+
+def adc_scan_with_table(table: np.ndarray, qnorm: float, codes: np.ndarray,
+                        k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row scan against one precomputed ``[D, C]`` table (see
+    :func:`adc_tables`); native gather-accumulate when available."""
+    dists = _native.adc_sum(table, codes)
+    if dists is None:
+        d = table.shape[0]
+        dists = table[np.arange(d)[None, :], codes].sum(1)
+    dists += qnorm
+    order = topk_stable(dists, k)
     return order, dists
 
 
@@ -477,40 +536,60 @@ class StoredDatabase:
         # Ranking-only: ‖v−c‖² = ‖c‖² − 2·c·v + const(v); the constant
         # cannot change the argsort, and ‖c‖² is cached at centroid load.
         coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
-        probed = np.argsort(coarse, kind="stable")[:nprobe]
+        probed = topk_stable(coarse, nprobe)
         events(ev.FinishedPartitionSelection())
 
-        candidates: List[StoredQueryResult] = []
-        for pi in probed:
+        # Per-partition k-best as (dists, rows) arrays; result objects (and
+        # their UUIDs) materialize only for the final k winners — the old
+        # per-candidate construction built nprobe*k objects to discard all
+        # but k (db/stored.rs builds lazily for the same reason,
+        # stored.rs:576-612).
+        # All nprobe ADC tables in one batched GEMM (they depend only on
+        # the probed centroids, db/stored.rs:549-575).
+        tables, qnorms = adc_tables(v[None] - centroids[probed], codebooks,
+                                    rotation, self._codebook_sq_norms)
+        sel_d: List[np.ndarray] = []
+        sel_vi: List[np.ndarray] = []
+        sel_pi: List[int] = []
+        for j, pi in enumerate(probed):
             events(ev.StartingPartitionQuery(int(pi)))
             part = self.get_partition(int(pi))
-            # ADC table [D, C] then gather-sum; keep k best per partition
+            # Table gather-sum; keep k best per partition
             # (db/stored.rs:576-595)
-            order, dists = adc_scan_partition(
-                v - centroids[pi], codebooks, part.codes, k, rotation,
-                codebook_sq_norms=self._codebook_sq_norms)
+            order, dists = adc_scan_with_table(
+                tables[j], float(qnorms[j]), part.codes, k)
             if where is not None:
                 mask = self._partition_filter_mask(where, int(pi), part)
                 dists = np.where(mask, dists, np.inf)
-                order = np.argsort(dists, kind="stable")[:k]
-            candidates.extend(
-                StoredQueryResult(
-                    db=self,
-                    partition_index=int(pi),
-                    vector_id=part.vector_id_at(int(vi)),
-                    vector_index=int(vi),
-                    squared_distance=float(dists[vi]),
-                )
-                for vi in order
-                if np.isfinite(dists[vi])
-            )
+                order = topk_stable(dists, k)
+            dsel = dists[order]
+            fin = np.isfinite(dsel)
+            if not fin.all():
+                order, dsel = order[fin], dsel[fin]
+            sel_d.append(dsel)
+            sel_vi.append(order)
+            sel_pi.append(int(pi))
             events(ev.FinishedPartitionQuery(int(pi)))
 
         events(ev.StartingResultSelection())
-        candidates.sort(key=lambda r: r.squared_distance)
-        del candidates[k:]
+        # Stable top-k over the probe-ordered concatenation == the old
+        # stable sort of the candidate list.
+        alld = np.concatenate(sel_d) if sel_d else np.empty(0, np.float32)
+        bounds = np.cumsum([0] + [len(x) for x in sel_d])
+        results = []
+        for gi in topk_stable(alld, k):
+            pj = int(np.searchsorted(bounds, gi, side="right")) - 1
+            pi = sel_pi[pj]
+            vi = int(sel_vi[pj][gi - bounds[pj]])
+            results.append(StoredQueryResult(
+                db=self,
+                partition_index=pi,
+                vector_id=self.get_partition(pi).vector_id_at(vi),
+                vector_index=vi,
+                squared_distance=float(alld[gi]),
+            ))
         events(ev.FinishedResultSelection())
-        return candidates
+        return results
 
     def preload(self, mesh=None, events: EventHandler = _noop,
                 max_workers: Optional[int] = None) -> None:

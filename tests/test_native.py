@@ -71,3 +71,58 @@ def test_cross_runtime_verify(tmp_path, rng):
     # python-written bytes hash to the same name natively
     py_stored = zlib.compress(payload, 6)
     assert _native.hash_name(py_stored) == content_hash(py_stored) == h
+
+
+# ---------------------------------------------------------- host query path
+
+
+@pytest.mark.parametrize("n,k", [(1000, 10), (50, 10), (1000, 1), (7, 7)])
+def test_topk_parity(n, k, rng):
+    """fio_topk_f32 == stable argsort prefix, incl. heavy ties and inf."""
+    import numpy as np
+
+    d = rng2 = np.random.default_rng(n * 31 + k)
+    d = rng2.standard_normal(n).astype(np.float32)
+    d[rng2.integers(0, n, n // 7 + 1)] = np.inf
+    dt = np.round(d, 1)                       # force tie groups
+    for arr in (d, dt):
+        got = _native.topk_f32(arr, k)
+        ref = np.argsort(arr, kind="stable")[:k]
+        assert (got == ref).all()
+
+
+def test_topk_stable_numpy_fallback_parity(rng):
+    """The numpy partition+repair fallback must match stable argsort too
+    (boundary ties are the tricky case)."""
+    import numpy as np
+
+    from flechasdb_tpu import stored as st
+
+    rng2 = np.random.default_rng(3)
+    d = np.round(rng2.standard_normal(500), 1).astype(np.float32)
+    ref = np.argsort(d, kind="stable")[:25]
+    # bypass native: exercise the partition path on an f64 copy (native is
+    # f32-only by design) with identical ordering semantics
+    got64 = st.topk_stable(d.astype(np.float64), 25)
+    assert (got64 == ref).all()
+
+
+def test_adc_sum_parity(rng):
+    import numpy as np
+
+    rng2 = np.random.default_rng(9)
+    d_, c_, rows = 12, 256, 777
+    table = rng2.standard_normal((d_, c_)).astype(np.float32)
+    codes = rng2.integers(0, c_, (rows, d_)).astype(np.uint32)
+    got = _native.adc_sum(table, codes)
+    ref = table[np.arange(d_)[None, :], codes].sum(1)
+    # even/odd accumulator split reorders the f32 sum (see fio_adc_sum)
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_adc_sum_rejects_wrong_dtype(rng):
+    import numpy as np
+
+    table = np.zeros((2, 4), np.float64)
+    codes = np.zeros((3, 2), np.uint32)
+    assert _native.adc_sum(table, codes) is None   # caller falls back
