@@ -272,11 +272,13 @@ def _subsampled_init(x: jax.Array, k: int, key: jax.Array, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "epsilon", "max_rounds", "impl"))
+                   static_argnames=("k", "epsilon", "max_rounds", "impl",
+                                    "train_cap"))
 def fit(x: jax.Array, k: int, key: jax.Array, *,
         epsilon: float = DEFAULT_EPSILON,
         max_rounds: int = MAX_ROUNDS,
-        impl: str | None = None) -> KMeansResult:
+        impl: str | None = None,
+        train_cap: int | None = None) -> KMeansResult:
     """k-means++ seeding followed by Lloyd's loop, fully on device.
 
     ``x: [B, N, M]``; ``k`` is static. ``N == k`` short-circuits to
@@ -287,6 +289,16 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
     stop-before-reassignment rule (``kmeans.rs:130-136``) is preserved:
     returned assignments always predate the final centroid update for
     converged runs. ``impl`` as in :func:`_fused_round`.
+
+    ``train_cap``: when set and ``N > train_cap``, the Lloyd loop trains on
+    a uniform ``train_cap``-row subsample (with-replacement draws, as the
+    PQ cap in ``..parallel.build``) and the full corpus gets ONE final
+    assignment pass against the trained centroids. Round cost becomes
+    O(cap·K·M) instead of O(N·K·M) — centroid quality saturates at a few
+    hundred rows per centroid while the reference's full-corpus rounds
+    (``kmeans.rs:104-139``) scale linearly. Documented divergence: under
+    an engaged cap, returned assignments are *post*-final-update (the
+    stop-before-reassignment rule applies to the subsample's trajectory).
     """
     b, n, m = x.shape
     if n < k:
@@ -295,6 +307,16 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         return KMeansResult(x, idx, jnp.zeros((b,), jnp.int32),
                             jnp.zeros((b,), jnp.float32))
+    if train_cap is not None and train_cap > 0 and n > train_cap:
+        if train_cap < k:
+            raise ValueError(
+                f"train_cap is smaller than k: {train_cap} < {k}")
+        k_rows, k_sub = jax.random.split(key)
+        rows = jax.random.randint(k_rows, (train_cap,), 0, n)
+        sub = fit(x[:, rows], k, k_sub, epsilon=epsilon,
+                  max_rounds=max_rounds, impl=impl)
+        idx = _assign_only(x, sub.centroids, k, impl)
+        return KMeansResult(sub.centroids, idx, sub.rounds, sub.gradient)
 
     centroids, indices = _subsampled_init(x, k, key,
                                           need_indices=max_rounds == 0)
@@ -358,7 +380,8 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
                     epsilon: float = DEFAULT_EPSILON,
                     max_rounds: int = MAX_ROUNDS,
                     rounds_per_step: int = 1,
-                    impl: str | None = None) -> KMeansResult:
+                    impl: str | None = None,
+                    train_cap: int | None = None) -> KMeansResult:
     """Observable variant of :func:`fit` (``kmeans.rs:104-139``).
 
     Runs the Lloyd loop from the host, emitting :mod:`..events` cluster events
@@ -374,6 +397,9 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     cost of up to ``rounds_per_step - 1`` wasted (frozen) rounds after
     convergence. Per-round events still fire, replayed from the returned
     gradient history.
+
+    ``train_cap`` as in :func:`fit`: train on a subsample, one final
+    full-corpus assignment pass.
     """
     from .. import events as ev
 
@@ -387,6 +413,17 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         return KMeansResult(jnp.asarray(x), idx, jnp.zeros((b,), jnp.int32),
                             jnp.zeros((b,), jnp.float32))
+    if train_cap is not None and train_cap > 0 and n > train_cap:
+        if train_cap < k:
+            raise ValueError(
+                f"train_cap is smaller than k: {train_cap} < {k}")
+        k_rows, k_sub = jax.random.split(key)   # same stream as fit's
+        xs = _gather_training_rows(x, k_rows, cap=train_cap)
+        res = fit_with_events(xs, k, k_sub, handler, epsilon=epsilon,
+                              max_rounds=max_rounds,
+                              rounds_per_step=rounds_per_step, impl=impl)
+        idx = _assign_jit(x, res.centroids, k=k, impl=impl)
+        return KMeansResult(res.centroids, idx, res.rounds, res.gradient)
 
     handler(ev.StartingCentroidInitialization())
     centroids, indices = _init_jit(x, k, key, skip_indices=max_rounds > 0)
@@ -431,6 +468,15 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
 @functools.partial(jax.jit, static_argnames=("k", "skip_indices"))
 def _init_jit(x, k, key, *, skip_indices=False):
     return _subsampled_init(x, k, key, need_indices=not skip_indices)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _gather_training_rows(x, key, *, cap):
+    """Uniform with-replacement row draw for :func:`fit`'s ``train_cap``
+    (same draw as the jitted path, so host-stepped and one-program fits
+    see identical subsamples for the same key)."""
+    rows = jax.random.randint(key, (cap,), 0, x.shape[1])
+    return x[:, rows]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "impl"))

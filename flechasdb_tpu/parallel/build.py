@@ -40,6 +40,16 @@ from .mesh import AXIS
 #: subsample and full-corpus codes are assigned in a chunked pass.
 PQ_TRAIN_CAP = 1 << 20
 
+#: Max rows used to TRAIN the coarse (partition) centroids. Same rationale
+#: as :data:`PQ_TRAIN_CAP` one level up: centroid quality saturates at a
+#: few hundred rows per centroid (2M rows = 512/centroid at P=4096 —
+#: FAISS's coarse quantizer trains on a comparable sample), while every
+#: Lloyd round is a full corpus pass — at Deep10M the ~100 coarse rounds
+#: over 10M × 96 were ~60% of the 63 s staged build. Above the cap the
+#: rounds run on a uniform subsample and the full corpus gets one final
+#: assignment pass (:func:`..ops.kmeans.fit` ``train_cap``).
+COARSE_TRAIN_CAP = 2 << 20
+
 
 class ShardedBuild(NamedTuple):
     """Device-resident build output.
@@ -90,6 +100,7 @@ def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
 
 def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
               pq_cap: int = PQ_TRAIN_CAP,
+              coarse_cap: int = COARSE_TRAIN_CAP,
               impl: str | None = None) -> ShardedBuild:
     """Single-device build body (``impl`` selects the Lloyd-round kernel,
     ``ops.kmeans._fused_round``). Never run this under GSPMD sharding —
@@ -98,7 +109,8 @@ def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
     n, m = x.shape
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
-    coarse = kmeans.fit(x[None], p, k_coarse, impl=impl)
+    coarse = kmeans.fit(x[None], p, k_coarse, impl=impl,
+                        train_cap=coarse_cap)
     cents, idx = coarse.centroids[0], coarse.indices[0]
     if n > pq_cap:
         # Train codebooks on a uniform residual subsample
@@ -121,7 +133,8 @@ def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
 
 
 _build_step = jax.jit(_build_fn,
-                      static_argnames=("p", "d", "c", "pq_cap", "impl"))
+                      static_argnames=("p", "d", "c", "pq_cap",
+                                       "coarse_cap", "impl"))
 
 #: Donating variant: the input buffer is released to XLA so the residual
 #: array can alias it — needed for corpora within ~2× of HBM (GIST1M-scale
@@ -129,13 +142,14 @@ _build_step = jax.jit(_build_fn,
 #: The caller's device array is invalidated; re-``device_put`` to rebuild.
 build_step_donating = jax.jit(_build_fn,
                               static_argnames=("p", "d", "c", "pq_cap",
-                                               "impl"),
+                                               "coarse_cap", "impl"),
                               donate_argnums=(0,))
 
 
 def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
                  events=None, *,
                  pq_cap: int = PQ_TRAIN_CAP,
+                 coarse_cap: int = COARSE_TRAIN_CAP,
                  rounds_per_step: int = 8) -> ShardedBuild:
     """Host-stepped build for very large corpora (Deep10M-class).
 
@@ -167,7 +181,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
     coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler,
-                                    rounds_per_step=rounds_per_step)
+                                    rounds_per_step=rounds_per_step,
+                                    train_cap=coarse_cap)
     cents, idx = coarse.centroids[0], coarse.indices[0]
 
     handler(ev.StartingSubvectorDivision())
@@ -218,9 +233,9 @@ def _encode_sharded(x: jax.Array, cents: jax.Array, idx: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "n", "p", "d", "c", "pq_cap",
-                                    "impl"))
+                                    "coarse_cap", "impl"))
 def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
-                      p: int, d: int, c: int, pq_cap: int,
+                      p: int, d: int, c: int, pq_cap: int, coarse_cap: int,
                       impl: str | None) -> ShardedBuild:
     """One-program sharded build: the Lloyd rounds run the per-device fused
     kernel under ``shard_map`` (:mod:`.kmeans`); everything between them —
@@ -242,7 +257,7 @@ def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
     k_coarse, k_pq, k_sub = jax.random.split(key, 3)
 
     coarse = fit_sharded(xp[None], p, k_coarse, mesh=mesh, n_valid=n,
-                         impl=impl)
+                         impl=impl, train_cap=coarse_cap)
     cents, idx = coarse.centroids[0], coarse.indices[0]    # idx [Np] sharded
     dspec = NamedSharding(mesh, P(None, AXIS, None))
     if n > pq_cap:
@@ -270,6 +285,7 @@ def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
 
 def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
                   mesh: Mesh, pq_cap: int = PQ_TRAIN_CAP,
+                  coarse_cap: int = COARSE_TRAIN_CAP,
                   impl: str | None = None) -> ShardedBuild:
     """Builds the full IVF-PQ index with the corpus sharded over ``mesh``.
 
@@ -293,4 +309,5 @@ def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
         n = x.shape[0]
         x = jnp.asarray(x, jnp.float32)
     return _build_sharded_fn(x, key, mesh=mesh, n=n, p=p, d=d, c=c,
-                             pq_cap=pq_cap, impl=impl)
+                             pq_cap=pq_cap, coarse_cap=coarse_cap,
+                             impl=impl)

@@ -89,7 +89,8 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
                 n_valid: int,
                 epsilon: float = kmeans.DEFAULT_EPSILON,
                 max_rounds: int = kmeans.MAX_ROUNDS,
-                impl: str | None = None) -> kmeans.KMeansResult:
+                impl: str | None = None,
+                train_cap: int | None = None) -> kmeans.KMeansResult:
     """Sharded analogue of :func:`..ops.kmeans.fit` — same key stream, same
     convergence rule, same tie-breaking; cluster sums cross the mesh as
     ``psum`` instead of living on one chip.
@@ -99,6 +100,10 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     Seeding draws the SAME subsample rows as the single-chip path (the
     k-means++ chain is serial and tiny, so it runs replicated on the
     gathered sample — identical arithmetic, identical draws).
+
+    ``train_cap`` as in :func:`..ops.kmeans.fit` (same key split, same
+    rows): the Lloyd rounds run on a re-sharded ``train_cap``-row
+    subsample, then one sharded full-corpus assignment pass.
     """
     b, np_, m = x.shape
     n = n_valid
@@ -108,6 +113,22 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     if max_rounds < 1:
         raise ValueError(
             f"fit_sharded needs max_rounds >= 1: {max_rounds}")
+    if train_cap is not None and train_cap > 0 and n > train_cap:
+        if train_cap < k:
+            raise ValueError(
+                f"train_cap is smaller than k: {train_cap} < {k}")
+        k_rows, k_sub = jax.random.split(key)   # fit's cap key stream
+        rows = jax.random.randint(k_rows, (train_cap,), 0, n)
+        n_dev = mesh.devices.size
+        spad = (-train_cap) % n_dev
+        sp = jnp.pad(jnp.take(x, rows, axis=1), ((0, 0), (0, spad), (0, 0)))
+        sp = jax.lax.with_sharding_constraint(
+            sp, NamedSharding(mesh, P(None, AXIS, None)))
+        sub = fit_sharded(sp, k, k_sub, mesh=mesh, n_valid=train_cap,
+                          epsilon=epsilon, max_rounds=max_rounds, impl=impl)
+        idx = _assign_sharded(x, sub.centroids, k, impl, mesh)
+        return kmeans.KMeansResult(sub.centroids, idx, sub.rounds,
+                                   sub.gradient)
     if n == k:
         cents = _gather_rows(mesh, x, jnp.arange(n))
         idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32), (b, np_))

@@ -217,6 +217,47 @@ def test_pq_subsample_training_parity():
     assert err(sub) < 1.1 * err(full), (err(sub), err(full))
 
 
+def test_train_cap_quality_and_host_stepped_agreement():
+    """``train_cap``: Lloyd rounds on a subsample + one full assignment
+    (the coarse-phase analogue of the PQ cap). Capped inertia must be
+    close to uncapped, every vector must get a valid cluster, and the
+    host-stepped ``fit_with_events`` must draw the SAME subsample as
+    the one-program ``fit`` for the same key."""
+    import jax
+
+    from flechasdb_tpu.ops import kmeans
+    from flechasdb_tpu.utils.synth import gmm_corpus
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(gmm_corpus(rng, 6000, 16, n_clusters=8, intrinsic=5))
+    key = jax.random.key(11)
+    k = 8
+
+    capped = kmeans.fit(x[None], k, key, train_cap=1500)
+    full = kmeans.fit(x[None], k, key)
+
+    def inertia(res):
+        c = np.asarray(res.centroids[0])
+        i = np.asarray(res.indices[0])
+        return float(((np.asarray(x) - c[i]) ** 2).sum())
+
+    assert capped.indices.shape == (1, 6000)
+    assert set(np.unique(np.asarray(capped.indices))) <= set(range(k))
+    assert inertia(capped) < 1.05 * inertia(full), (
+        inertia(capped), inertia(full))
+
+    stepped = kmeans.fit_with_events(x[None], k, key, lambda e: None,
+                                     train_cap=1500, rounds_per_step=4)
+    np.testing.assert_allclose(np.asarray(stepped.centroids),
+                               np.asarray(capped.centroids),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(stepped.indices),
+                                  np.asarray(capped.indices))
+
+    with pytest.raises(ValueError, match="train_cap"):
+        kmeans.fit(x[None], k, key, train_cap=4)
+
+
 # --- fused pallas round (interpret mode on CPU) -------------------------------
 
 def test_lloyd_round_matches_xla_pass(rng):

@@ -193,13 +193,14 @@ def test_caps_parity_at_engaging_scale():
 
     from flechasdb_tpu.parallel.build import _build_step
 
-    def build(pq_cap):
+    def build(pq_cap, coarse_cap=1 << 30):
         return _build_step(np.asarray(x), jax.random.key(3), p=p, d=d, c=c,
-                           pq_cap=pq_cap)
+                           pq_cap=pq_cap, coarse_cap=coarse_cap)
 
     def measure(built):
         resid = x - np.asarray(built.partition_centroids)[
             np.asarray(built.partition_indices)]
+        inertia = float((resid ** 2).sum())
         rec = np.concatenate([
             np.asarray(built.codebooks)[di][np.asarray(built.codes)[:, di]]
             for di in range(d)], axis=1)
@@ -208,26 +209,37 @@ def test_caps_parity_at_engaging_scale():
             np.asarray(q), built.partition_centroids, built.codebooks,
             built.codes.astype(np.int32),
             built.partition_indices.astype(np.int32), k=k, nprobe=4)
-        return err, _recall(list(np.asarray(rows)), gt)
+        return inertia, err, _recall(list(np.asarray(rows)), gt)
 
-    # Caps ON: N=50k > seed cap (max(4096, 32·16)=4096) and pq_cap=4096
-    # → both the seeding subsample and the PQ training subsample engage.
+    # Caps ON: N=50k > seed cap (max(4096, 32·16)=4096), pq_cap=4096 and
+    # coarse_cap=8192 → the seeding subsample, the PQ training subsample
+    # AND the coarse Lloyd-round subsample (ops.kmeans train_cap) all
+    # engage.
     assert 50_000 > tk._seed_cap(p)
-    err_on, rec_on = measure(build(pq_cap=4096))
+    in_on, err_on, rec_on = measure(build(pq_cap=4096, coarse_cap=8192))
 
     # Caps OFF: full-corpus seeding (reference semantics,
-    # kmeans.rs:142-229) and full-corpus PQ training.
+    # kmeans.rs:142-229) and full-corpus coarse/PQ training.
     orig = tk._seed_cap
     tk._seed_cap = lambda k_: 1 << 30
     try:
-        err_off, rec_off = measure(build(pq_cap=1 << 30))
+        in_off, err_off, rec_off = measure(build(pq_cap=1 << 30))
     finally:
         tk._seed_cap = orig
 
-    assert abs(rec_on - rec_off) < 0.01, (
-        f"recall@10 caps-on {rec_on:.3f} vs caps-off {rec_off:.3f}")
+    # Coarse clustering inertia and PQ reconstruction error are the
+    # low-variance quality signals. recall@10 at this deliberately hard
+    # config (nprobe 4/16, no rerank) sits near 0.07 with a measured
+    # key-to-key spread of ±0.015 EACH side (keys 0-3: caps-off
+    # 0.051-0.082, caps-on 0.059-0.075, equal means) — an engaged cap
+    # reroutes the whole key stream, so single-key recall deltas below
+    # that spread are noise, not quality loss.
+    assert 0.95 < in_on / in_off < 1.05, (
+        f"coarse inertia caps-on/off ratio {in_on/in_off:.3f}")
     assert 0.95 < err_on / err_off < 1.06, (
         f"PQ reconstruction error caps-on/off ratio {err_on/err_off:.3f}")
+    assert abs(rec_on - rec_off) < 0.03, (
+        f"recall@10 caps-on {rec_on:.3f} vs caps-off {rec_off:.3f}")
 
 
 def test_builder_f64_dtype_seam(tmp_path):

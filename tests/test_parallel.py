@@ -194,6 +194,30 @@ def test_sharded_build_pq_cap_engaged(rng, mesh):
         np.asarray(sharded.codes), np.asarray(single.codes))
 
 
+def test_sharded_build_coarse_cap_engaged(rng, mesh):
+    """A reduced coarse_cap routes the sharded build's Lloyd rounds through
+    the re-sharded subsample + full sharded assignment, matching the
+    single-chip capped path (same key ⇒ same subsample rows)."""
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n, m, p, d, c = 512, 16, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    key = jax.random.key(13)
+
+    sharded = build_sharded(x, p, d, c, key, mesh=mesh, coarse_cap=128)
+    single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c,
+                         coarse_cap=128)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.partition_centroids),
+        np.asarray(single.partition_centroids), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.partition_indices),
+        np.asarray(single.partition_indices))
+    np.testing.assert_array_equal(
+        np.asarray(sharded.codes), np.asarray(single.codes))
+
+
 def test_sharded_exact_matches_single_device(rng, mesh):
     from flechasdb_tpu.ops.exact import exact_topk
     from flechasdb_tpu.parallel import exact_sharded, shard_flat
