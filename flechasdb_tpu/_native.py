@@ -75,6 +75,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fio_topk_f32.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                  ctypes.c_size_t, ctypes.c_void_p]
     lib.fio_topk_f32.restype = ctypes.c_size_t
+    lib.fio_varint_u32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                   ctypes.c_void_p]
+    lib.fio_varint_u32.restype = ctypes.c_size_t
     _lib = lib
     return lib
 
@@ -148,6 +151,22 @@ def topk_f32(dists, k: int) -> "Optional[object]":
     got = lib.fio_topk_f32(dists.ctypes.data, len(dists), k,
                            out.ctypes.data)
     return out[:got]
+
+
+def varint_u32(payload: bytes) -> "Optional[object]":
+    """Packed ``repeated uint32`` varint decode (protobuf wire format).
+    Returns a uint32 array, or None when native IO is unavailable OR the
+    payload is malformed — the caller's vectorized numpy decoder then
+    reproduces the exact ProtobufError."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    out = np.empty(len(payload), np.uint32)
+    got = lib.fio_varint_u32(payload, len(payload), out.ctypes.data)
+    if got == ctypes.c_size_t(-1).value:
+        return None
+    return np.ascontiguousarray(out[:got])
 
 
 def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:

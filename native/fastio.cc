@@ -388,6 +388,31 @@ void fio_adc_sum(const float* table, const uint32_t* codes, size_t rows,
   }
 }
 
+// Decodes a packed repeated-uint32 varint payload (protobuf wire format)
+// into out (room for len entries suffices: every varint is >= 1 byte).
+// Returns the count decoded, or (size_t)-1 on malformed input (truncated
+// varint, varint longer than 10 bytes, or a value above u32 range) — the
+// caller falls back to the vectorized numpy decoder for exact error
+// reporting. Replaces ~0.8 ms/partition of numpy reduceat work on the
+// cold stored query path (a 1000-row partition holds L*D = 12k varints).
+size_t fio_varint_u32(const uint8_t* p, size_t len, uint32_t* out) {
+  size_t n = 0, i = 0;
+  while (i < len) {
+    uint64_t v = 0;
+    int shift = 0;
+    for (;;) {
+      if (i >= len || shift > 63) return (size_t)-1;
+      uint8_t b = p[i++];
+      v |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (v > 0xFFFFFFFFull) return (size_t)-1;
+    out[n++] = (uint32_t)v;
+  }
+  return n;
+}
+
 // Indices of the k smallest dists, ascending, ties broken by lower index
 // (exactly numpy's stable argsort prefix — the reference's n-best keeps
 // first-encountered minima the same way, nbest.rs). Returns the count

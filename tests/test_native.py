@@ -120,6 +120,33 @@ def test_adc_sum_parity(rng):
     assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_varint_u32_parity(rng):
+    """Native packed-varint decode == the numpy decoder, across the whole
+    u32 range; malformed payloads return None (caller falls back)."""
+    import numpy as np
+
+    from flechasdb_tpu.protos import wire
+
+    rng2 = np.random.default_rng(21)
+    vals = np.concatenate([
+        rng2.integers(0, 1 << 7, 50), rng2.integers(0, 1 << 14, 50),
+        rng2.integers(0, 1 << 21, 50), rng2.integers(0, 1 << 32, 50),
+        [0, 127, 128, (1 << 32) - 1]]).astype(np.uint64)
+    payload = wire.encode_packed_u32(vals)
+    got = _native.varint_u32(payload)
+    assert got is not None and got.dtype == np.uint32
+    np.testing.assert_array_equal(got, vals.astype(np.uint32))
+    # decode_packed_u32 routes through the native path transparently
+    np.testing.assert_array_equal(wire.decode_packed_u32(payload),
+                                  vals.astype(np.uint32))
+
+    assert _native.varint_u32(b"\x80") is None           # truncated
+    assert _native.varint_u32(b"\xff" * 11 + b"\x01") is None  # too long
+    over = wire.encode_packed_u32(np.asarray([1 << 32], np.uint64))
+    assert _native.varint_u32(over) is None              # u32 overflow
+    assert len(_native.varint_u32(b"")) == 0
+
+
 def test_adc_sum_rejects_wrong_dtype(rng):
     import numpy as np
 
