@@ -90,6 +90,7 @@ class AsyncStoredDatabase:
     _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
     _codebook_sq_norms: Optional[np.ndarray] = field(default=None,
                                                      repr=False)
+    _codebooks_t: Optional[np.ndarray] = field(default=None, repr=False)
     _centroid_sq_norms: Optional[np.ndarray] = field(default=None,
                                                      repr=False)
 
@@ -186,6 +187,8 @@ class AsyncStoredDatabase:
         # (see sync ``adc_scan_partition``).
         self._codebook_sq_norms = np.einsum(
             "dcm,dcm->dc", stacked, stacked)
+        self._codebooks_t = np.ascontiguousarray(
+            stacked.transpose(0, 2, 1))           # [D, m, C] for GEMM
         return stacked
 
     def _partition(self, index: int) -> asyncio.Task:
@@ -330,7 +333,8 @@ class AsyncStoredDatabase:
         # All nprobe ADC tables in one batched GEMM (they depend only on
         # the probed centroids, never on partition contents).
         tables, qnorms = adc_tables(v[None] - centroids[probed], codebooks,
-                                    rotation, self._codebook_sq_norms)
+                                    rotation, self._codebook_sq_norms,
+                                    self._codebooks_t)
 
         per_partition = []
         for j, pi in enumerate(probed):
