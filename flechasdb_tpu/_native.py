@@ -75,6 +75,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fio_topk_f32.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                  ctypes.c_size_t, ctypes.c_void_p]
     lib.fio_topk_f32.restype = ctypes.c_size_t
+    lib.fio_adc_topk.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_size_t, ctypes.c_size_t,
+                                 ctypes.c_size_t, ctypes.c_float,
+                                 ctypes.c_size_t, ctypes.c_void_p,
+                                 ctypes.c_void_p]
+    lib.fio_adc_topk.restype = ctypes.c_size_t
     lib.fio_varint_u32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                    ctypes.c_void_p]
     lib.fio_varint_u32.restype = ctypes.c_size_t
@@ -135,6 +141,31 @@ def adc_sum(table, codes) -> "Optional[object]":
     lib.fio_adc_sum(table.ctypes.data, codes.ctypes.data,
                     rows, d, table.shape[1], out.ctypes.data)
     return out
+
+
+def adc_topk(table, qnorm: float, codes, k: int) -> "Optional[object]":
+    """Fused ADC scan + k-best: one pass over ``codes [L, D]`` accumulating
+    ``qnorm + sum_d table[d, codes[l, d]]`` into a k-bounded heap. Returns
+    ``(order, dists_selected)`` — identical to
+    ``topk_stable(adc_sum(table, codes) + qnorm, k)`` plus the selected
+    distances — without materializing the L-sized distance array or paying
+    a second ctypes crossing. None if native IO is unavailable or the
+    layouts don't match (caller falls back to the two-step path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    if not (table.dtype == np.float32 and table.flags.c_contiguous
+            and codes.dtype == np.uint32 and codes.flags.c_contiguous):
+        return None
+    rows, d = codes.shape
+    kk = min(k, rows)
+    out_idx = np.empty(kk, np.uint32)
+    out_dist = np.empty(kk, np.float32)
+    got = lib.fio_adc_topk(table.ctypes.data, codes.ctypes.data,
+                           rows, d, table.shape[1], float(qnorm), k,
+                           out_idx.ctypes.data, out_dist.ctypes.data)
+    return out_idx[:got], out_dist[:got]
 
 
 def topk_f32(dists, k: int) -> "Optional[object]":

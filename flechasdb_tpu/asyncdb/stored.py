@@ -35,6 +35,7 @@ from ..events import EventHandler, _noop
 from ..protos import PDatabase
 from ..stored import (
     StoredPartition,
+    adc_scan_topk,
     adc_scan_with_table,
     adc_tables,
     decode_partition,
@@ -344,18 +345,21 @@ class AsyncStoredDatabase:
             if where is not None:
                 await attr_tasks[j]
             events(ev.StartingPartitionQuery(int(pi)))
-            order, dists = adc_scan_with_table(
-                tables[j], float(qnorms[j]), part.codes, k)
-            if where is not None:
+            if where is None:
+                order, dsel = adc_scan_topk(
+                    tables[j], float(qnorms[j]), part.codes, k)
+            else:
                 from ..filters import ColumnCache, evaluate_mask
+                _, dists = adc_scan_with_table(
+                    tables[j], float(qnorms[j]), part.codes, k)
                 mask = evaluate_mask(where, part.vector_ids,
                                      self._attribute_table, ColumnCache())
                 dists = np.where(mask, dists, np.inf)
                 order = topk_stable(dists, k)
-            dsel = dists[order]
-            fin = np.isfinite(dsel)
-            if not fin.all():
-                order, dsel = order[fin], dsel[fin]
+                dsel = dists[order]
+                fin = np.isfinite(dsel)          # drop masked-out sentinels
+                if not fin.all():
+                    order, dsel = order[fin], dsel[fin]
             events(ev.FinishedPartitionQuery(int(pi)))
             per_partition.append((int(pi), part, order, dsel))
         if cb_cold:
@@ -370,8 +374,9 @@ class AsyncStoredDatabase:
                 if per_partition else np.empty(0, np.float32))
         bounds = np.cumsum([0] + [len(d) for _, _, _, d in per_partition])
         merged = []
-        for gi in topk_stable(alld, k):
-            pj = int(np.searchsorted(bounds, gi, side="right")) - 1
+        gis = topk_stable(alld, k)
+        pjs = np.searchsorted(bounds, gis, side="right") - 1
+        for gi, pj in zip(gis.tolist(), pjs.tolist()):
             pi, part, order, _ = per_partition[pj]
             vi = int(order[gi - bounds[pj]])
             merged.append(AsyncQueryResult(

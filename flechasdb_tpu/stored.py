@@ -293,6 +293,22 @@ def adc_scan_with_table(table: np.ndarray, qnorm: float, codes: np.ndarray,
     return order, dists
 
 
+def adc_scan_topk(table: np.ndarray, qnorm: float, codes: np.ndarray,
+                  k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-best rows against one precomputed table: ``(order, dists[order])``.
+
+    One fused native pass (gather-accumulate into a k-bounded heap,
+    ``fio_adc_topk``) when available — the unfiltered warm query's inner
+    loop, where the two-step scan's second ctypes crossing and the L-sized
+    distance array are pure overhead. Falls back to the two-step path
+    (numpy or native) identically."""
+    got = _native.adc_topk(table, qnorm, codes, k)
+    if got is not None:
+        return got
+    order, dists = adc_scan_with_table(table, qnorm, codes, k)
+    return order, dists[order]
+
+
 @dataclass
 class StoredQueryResult:
     """k-NN result from a stored database (``db/stored.rs:600-612``)."""
@@ -603,24 +619,29 @@ class StoredDatabase:
         sel_d: List[np.ndarray] = []
         sel_vi: List[np.ndarray] = []
         sel_pi: List[int] = []
+        sel_part: List[StoredPartition] = []
         for j, pi in enumerate(probed):
             events(ev.StartingPartitionQuery(int(pi)))
             part = self.get_partition(int(pi))
             # Table gather-sum; keep k best per partition
             # (db/stored.rs:576-595)
-            order, dists = adc_scan_with_table(
-                tables[j], float(qnorms[j]), part.codes, k)
-            if where is not None:
+            if where is None:
+                order, dsel = adc_scan_topk(
+                    tables[j], float(qnorms[j]), part.codes, k)
+            else:
+                _, dists = adc_scan_with_table(
+                    tables[j], float(qnorms[j]), part.codes, k)
                 mask = self._partition_filter_mask(where, int(pi), part)
                 dists = np.where(mask, dists, np.inf)
                 order = topk_stable(dists, k)
-            dsel = dists[order]
-            fin = np.isfinite(dsel)
-            if not fin.all():
-                order, dsel = order[fin], dsel[fin]
+                dsel = dists[order]
+                fin = np.isfinite(dsel)          # drop masked-out sentinels
+                if not fin.all():
+                    order, dsel = order[fin], dsel[fin]
             sel_d.append(dsel)
             sel_vi.append(order)
             sel_pi.append(int(pi))
+            sel_part.append(part)
             events(ev.FinishedPartitionQuery(int(pi)))
 
         events(ev.StartingResultSelection())
@@ -628,15 +649,15 @@ class StoredDatabase:
         # stable sort of the candidate list.
         alld = np.concatenate(sel_d) if sel_d else np.empty(0, np.float32)
         bounds = np.cumsum([0] + [len(x) for x in sel_d])
+        gis = topk_stable(alld, k)
+        pjs = np.searchsorted(bounds, gis, side="right") - 1
         results = []
-        for gi in topk_stable(alld, k):
-            pj = int(np.searchsorted(bounds, gi, side="right")) - 1
-            pi = sel_pi[pj]
+        for gi, pj in zip(gis.tolist(), pjs.tolist()):
             vi = int(sel_vi[pj][gi - bounds[pj]])
             results.append(StoredQueryResult(
                 db=self,
-                partition_index=pi,
-                vector_id=self.get_partition(pi).vector_id_at(vi),
+                partition_index=sel_pi[pj],
+                vector_id=sel_part[pj].vector_id_at(vi),
                 vector_index=vi,
                 squared_distance=float(alld[gi]),
             ))

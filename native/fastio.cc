@@ -413,6 +413,49 @@ size_t fio_varint_u32(const uint8_t* p, size_t len, uint32_t* out) {
   return n;
 }
 
+// Fused per-partition ADC scan: accumulates each row's table-gather sum
+// (same order as fio_adc_sum) plus qnorm, keeping only the k best rows in
+// a bounded max-heap keyed lexicographically on (dist, index) — the heap's
+// content is exactly the stable-argsort prefix fio_topk_f32 would return,
+// without materializing the L-sized distance array or paying a second
+// ctypes crossing. Outputs ascending. Returns the count written
+// (min(k, rows)). This is the warm-path inner loop of the host stored
+// query (db/stored.rs:576-595 walk + nbest.rs bound, fused).
+size_t fio_adc_topk(const float* table, const uint32_t* codes, size_t rows,
+                    size_t d, size_t c, float qnorm, size_t k,
+                    uint32_t* out_idx, float* out_dist) {
+  if (k > rows) k = rows;
+  if (k == 0) return 0;
+  typedef std::pair<float, uint32_t> E;      // (dist, idx): max-heap on <
+  std::vector<E> heap;
+  heap.reserve(k);
+  for (size_t l = 0; l < rows; ++l) {
+    const uint32_t* cr = codes + l * d;
+    float a0 = 0.f, a1 = 0.f;
+    size_t j = 0;
+    for (; j + 2 <= d; j += 2) {
+      a0 += table[j * c + cr[j]];
+      a1 += table[(j + 1) * c + cr[j + 1]];
+    }
+    if (j < d) a0 += table[j * c + cr[j]];
+    E e(a0 + a1 + qnorm, uint32_t(l));
+    if (heap.size() < k) {
+      heap.push_back(e);
+      std::push_heap(heap.begin(), heap.end());
+    } else if (e < heap.front()) {
+      std::pop_heap(heap.begin(), heap.end());
+      heap.back() = e;
+      std::push_heap(heap.begin(), heap.end());
+    }
+  }
+  std::sort_heap(heap.begin(), heap.end());
+  for (size_t i = 0; i < k; ++i) {
+    out_idx[i] = heap[i].second;
+    out_dist[i] = heap[i].first;
+  }
+  return k;
+}
+
 // Indices of the k smallest dists, ascending, ties broken by lower index
 // (exactly numpy's stable argsort prefix — the reference's n-best keeps
 // first-encountered minima the same way, nbest.rs). Returns the count

@@ -120,6 +120,36 @@ def test_adc_sum_parity(rng):
     assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_adc_topk_parity(rng):
+    """Fused scan+top-k == the two-step path: same indices (stable ties),
+    same selected distances, across k < L, k == L, k > L."""
+    import numpy as np
+
+    from flechasdb_tpu import stored as st
+
+    rng2 = np.random.default_rng(17)
+    d_, c_ = 8, 64
+    table = np.round(
+        rng2.standard_normal((d_, c_)), 1).astype(np.float32)  # tie groups
+    for rows, k in [(777, 10), (25, 25), (5, 10), (1, 1)]:
+        codes = rng2.integers(0, c_, (rows, d_)).astype(np.uint32)
+        qnorm = float(rng2.standard_normal())
+        got = _native.adc_topk(table, qnorm, codes, k)
+        assert got is not None
+        order, dsel = got
+        ref_order, ref_dists = st.adc_scan_with_table(
+            table, qnorm, codes, k)
+        np.testing.assert_array_equal(order, ref_order)
+        np.testing.assert_allclose(dsel, ref_dists[ref_order],
+                                   rtol=1e-6, atol=1e-6)
+        # the public wrapper routes through the fused path transparently
+        w_order, w_dsel = st.adc_scan_topk(table, qnorm, codes, k)
+        np.testing.assert_array_equal(w_order, ref_order)
+
+    assert _native.adc_topk(table.astype(np.float64), 0.0,
+                            np.zeros((3, d_), np.uint32), 2) is None
+
+
 def test_varint_u32_parity(rng):
     """Native packed-varint decode == the numpy decoder, across the whole
     u32 range; malformed payloads return None (caller falls back)."""
