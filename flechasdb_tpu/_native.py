@@ -81,6 +81,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                  ctypes.c_size_t, ctypes.c_void_p,
                                  ctypes.c_void_p]
     lib.fio_adc_topk.restype = ctypes.c_size_t
+    lib.fio_adc_topk_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.fio_adc_topk_batch.restype = None
     lib.fio_varint_u32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                    ctypes.c_void_p]
     lib.fio_varint_u32.restype = ctypes.c_size_t
@@ -166,6 +171,44 @@ def adc_topk(table, qnorm: float, codes, k: int) -> "Optional[object]":
                            rows, d, table.shape[1], float(qnorm), k,
                            out_idx.ctypes.data, out_dist.ctypes.data)
     return out_idx[:got], out_dist[:got]
+
+
+def adc_topk_batch(tables, qnorms, codes_list, k: int) -> "Optional[object]":
+    """All nprobe partition scans of one query in ONE ctypes crossing.
+
+    ``tables [n, D, C]`` f32 C-contiguous (the batched-GEMM output of
+    ``stored.adc_tables``), ``qnorms [n]`` f32, ``codes_list`` a sequence of
+    n ``[L_i, D]`` uint32 C-contiguous code matrices. Returns
+    ``(idx [n, k] uint32, dist [n, k] f32, cnt [n] int)`` where row i's
+    first ``cnt[i]`` entries are partition i's k-best (ascending, stable) —
+    exactly n independent :func:`adc_topk` calls. None when native IO is
+    unavailable or any layout doesn't match (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    n, d, c = tables.shape
+    if not (tables.dtype == np.float32 and tables.flags.c_contiguous
+            and len(codes_list) == n):
+        return None
+    ptrs = (ctypes.c_void_p * n)()
+    rows = (ctypes.c_size_t * n)()
+    for i, codes in enumerate(codes_list):
+        if not (codes.dtype == np.uint32 and codes.flags.c_contiguous
+                and codes.ndim == 2 and codes.shape[1] == d):
+            return None
+        ptrs[i] = codes.ctypes.data
+        rows[i] = codes.shape[0]
+    qn = np.ascontiguousarray(qnorms, np.float32)
+    out_idx = np.empty((n, k), np.uint32)
+    out_dist = np.empty((n, k), np.float32)
+    out_cnt = np.empty(n, np.uint32)
+    lib.fio_adc_topk_batch(tables.ctypes.data, qn.ctypes.data,
+                           ctypes.addressof(ptrs), ctypes.addressof(rows),
+                           n, d, c, k,
+                           out_idx.ctypes.data, out_dist.ctypes.data,
+                           out_cnt.ctypes.data)
+    return out_idx, out_dist, out_cnt
 
 
 def topk_f32(dists, k: int) -> "Optional[object]":

@@ -28,6 +28,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from .. import _native
 from .. import events as ev
 from ..attributes import AttributeTable, AttributeValue
 from ..errors import InvalidArgs
@@ -337,6 +338,36 @@ class AsyncStoredDatabase:
                                     rotation, self._codebook_sq_norms,
                                     self._codebooks_t)
 
+        # Hot path (no filter, no observer): await all loads, then run all
+        # nprobe scans as ONE native call — mirrors the sync fast path
+        # (``stored.StoredDatabase.query_with_events``); a warm query's
+        # awaits return synchronously, so this stays loop-free end to end.
+        if where is None and events is _noop:
+            parts = [await t for t in part_tasks]
+            got = _native.adc_topk_batch(
+                tables, qnorms, [pt.codes for pt in parts], k)
+            if got is not None:
+                idxb, distb, cntb = got
+                if int(cntb.min()) == k:
+                    alld = distb.reshape(-1)
+                    merged = []
+                    for gi in topk_stable(alld, k).tolist():
+                        pj, o = divmod(gi, k)
+                        vi = int(idxb[pj, o])
+                        merged.append(AsyncQueryResult(
+                            db=self,
+                            partition_index=int(probed[pj]),
+                            vector_id=parts[pj].vector_id_at(vi),
+                            vector_index=vi,
+                            squared_distance=float(alld[gi]),
+                        ))
+                    return merged
+                per_partition = [
+                    (int(pi), parts[j], idxb[j, :int(cntb[j])],
+                     distb[j, :int(cntb[j])])
+                    for j, pi in enumerate(probed)]
+                return self._merge_async(per_partition, k, events)
+
         per_partition = []
         for j, pi in enumerate(probed):
             part = await part_tasks[j]
@@ -364,12 +395,15 @@ class AsyncStoredDatabase:
             per_partition.append((int(pi), part, order, dsel))
         if cb_cold:
             events(ev.FinishedCodebookLoad())
+        return self._merge_async(per_partition, k, events)
 
+    def _merge_async(self, per_partition, k: int,
+                     events) -> List[AsyncQueryResult]:
+        """Stable top-k over the probe-ordered concatenation == a stable
+        sort of the merged candidate list; result objects (and their
+        UUIDs) materialize only for the final k winners (see the sync
+        path, stored.py)."""
         events(ev.StartingResultSelection())
-        # Stable top-k over the probe-ordered concatenation == a stable
-        # sort of the merged candidate list; result objects (and their
-        # UUIDs) materialize only for the final k winners (see the sync
-        # path, stored.py).
         alld = (np.concatenate([d for _, _, _, d in per_partition])
                 if per_partition else np.empty(0, np.float32))
         bounds = np.cumsum([0] + [len(d) for _, _, _, d in per_partition])

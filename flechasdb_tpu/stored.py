@@ -54,7 +54,7 @@ class StoredPartition:
     materialize once.
     """
 
-    __slots__ = ("codes", "_ids", "_ids_raw")
+    __slots__ = ("codes", "_ids", "_ids_raw", "_id_cache")
 
     def __init__(self, codes: np.ndarray,
                  vector_ids: Optional[List[_uuid.UUID]] = None,
@@ -62,6 +62,7 @@ class StoredPartition:
         self.codes = codes              # [L, D] uint32
         self._ids = vector_ids
         self._ids_raw = ids_raw
+        self._id_cache: dict = {}       # winners-only memo (repeat queries)
 
     @property
     def vector_ids(self) -> List[_uuid.UUID]:
@@ -73,7 +74,11 @@ class StoredPartition:
     def vector_id_at(self, i: int) -> _uuid.UUID:
         if self._ids is not None:
             return self._ids[i]
-        return _uuid.UUID(bytes=self._ids_raw[i].tobytes())
+        u = self._id_cache.get(i)
+        if u is None:
+            u = _uuid.UUID(bytes=self._ids_raw[i].tobytes())
+            self._id_cache[i] = u
+        return u
 
 
 def validate_root(root: PDatabase) -> PDatabase:
@@ -616,6 +621,41 @@ class StoredDatabase:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(min(len(missing), 16)) as ex:
                 list(ex.map(self.get_partition, missing))
+        # Hot path (no filter, no observer): every probed partition is
+        # already loadable, so all nprobe scans collapse into ONE native
+        # call — per-partition ctypes crossings and the python loop body
+        # were ~40% of the warm query after the scans themselves went
+        # native. The event-handler path below keeps per-partition events
+        # interleaved with the scans they describe.
+        if where is None and events is _noop:
+            parts = [self.get_partition(int(pi)) for pi in probed]
+            got = _native.adc_topk_batch(
+                tables, qnorms, [pt.codes for pt in parts], k)
+            if got is not None:
+                idxb, distb, cntb = got
+                if int(cntb.min()) == k:
+                    # All partitions returned full rows: the merge runs on
+                    # the [n, k] blocks directly (no concat bookkeeping).
+                    alld = distb.reshape(-1)
+                    results = []
+                    for gi in topk_stable(alld, k).tolist():
+                        pj, o = divmod(gi, k)
+                        vi = int(idxb[pj, o])
+                        results.append(StoredQueryResult(
+                            db=self,
+                            partition_index=int(probed[pj]),
+                            vector_id=parts[pj].vector_id_at(vi),
+                            vector_index=vi,
+                            squared_distance=float(alld[gi]),
+                        ))
+                    return results
+                sel_d = [distb[j, :int(cntb[j])] for j in range(len(parts))]
+                sel_vi = [idxb[j, :int(cntb[j])] for j in range(len(parts))]
+                sel_pi = [int(pi) for pi in probed]
+                sel_part = parts
+                return self._merge_selected(sel_d, sel_vi, sel_pi,
+                                            sel_part, k, events)
+
         sel_d: List[np.ndarray] = []
         sel_vi: List[np.ndarray] = []
         sel_pi: List[int] = []
@@ -644,9 +684,15 @@ class StoredDatabase:
             sel_part.append(part)
             events(ev.FinishedPartitionQuery(int(pi)))
 
+        return self._merge_selected(sel_d, sel_vi, sel_pi, sel_part, k,
+                                    events)
+
+    def _merge_selected(self, sel_d, sel_vi, sel_pi, sel_part, k: int,
+                        events: EventHandler) -> List[StoredQueryResult]:
+        """Stable top-k over the probe-ordered concatenation of the
+        per-partition k-bests == a stable sort of the full candidate list
+        (``db/stored.rs:378-387`` n-best merge)."""
         events(ev.StartingResultSelection())
-        # Stable top-k over the probe-ordered concatenation == the old
-        # stable sort of the candidate list.
         alld = np.concatenate(sel_d) if sel_d else np.empty(0, np.float32)
         bounds = np.cumsum([0] + [len(x) for x in sel_d])
         gis = topk_stable(alld, k)

@@ -456,6 +456,24 @@ size_t fio_adc_topk(const float* table, const uint32_t* codes, size_t rows,
   return k;
 }
 
+// Batched fio_adc_topk: all nprobe partitions of one query in a single
+// ctypes crossing. tables is the query's contiguous [n, d*c] table block
+// (adc_tables already builds it that way); codes_ptrs[i] points at
+// partition i's [rows[i], d] uint32 code matrix. Outputs are [n, k]
+// row-major with out_cnt[i] = entries written for partition i
+// (min(k, rows[i])). Per-partition semantics identical to fio_adc_topk.
+void fio_adc_topk_batch(const float* tables, const float* qnorms,
+                        const uint32_t* const* codes_ptrs,
+                        const size_t* rows, size_t n, size_t d, size_t c,
+                        size_t k, uint32_t* out_idx, float* out_dist,
+                        uint32_t* out_cnt) {
+  for (size_t i = 0; i < n; ++i) {
+    out_cnt[i] = (uint32_t)fio_adc_topk(tables + i * d * c, codes_ptrs[i],
+                                        rows[i], d, c, qnorms[i], k,
+                                        out_idx + i * k, out_dist + i * k);
+  }
+}
+
 // Indices of the k smallest dists, ascending, ties broken by lower index
 // (exactly numpy's stable argsort prefix — the reference's n-best keeps
 // first-encountered minima the same way, nbest.rs). Returns the count

@@ -150,6 +150,34 @@ def test_adc_topk_parity(rng):
                             np.zeros((3, d_), np.uint32), 2) is None
 
 
+def test_adc_topk_batch_parity(rng):
+    """One batched crossing == n independent adc_topk calls, including
+    short partitions (rows < k) via the count column."""
+    import numpy as np
+
+    rng2 = np.random.default_rng(23)
+    n, d_, c_, k = 5, 8, 64, 10
+    tables = np.round(
+        rng2.standard_normal((n, d_, c_)), 1).astype(np.float32)
+    qnorms = rng2.standard_normal(n).astype(np.float32)
+    codes_list = [
+        rng2.integers(0, c_, (rows, d_)).astype(np.uint32)
+        for rows in (300, 7, 1, 150, 10)]
+    got = _native.adc_topk_batch(tables, qnorms, codes_list, k)
+    assert got is not None
+    idxb, distb, cntb = got
+    for i in range(n):
+        ref = _native.adc_topk(tables[i], float(qnorms[i]),
+                               codes_list[i], k)
+        order, dsel = ref
+        assert int(cntb[i]) == len(order)
+        np.testing.assert_array_equal(idxb[i, :len(order)], order)
+        np.testing.assert_allclose(distb[i, :len(order)], dsel)
+
+    bad = [codes_list[0].astype(np.int64)] + codes_list[1:]
+    assert _native.adc_topk_batch(tables, qnorms, bad, k) is None
+
+
 def test_varint_u32_parity(rng):
     """Native packed-varint decode == the numpy decoder, across the whole
     u32 range; malformed payloads return None (caller falls back)."""
