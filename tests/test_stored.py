@@ -207,3 +207,60 @@ def test_sync_query_event_order(rng, tmp_path):
     # warm path still initializes lazily-noop but emits the same sequence
     warm_types = [type(e) for e in warm]
     assert warm_types.count(ev.StartingPartitionQuery) == 2
+
+
+def test_stored_query_fuzz_matches_inmemory(tmp_path):
+    """Randomized differential check across adversarial shapes: duplicated
+    vectors (exact distance ties on the stable merge), clustered data with
+    more partitions than natural clusters (near-empty partitions),
+    k larger than the candidate pool, nprobe=P, and queries far outside
+    the corpus. Stored sync + async must match the in-memory DB result-
+    for-result (this drives both the batched native fast path and the
+    cnt<k merge fallback, stored.py query_with_events)."""
+    import asyncio
+
+    import flechasdb_tpu as fdb
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem
+    from flechasdb_tpu.asyncdb import load_database as aload
+
+    configs = [
+        # (n, m, p, d, c, k, nprobe, clusters_in_data, dup)
+        (400, 16, 8, 4, 8, 5, 3, None, True),     # heavy exact ties
+        (256, 24, 16, 4, 16, 40, 16, 2, False),   # near-empty partitions
+        (96, 8, 4, 2, 4, 96, 4, None, False),     # k == N (full pool)
+        (500, 32, 10, 8, 16, 10, 10, 3, True),    # nprobe=P + ties
+    ]
+    for ci, (n, m, p, d, c, k, nprobe, nat, dup) in enumerate(configs):
+        rng = np.random.default_rng(100 + ci)
+        if nat:
+            centers = rng.standard_normal((nat, m)).astype(np.float32) * 4
+            x = (centers[rng.integers(0, nat, n)]
+                 + rng.standard_normal((n, m)).astype(np.float32) * 0.05)
+        else:
+            x = rng.standard_normal((n, m)).astype(np.float32)
+        if dup:
+            x[n // 2:] = x[: n - n // 2]        # exact duplicate rows
+        db = (DatabaseBuilder(x).with_partitions(p).with_divisions(d)
+              .with_clusters(c).with_seed(1000 + ci).build())
+        base = tmp_path / f"fuzz{ci}"
+        base.mkdir()
+        root = save_database(db, LocalFileSystem(base))
+        sdb = load_database(LocalFileSystem(base), f"{root}.binpb")
+        queries = [x[0], x[-1],
+                   rng.standard_normal(m).astype(np.float32) * 10]
+
+        async def arun():
+            adb = await aload(AsyncLocalFileSystem(base), f"{root}.binpb")
+            for q in queries:
+                want = db.query(q, k=k, nprobe=nprobe)
+                for got in (sdb.query(q, k=k, nprobe=nprobe),
+                            sdb.query(q, k=k, nprobe=nprobe),  # warm rerun
+                            await adb.query(q, k=k, nprobe=nprobe)):
+                    assert ([r.vector_id for r in got]
+                            == [r.vector_id for r in want]), \
+                        f"config {ci}: result id mismatch"
+                    for g, w in zip(got, want):
+                        assert g.squared_distance == pytest.approx(
+                            w.squared_distance, rel=1e-4, abs=1e-5)
+
+        asyncio.run(arun())
