@@ -45,14 +45,39 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and _SRC_PATH.exists():
-        _build()
+    if _SRC_PATH.exists():
+        try:
+            stale = (_LIB_PATH.exists() and _LIB_PATH.stat().st_mtime
+                     < _SRC_PATH.stat().st_mtime)
+        except OSError:
+            stale = False
+        if stale or not _LIB_PATH.exists():
+            _build()
     if not _LIB_PATH.exists():
         return None
+    lib = _bind(_LIB_PATH)
+    if lib is None and _SRC_PATH.exists() and _build():
+        # A cached .so from an older source may predate symbols bound
+        # below (it is gitignored and otherwise only built when absent);
+        # one rebuild-and-retry, then give up to the Python fallbacks.
+        lib = _bind(_LIB_PATH)
+    _lib = lib
+    return lib
+
+
+def _bind(path: Path) -> Optional[ctypes.CDLL]:
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(path))
     except OSError:
         return None
+    try:
+        _declare(lib)
+    except AttributeError:          # missing symbol: stale library
+        return None
+    return lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
     lib.fio_hash.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                              ctypes.c_char_p]
     lib.fio_hash.restype = None
@@ -89,8 +114,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fio_varint_u32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                    ctypes.c_void_p]
     lib.fio_varint_u32.restype = ctypes.c_size_t
-    _lib = lib
-    return lib
 
 
 def available() -> bool:
@@ -240,7 +263,10 @@ def varint_u32(payload: bytes) -> "Optional[object]":
     got = lib.fio_varint_u32(payload, len(payload), out.ctypes.data)
     if got == ctypes.c_size_t(-1).value:
         return None
-    return np.ascontiguousarray(out[:got])
+    # copy, not a view: a view would pin the full len(payload)-sized
+    # scratch buffer for the lifetime of the cached partition codes
+    # (~1.5x resident memory at C=256, where most varints are 2 bytes).
+    return out[:got].copy()
 
 
 def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:

@@ -59,37 +59,51 @@ async def save_database(db: Database, fs: FileSystem, *,
 
             return await asyncio.to_thread(work)
 
-    # Phase 1: everything that doesn't reference another artifact.
+    # Phase 1: everything that doesn't reference another artifact. Each
+    # put is wrapped in a Task so ALL of them are in flight at once — a
+    # bare coroutine would only start at its own await, serializing the
+    # centroid/codebook/rotation PUTs behind the partition gather.
     uuid_raw = _uuid_raw(db)
     part_tasks = [
-        put("partitions",
-            lambda pi=pi: _partition_payload(db, pi, uuid_raw), True)
+        asyncio.create_task(
+            put("partitions",
+                lambda pi=pi: _partition_payload(db, pi, uuid_raw), True))
         for pi in range(db.num_partitions)
     ]
-    cent_task = put("partitions",
-                    lambda: _vector_set_payload(db.partition_centroids),
-                    False)
+    cent_task = asyncio.create_task(
+        put("partitions",
+            lambda: _vector_set_payload(db.partition_centroids), False))
     cb_tasks = [
-        put("codebooks", lambda d=d: _vector_set_payload(db.codebooks[d]),
-            False)
+        asyncio.create_task(
+            put("codebooks",
+                lambda d=d: _vector_set_payload(db.codebooks[d]), False))
         for d in range(db.num_divisions)
     ]
     rot_task = None
     if getattr(db, "rotation", None) is not None:
-        rot_task = put("rotations",
-                       lambda: _vector_set_payload(db.rotation), False)
+        rot_task = asyncio.create_task(
+            put("rotations",
+                lambda: _vector_set_payload(db.rotation), False))
 
-    partition_ids = list(await asyncio.gather(*part_tasks))
-    partition_centroids_id = await cent_task
-    codebook_ids = list(await asyncio.gather(*cb_tasks))
-    rotation_id = await rot_task if rot_task is not None else ""
+    try:
+        partition_ids = list(await asyncio.gather(*part_tasks))
+        partition_centroids_id = await cent_task
+        codebook_ids = list(await asyncio.gather(*cb_tasks))
+        rotation_id = await rot_task if rot_task is not None else ""
+    except BaseException:
+        for t in (*part_tasks, cent_task, *cb_tasks, rot_task):
+            if t is not None:
+                t.cancel()
+        raise
 
     # Phase 2: attribute logs (each names its partition file).
     attribute_names = _sorted_attribute_names(db)
+    name_index = {n: i for i, n in enumerate(attribute_names)}
     attributes_log_ids = list(await asyncio.gather(*[
         put("attributes",
             lambda pi=pi: _attr_log_payload(db, pi, partition_ids[pi],
-                                            attribute_names), True)
+                                            attribute_names, name_index),
+            True)
         for pi in range(db.num_partitions)
     ]))
 

@@ -37,7 +37,7 @@ from ..protos import PDatabase
 from ..stored import (
     StoredPartition,
     adc_scan_topk,
-    adc_scan_with_table,
+    adc_dists,
     adc_tables,
     decode_partition,
     decode_vector_set,
@@ -186,7 +186,7 @@ class AsyncStoredDatabase:
             *(one(di) for di in range(self.num_divisions)))
         stacked = np.stack(cbs)
         # Cached alongside the codebooks for the ADC expansion form
-        # (see sync ``adc_scan_partition``).
+        # (see sync ``adc_tables``).
         self._codebook_sq_norms = np.einsum(
             "dcm,dcm->dc", stacked, stacked)
         self._codebooks_t = np.ascontiguousarray(
@@ -352,6 +352,9 @@ class AsyncStoredDatabase:
                     alld = distb.reshape(-1)
                     merged = []
                     for gi in topk_stable(alld, k).tolist():
+                        sq = float(alld[gi])
+                        if sq == np.inf:    # overflow: warm-path parity
+                            break           # (selection is ascending)
                         pj, o = divmod(gi, k)
                         vi = int(idxb[pj, o])
                         merged.append(AsyncQueryResult(
@@ -359,7 +362,8 @@ class AsyncStoredDatabase:
                             partition_index=int(probed[pj]),
                             vector_id=parts[pj].vector_id_at(vi),
                             vector_index=vi,
-                            squared_distance=float(alld[gi]),
+                            # clamp f32-cancellation negatives (see sync)
+                            squared_distance=sq if sq > 0.0 else 0.0,
                         ))
                     return merged
                 per_partition = [
@@ -381,8 +385,7 @@ class AsyncStoredDatabase:
                     tables[j], float(qnorms[j]), part.codes, k)
             else:
                 from ..filters import ColumnCache, evaluate_mask
-                _, dists = adc_scan_with_table(
-                    tables[j], float(qnorms[j]), part.codes, k)
+                dists = adc_dists(tables[j], float(qnorms[j]), part.codes)
                 mask = evaluate_mask(where, part.vector_ids,
                                      self._attribute_table, ColumnCache())
                 dists = np.where(mask, dists, np.inf)
@@ -411,6 +414,9 @@ class AsyncStoredDatabase:
         gis = topk_stable(alld, k)
         pjs = np.searchsorted(bounds, gis, side="right") - 1
         for gi, pj in zip(gis.tolist(), pjs.tolist()):
+            sq = float(alld[gi])
+            if sq == np.inf:        # overflow rows: warm-path parity
+                break               # (selection is ascending)
             pi, part, order, _ = per_partition[pj]
             vi = int(order[gi - bounds[pj]])
             merged.append(AsyncQueryResult(
@@ -418,7 +424,8 @@ class AsyncStoredDatabase:
                 partition_index=pi,
                 vector_id=part.vector_id_at(vi),
                 vector_index=vi,
-                squared_distance=float(alld[gi]),
+                # clamp f32-cancellation negatives (see the sync path)
+                squared_distance=sq if sq > 0.0 else 0.0,
             ))
         events(ev.FinishedResultSelection())
         return merged

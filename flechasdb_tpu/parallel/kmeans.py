@@ -42,25 +42,34 @@ def _gather_rows(mesh: Mesh, x: jax.Array, rows: jax.Array) -> jax.Array:
 
 def fused_round_sharded(x: jax.Array, centroids: jax.Array, k: int,
                         impl: str | None, mesh: Mesh, n_pad: int,
+                        xg: jax.Array | None = None,
                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One Lloyd round over the mesh: per-device fused pass + ``psum``.
 
     ``x: [B, Np, M]`` sharded ``P(None, AXIS, None)`` with ``n_pad``
-    trailing zero rows; ``centroids: [B, K, M]`` replicated. Returns
+    trailing zero rows; ``centroids: [B, K, M]`` replicated. ``xg`` is the
+    optional pre-grouped ``[G, Np, 128]`` layout (also row-sharded) for
+    the grouped kernel — :func:`fit_sharded` computes it ONCE so the
+    per-round regroup (a full corpus-shard copy) stays out of the Lloyd
+    loop, exactly as :func:`..ops.kmeans.fit` hoists it. Returns
     ``(indices [B, Np] sharded, sums [B, K, M], counts [B, K])`` with the
     pad rows' count contribution removed.
     """
 
-    def local(xl, c):
-        idx, sums, counts = kmeans._fused_round(xl, c, k, impl)
+    def local(xl, c, *xgl):
+        idx, sums, counts = kmeans._fused_round(
+            xl, c, k, impl, xgl[0] if xgl else None)
         return (idx, jax.lax.psum(sums, AXIS), jax.lax.psum(counts, AXIS))
 
+    args = (x, centroids) if xg is None else (x, centroids, xg)
+    in_specs = ((P(None, AXIS, None), P()) if xg is None else
+                (P(None, AXIS, None), P(), P(None, AXIS, None)))
     idx, sums, counts = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, AXIS, None), P()),
+        in_specs=in_specs,
         out_specs=(P(None, AXIS), P(), P()),
         check_vma=False,
-    )(x, centroids)
+    )(*args)
     if n_pad:
         # Zero pad rows all landed on the first-minimum of ‖c_k‖² (their
         # distance column is exactly cc); remove them from that count.
@@ -71,18 +80,23 @@ def fused_round_sharded(x: jax.Array, centroids: jax.Array, k: int,
 
 
 def _assign_sharded(x: jax.Array, centroids: jax.Array, k: int,
-                    impl: str | None, mesh: Mesh) -> jax.Array:
+                    impl: str | None, mesh: Mesh,
+                    xg: jax.Array | None = None) -> jax.Array:
     """Sharded assignment-only pass (no collective needed)."""
 
-    def local(xl, c):
-        return kmeans._assign_only(xl, c, k, impl)
+    def local(xl, c, *xgl):
+        return kmeans._assign_only(xl, c, k, impl,
+                                   xgl[0] if xgl else None)
 
+    args = (x, centroids) if xg is None else (x, centroids, xg)
+    in_specs = ((P(None, AXIS, None), P()) if xg is None else
+                (P(None, AXIS, None), P(), P(None, AXIS, None)))
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, AXIS, None), P()),
+        in_specs=in_specs,
         out_specs=P(None, AXIS),
         check_vma=False,
-    )(x, centroids)
+    )(*args)
 
 
 def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
@@ -135,6 +149,23 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         return kmeans.KMeansResult(cents, idx, jnp.zeros((b,), jnp.int32),
                                    jnp.zeros((b,), jnp.float32))
 
+    # Resolve the kernel once against the LOCAL shard shape (auto picks by
+    # per-device bytes), so the grouped kernel's lane-fold layout can be
+    # computed one time outside the Lloyd loop — regroup_divisions is a
+    # full corpus-shard copy that must not run per round (it is N-axis-
+    # preserving plain XLA, so GSPMD shards it like the corpus itself).
+    if impl is None:
+        import jax.numpy as _jnp
+        local_shape = jax.ShapeDtypeStruct(
+            (b, -(-np_ // mesh.devices.size), m), _jnp.float32)
+        impl = kmeans._auto_impl(local_shape)
+    xg = None
+    if impl == "pallas_grouped":
+        from ..ops.pallas_kmeans import regroup_divisions
+        xg = jax.lax.with_sharding_constraint(
+            regroup_divisions(x),
+            NamedSharding(mesh, P(None, AXIS, None)))
+
     # Seeding — mirrors kmeans._subsampled_init exactly (same key splits,
     # same rows) on a replicated gather of the (sub)sample.
     cap = kmeans._seed_cap(k)
@@ -164,7 +195,7 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
 
     def body(s: S):
         idx_f, sums, counts = fused_round_sharded(
-            x, s.centroids, k, impl, mesh, n_pad)
+            x, s.centroids, k, impl, mesh, n_pad, xg)
         new_c, grad = kmeans._means_grad(sums, counts, s.centroids, x.dtype)
         newly_done = grad < epsilon
         centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
@@ -188,5 +219,6 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         jnp.all(s.done),
         lambda: s.indices,
         lambda: jnp.where(s.done[:, None], s.indices,
-                          _assign_sharded(x, s.centroids, k, impl, mesh)))
+                          _assign_sharded(x, s.centroids, k, impl, mesh,
+                                          xg)))
     return kmeans.KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)

@@ -145,10 +145,13 @@ def _sorted_attribute_names(db: Database) -> List[str]:
 
 
 def _attr_log_payload(db: Database, pi: int, partition_id: str,
-                      attribute_names: List[str]) -> bytes:
+                      attribute_names: List[str],
+                      name_index: dict | None = None) -> bytes:
     """Encoded set-op log for partition ``pi``
-    (``db/build/proto.rs:163-205``)."""
-    name_index = {n: i for i, n in enumerate(attribute_names)}
+    (``db/build/proto.rs:163-205``). Callers looping over partitions pass
+    a precomputed ``name_index`` so it isn't rebuilt P times."""
+    if name_index is None:
+        name_index = {n: i for i, n in enumerate(attribute_names)}
     log = PAttributesLog(partition_id=partition_id)
     for vi in np.nonzero(db.partition_indices == pi)[0]:
         vid = db.vector_ids[vi]
@@ -170,9 +173,10 @@ def _save_attribute_logs(db: Database, partition_ids: List[str],
     """One compressed set-op log per partition
     (``db/build/proto.rs:163-205``)."""
     ids: List[str] = []
+    name_index = {n: i for i, n in enumerate(attribute_names)}
     for pi in range(db.num_partitions):
         f = fs.create_hashed_file("attributes", compress=True)
         f.write(_attr_log_payload(db, pi, partition_ids[pi],
-                                  attribute_names))
+                                  attribute_names, name_index))
         ids.append(f.persist(PROTOBUF_EXTENSION))
     return ids

@@ -30,6 +30,15 @@ PAD_LIMIT = 4.0
 HBM_BUDGET_BYTES = 2 << 30
 
 
+def _choose_layout(p: int, pidx: np.ndarray, n: int) -> str:
+    """Bucketed (pruned) unless partition skew makes the ``[P, L_pad]``
+    bucket padding blow past ``PAD_LIMIT``× the flat corpus — the one
+    policy both single-chip and sharded serving must agree on."""
+    counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
+    l_pad = -(-int(max(max(counts), 1)) // 128) * 128
+    return "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) else "masked"
+
+
 class DeviceIndex:
     """IVF-PQ index pushed to TPU HBM, ready for batched queries."""
 
@@ -47,10 +56,7 @@ class DeviceIndex:
         p = centroids.shape[0]
         n = max(len(codes), 1)
         if layout is None:
-            counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
-            l_pad = -(-int(max(max(counts), 1)) // 128) * 128
-            layout = "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) \
-                else "masked"
+            layout = _choose_layout(p, pidx, n)
         self.layout = layout
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
@@ -157,10 +163,7 @@ class ShardedIndex:
         p = centroids.shape[0]
         n = max(len(codes), 1)
         if layout is None:
-            counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
-            l_pad = -(-int(max(max(counts), 1)) // 128) * 128
-            layout = "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) \
-                else "masked"
+            layout = _choose_layout(p, pidx, n)
         if layout == "bucketed":
             self.buckets = shard_buckets(mesh, bucketize(
                 np.asarray(codes, np.int32), np.asarray(pidx, np.int32), p,

@@ -205,6 +205,8 @@ def topk_stable(dists: np.ndarray, k: int) -> np.ndarray:
     runtime is loaded; a partition + boundary-tie repair in numpy
     otherwise."""
     n = len(dists)
+    if k <= 0:
+        return np.empty(0, np.intp)
     if k >= n:
         return np.argsort(dists, kind="stable")
     if dists.dtype == np.float32:        # f64 must not round through f32
@@ -218,36 +220,6 @@ def topk_stable(dists: np.ndarray, k: int) -> np.ndarray:
     return cand[np.argsort(dists[cand], kind="stable")]
 
 
-def adc_scan_partition(centroid_delta: np.ndarray,
-                       codebooks: np.ndarray,
-                       codes: np.ndarray, k: int,
-                       rotation: np.ndarray | None = None,
-                       codebook_sq_norms: np.ndarray | None = None,
-                       ) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side per-partition ADC scan, k best (``db/stored.rs:549-598``).
-
-    ``centroid_delta = v - centroid`` (the query residual); returns
-    ``(order [<=k], dists)`` where ``order`` indexes the partition's local
-    rows, best first. With an OPQ ``rotation`` the *residual* rotates before
-    table construction (rotation applies to residuals, never the raw query).
-
-    The ``[D, C]`` table is built as ``‖c‖² − 2·c@local`` (one BLAS batched
-    matvec; ``‖local‖²`` is a per-query scalar added after accumulation)
-    rather than the subtract-square broadcast — the broadcast materialized
-    a ``[D, C, m]`` temporary and measured 0.5 ms of the reference-headline
-    warm query's budget (1.48 ms, README.md:216). The per-row table
-    gather-accumulate runs in the native IO runtime when available
-    (``fio_adc_sum``; numpy fancy indexing measured 42 us vs 6 us native at
-    L=1000, D=12). Callers that hold the codebooks cache
-    ``codebook_sq_norms`` (``[D, C]``, see
-    ``StoredDatabase._codebook_sq_norms``); it is recomputed here when
-    absent.
-    """
-    tables, qnorms = adc_tables(centroid_delta[None], codebooks,
-                                rotation, codebook_sq_norms)
-    return adc_scan_with_table(tables[0], float(qnorms[0]), codes, k)
-
-
 def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
                rotation: np.ndarray | None = None,
                codebook_sq_norms: np.ndarray | None = None,
@@ -256,8 +228,13 @@ def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
     """ADC lookup tables for ``n`` query residuals at once.
 
     ``centroid_deltas: [n, M]`` → ``(tables [n, D, C] f32 C-contiguous,
-    qnorms [n])`` where ``tables[j] + qnorms[j]`` is the per-partition
-    ``‖local−c‖²`` table of :func:`adc_scan_partition`. All ``n`` cross
+    qnorms [n])`` where ``tables[j] + qnorms[j]`` is partition j's
+    per-row ``‖local−c‖²`` (``db/stored.rs:549-575``), built as
+    ``‖c‖² − 2·c@local`` + the per-query scalar ``‖local‖²`` — one BLAS
+    batched matvec instead of the subtract-square broadcast, whose
+    ``[D, C, m]`` temporary measured 0.5 ms of the reference-headline
+    warm budget. With an OPQ ``rotation`` the *residuals* rotate before
+    table construction (never the raw query). All ``n`` cross
     terms come from ONE batched GEMM ``[D, n, m] @ [D, m, C]`` — the
     query path builds its nprobe tables in a single BLAS call instead of
     nprobe matvecs (they depend only on the probed centroids, never on
@@ -285,15 +262,25 @@ def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
     return tables, qnorms
 
 
-def adc_scan_with_table(table: np.ndarray, qnorm: float, codes: np.ndarray,
-                        k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Row scan against one precomputed ``[D, C]`` table (see
-    :func:`adc_tables`); native gather-accumulate when available."""
+def adc_dists(table: np.ndarray, qnorm: float,
+              codes: np.ndarray) -> np.ndarray:
+    """All-row distances against one precomputed ``[D, C]`` table (see
+    :func:`adc_tables`); native gather-accumulate when available. For
+    callers that re-rank after masking (filters) and would waste a
+    top-k over unmasked distances."""
     dists = _native.adc_sum(table, codes)
     if dists is None:
         d = table.shape[0]
         dists = table[np.arange(d)[None, :], codes].sum(1)
     dists += qnorm
+    return dists
+
+
+def adc_scan_with_table(table: np.ndarray, qnorm: float, codes: np.ndarray,
+                        k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row scan against one precomputed ``[D, C]`` table (see
+    :func:`adc_tables`); native gather-accumulate when available."""
+    dists = adc_dists(table, qnorm, codes)
     order = topk_stable(dists, k)
     return order, dists
 
@@ -639,6 +626,9 @@ class StoredDatabase:
                     alld = distb.reshape(-1)
                     results = []
                     for gi in topk_stable(alld, k).tolist():
+                        sq = float(alld[gi])
+                        if sq == np.inf:    # overflow rows: warm-path parity
+                            break           # (ascending: the rest are inf too)
                         pj, o = divmod(gi, k)
                         vi = int(idxb[pj, o])
                         results.append(StoredQueryResult(
@@ -646,7 +636,10 @@ class StoredDatabase:
                             partition_index=int(probed[pj]),
                             vector_id=parts[pj].vector_id_at(vi),
                             vector_index=vi,
-                            squared_distance=float(alld[gi]),
+                            # the ranking-only ‖c‖²−2·c·r+‖r‖² expansion can
+                            # go ~-1e-6 on exact matches (f32 cancellation);
+                            # the device path clamps, so does the result
+                            squared_distance=sq if sq > 0.0 else 0.0,
                         ))
                     return results
                 sel_d = [distb[j, :int(cntb[j])] for j in range(len(parts))]
@@ -669,8 +662,7 @@ class StoredDatabase:
                 order, dsel = adc_scan_topk(
                     tables[j], float(qnorms[j]), part.codes, k)
             else:
-                _, dists = adc_scan_with_table(
-                    tables[j], float(qnorms[j]), part.codes, k)
+                dists = adc_dists(tables[j], float(qnorms[j]), part.codes)
                 mask = self._partition_filter_mask(where, int(pi), part)
                 dists = np.where(mask, dists, np.inf)
                 order = topk_stable(dists, k)
@@ -699,13 +691,17 @@ class StoredDatabase:
         pjs = np.searchsorted(bounds, gis, side="right") - 1
         results = []
         for gi, pj in zip(gis.tolist(), pjs.tolist()):
+            sq = float(alld[gi])
+            if sq == np.inf:        # overflow rows: warm-path parity
+                break               # (selection is ascending)
             vi = int(sel_vi[pj][gi - bounds[pj]])
             results.append(StoredQueryResult(
                 db=self,
                 partition_index=sel_pi[pj],
                 vector_id=sel_part[pj].vector_id_at(vi),
                 vector_index=vi,
-                squared_distance=float(alld[gi]),
+                # clamp f32-cancellation negatives (see the fast path)
+                squared_distance=sq if sq > 0.0 else 0.0,
             ))
         events(ev.FinishedResultSelection())
         return results

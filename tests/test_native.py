@@ -211,3 +211,18 @@ def test_adc_sum_rejects_wrong_dtype(rng):
     table = np.zeros((2, 4), np.float64)
     codes = np.zeros((3, 2), np.uint32)
     assert _native.adc_sum(table, codes) is None   # caller falls back
+
+
+def test_bind_stale_library_returns_none(tmp_path):
+    """_bind on a library missing the fio_* symbols (e.g. a stale cached
+    .so from an older source) must return None so _load can rebuild or
+    fall back — not raise AttributeError out of the first query."""
+    import ctypes.util
+
+    from flechasdb_tpu import _native as nat
+
+    zlib_path = ctypes.util.find_library("z")
+    assert zlib_path is not None
+    assert nat._bind(type(nat._LIB_PATH)(zlib_path)) is None
+    # and the real library still binds
+    assert nat._bind(nat._LIB_PATH) is not None

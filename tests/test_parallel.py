@@ -352,3 +352,30 @@ def test_sharded_index_bucketed_layout(rng, mesh):
     if mismatched.any():
         np.testing.assert_allclose(ds[mismatched], dh[mismatched],
                                    rtol=1e-6)
+
+
+def test_sharded_fit_grouped_kernel_matches(rng, mesh):
+    """fit_sharded with the GROUPED kernel (sub-lane vector widths,
+    interpret mode on the CPU mesh): the hoisted per-shard regroup —
+    computed once outside the Lloyd loop, sharded on the row axis — must
+    agree with the single-device fit, proving a sharded GIST-shape PQ
+    training keeps the grouped-kernel win (parallel/kmeans.py xg hoist)."""
+    from flechasdb_tpu.ops import kmeans
+    from flechasdb_tpu.parallel.kmeans import fit_sharded
+
+    b, n, m, k = 4, 96, 16, 6                 # m=16 < 128: grouped shapes
+    x = rng.standard_normal((b, n, m)).astype(np.float32)
+    key = jax.random.key(5)
+
+    single = kmeans.fit(jnp.asarray(x), k, key, impl="pallas_grouped")
+    pad = (-n) % mesh.devices.size
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (0, pad), (0, 0)))
+    sharded = fit_sharded(xp, k, key, mesh=mesh, n_valid=n,
+                          impl="pallas_grouped")
+
+    np.testing.assert_allclose(np.asarray(sharded.centroids),
+                               np.asarray(single.centroids),
+                               rtol=1e-3, atol=1e-4)
+    agree = (np.asarray(sharded.indices)[:, :n]
+             == np.asarray(single.indices)).mean()
+    assert agree >= 0.99
