@@ -269,8 +269,13 @@ def varint_u32(payload: bytes) -> "Optional[object]":
     return out[:got].copy()
 
 
-def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
+def unpack(stored: bytes, compressed: bool,
+           need_hash: bool = True) -> Optional[tuple[bytes, Optional[str]]]:
     """One-pass hash (+ inflate). Returns ``(payload, hash_of_stored)``.
+
+    ``need_hash=False`` skips the SHA pass (hash comes back None) — for
+    artifacts whose verification the caller skips (the sync stored path's
+    centroid/attr-log quirk), hashing is pure waste.
 
     Raises ``ValueError`` on a corrupt deflate stream.
     """
@@ -278,6 +283,8 @@ def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
     if lib is None:
         return None
     if not compressed:
+        if not need_hash:
+            return stored, None
         # Hash-only: the stored bytes ARE the payload — skip the C-side
         # copy + ctypes copy-out (2 payload-sized memcpys for nothing).
         hash_buf = ctypes.create_string_buffer(44)
@@ -285,7 +292,7 @@ def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
         return stored, hash_buf.value.decode("ascii")
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    hash_buf = ctypes.create_string_buffer(44)
+    hash_buf = ctypes.create_string_buffer(44) if need_hash else None
     rc = lib.fio_unpack(stored, len(stored), 1 if compressed else 0,
                         ctypes.byref(out), ctypes.byref(out_len), hash_buf)
     if rc == -2:
@@ -296,4 +303,4 @@ def unpack(stored: bytes, compressed: bool) -> Optional[tuple[bytes, str]]:
         payload = ctypes.string_at(out, out_len.value)
     finally:
         lib.fio_free(out)
-    return payload, hash_buf.value.decode("ascii")
+    return payload, (hash_buf.value.decode("ascii") if need_hash else None)

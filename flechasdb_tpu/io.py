@@ -90,14 +90,19 @@ class HashedFileReader:
         self._compressed = compressed
         self._hash: Optional[str] = None
 
-    def read(self) -> bytes:
+    def read(self, need_hash: bool = True) -> bytes:
         """Returns the (decompressed) payload.
 
-        With the native runtime, inflate and the verification hash happen in
-        one pass (hash-as-you-read, ``io.rs:258-300``).
+        With the native runtime, inflate and the verification hash happen
+        in one pass (hash-as-you-read, ``io.rs:258-300``).
+        ``need_hash=False`` skips the hash pass — callers that will not
+        :meth:`verify` (the sync path's centroid/attr-log quirk) shouldn't
+        pay it; a later ``verify()`` still works (it re-hashes the raw
+        bytes, which this reader keeps).
         """
         try:
-            unpacked = _native.unpack(self._raw, self._compressed)
+            unpacked = _native.unpack(self._raw, self._compressed,
+                                      need_hash)
         except ValueError as e:
             raise IOError_(f"zlib decompression failed: {e}") from e
         if unpacked is not None:

@@ -397,7 +397,7 @@ class StoredDatabase:
             f = self.fs.open_hashed_file(
                 f"partitions/{self.root.partition_centroids_id}"
                 f".{PROTOBUF_EXTENSION}")
-            payload = f.read()
+            payload = f.read(need_hash=self.verify_all)
             if self.verify_all:
                 f.verify()
             self._partition_centroids = decode_vector_set(
@@ -508,7 +508,7 @@ class StoredDatabase:
             f"attributes/{self.root.attributes_log_ids[partition_index]}"
             f".{PROTOBUF_EXTENSION}",
             compressed=True)
-        payload = f.read()
+        payload = f.read(need_hash=self.verify_all)
         if self.verify_all:
             f.verify()
         if self._attribute_table is None:

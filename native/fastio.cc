@@ -291,10 +291,13 @@ int fio_pack(const uint8_t* data, size_t len, int compress_level,
 }
 
 // Unpacks stored bytes: hash of the stored bytes (verify-while-read) and
-// optional inflate. Returns 0 on success, -2 on corrupt stream.
+// optional inflate. hash_out44 may be NULL to skip hashing — for artifacts
+// whose verification the sync path skips (reference quirk parity), the
+// SHA pass is pure waste (~0.65 ms on a 614 KB centroid file).
+// Returns 0 on success, -2 on corrupt stream.
 int fio_unpack(const uint8_t* data, size_t len, int compressed,
                uint8_t** out, size_t* out_len, char* hash_out44) {
-  fio_hash(data, len, hash_out44);
+  if (hash_out44) fio_hash(data, len, hash_out44);
   if (!compressed) {
     uint8_t* copy = static_cast<uint8_t*>(std::malloc(len ? len : 1));
     if (!copy) return -1;

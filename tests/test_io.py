@@ -80,3 +80,29 @@ def test_double_persist_rejected(tmp_path):
     f.persist("binpb")
     with pytest.raises(IOError_):
         f.persist("binpb")
+
+
+def test_read_without_hash_then_verify(rng):
+    """read(need_hash=False) skips the SHA pass but a later verify() still
+    checks correctly (it re-hashes the kept raw bytes)."""
+    import pytest
+
+    from flechasdb_tpu.errors import VerificationFailure
+    from flechasdb_tpu.io import HashedFileReader, content_hash
+
+    payload = rng.bytes(5000)
+    import zlib
+    stored = zlib.compress(payload, 6)
+    name = f"{content_hash(stored)}.binpb"
+    r = HashedFileReader(stored, name, compressed=True)
+    assert r.read(need_hash=False) == payload
+    r.verify()                                   # recomputes from raw
+    # uncompressed artifact: read is zero-copy, verify still exact
+    name2 = f"{content_hash(payload)}.binpb"
+    r2 = HashedFileReader(payload, name2, compressed=False)
+    assert r2.read(need_hash=False) == payload
+    r2.verify()
+    bad = HashedFileReader(payload, "WrongName.binpb", compressed=False)
+    assert bad.read(need_hash=False) == payload
+    with pytest.raises(VerificationFailure):
+        bad.verify()
