@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -21,6 +22,10 @@ _SRC_PATH = Path(__file__).parent.parent / "native" / "fastio.cc"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+#: Serializes first-load (and any rebuild): concurrent first callers —
+#: e.g. the codebook/prefetch thread pools — must not race two g++
+#: compiles into one output file.
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -44,7 +49,16 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
+    with _load_lock:
+        if _tried:                # lost the race: first loader already won
+            return _lib
+        lib = _load_locked()
+        _lib = lib
+        _tried = True             # set LAST: racers must not read early
+        return lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     if _SRC_PATH.exists():
         try:
             stale = (_LIB_PATH.exists() and _LIB_PATH.stat().st_mtime
@@ -61,7 +75,6 @@ def _load() -> Optional[ctypes.CDLL]:
         # below (it is gitignored and otherwise only built when absent);
         # one rebuild-and-retry, then give up to the Python fallbacks.
         lib = _bind(_LIB_PATH)
-    _lib = lib
     return lib
 
 

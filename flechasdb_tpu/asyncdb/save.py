@@ -91,9 +91,14 @@ async def save_database(db: Database, fs: FileSystem, *,
         codebook_ids = list(await asyncio.gather(*cb_tasks))
         rotation_id = await rot_task if rot_task is not None else ""
     except BaseException:
-        for t in (*part_tasks, cent_task, *cb_tasks, rot_task):
-            if t is not None:
-                t.cancel()
+        pending = [t for t in (*part_tasks, cent_task, *cb_tasks, rot_task)
+                   if t is not None]
+        for t in pending:
+            t.cancel()
+        # Drain: retrieve sibling failures (else "exception was never
+        # retrieved" noise at GC) and wait out in-flight thread writes so
+        # nothing keeps mutating the store after this raise.
+        await asyncio.gather(*pending, return_exceptions=True)
         raise
 
     # Phase 2: attribute logs (each names its partition file).

@@ -363,7 +363,7 @@ class AsyncStoredDatabase:
                             vector_id=parts[pj].vector_id_at(vi),
                             vector_index=vi,
                             # clamp f32-cancellation negatives (see sync)
-                            squared_distance=sq if sq > 0.0 else 0.0,
+                            squared_distance=0.0 if sq < 0.0 else sq,
                         ))
                     return merged
                 per_partition = [
@@ -425,7 +425,7 @@ class AsyncStoredDatabase:
                 vector_id=part.vector_id_at(vi),
                 vector_index=vi,
                 # clamp f32-cancellation negatives (see the sync path)
-                squared_distance=sq if sq > 0.0 else 0.0,
+                squared_distance=0.0 if sq < 0.0 else sq,
             ))
         events(ev.FinishedResultSelection())
         return merged

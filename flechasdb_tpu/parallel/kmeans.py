@@ -155,9 +155,8 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     # full corpus-shard copy that must not run per round (it is N-axis-
     # preserving plain XLA, so GSPMD shards it like the corpus itself).
     if impl is None:
-        import jax.numpy as _jnp
         local_shape = jax.ShapeDtypeStruct(
-            (b, -(-np_ // mesh.devices.size), m), _jnp.float32)
+            (b, -(-np_ // mesh.devices.size), m), x.dtype)
         impl = kmeans._auto_impl(local_shape)
     xg = None
     if impl == "pallas_grouped":

@@ -639,7 +639,7 @@ class StoredDatabase:
                             # the ranking-only ‖c‖²−2·c·r+‖r‖² expansion can
                             # go ~-1e-6 on exact matches (f32 cancellation);
                             # the device path clamps, so does the result
-                            squared_distance=sq if sq > 0.0 else 0.0,
+                            squared_distance=0.0 if sq < 0.0 else sq,
                         ))
                     return results
                 sel_d = [distb[j, :int(cntb[j])] for j in range(len(parts))]
@@ -701,7 +701,7 @@ class StoredDatabase:
                 vector_id=sel_part[pj].vector_id_at(vi),
                 vector_index=vi,
                 # clamp f32-cancellation negatives (see the fast path)
-                squared_distance=sq if sq > 0.0 else 0.0,
+                squared_distance=0.0 if sq < 0.0 else sq,
             ))
         events(ev.FinishedResultSelection())
         return results
