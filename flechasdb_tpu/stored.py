@@ -400,12 +400,14 @@ class StoredDatabase:
             payload = f.read(need_hash=self.verify_all)
             if self.verify_all:
                 f.verify()
-            self._partition_centroids = decode_vector_set(
+            cents = decode_vector_set(
                 payload, self.vector_size, self.num_partitions,
                 "partition centroids")
-            self._centroid_sq_norms = np.einsum(
-                "pm,pm->p", self._partition_centroids,
-                self._partition_centroids)
+            # Publish the guard field LAST: a concurrent query that sees
+            # non-None centroids must also see the derived norms (GIL
+            # bytecode ordering makes this sufficient).
+            self._centroid_sq_norms = np.einsum("pm,pm->p", cents, cents)
+            self._partition_centroids = cents
         return self._partition_centroids
 
     def _load_codebooks(self) -> np.ndarray:
@@ -435,11 +437,13 @@ class StoredDatabase:
                     cbs = list(ex.map(load_one, range(d)))
             else:
                 cbs = [load_one(di) for di in range(d)]
-            self._codebooks = np.stack(cbs)     # [D, C, m]
+            stacked = np.stack(cbs)             # [D, C, m]
+            # Derived caches BEFORE the guard field (see centroids above).
             self._codebook_sq_norms = np.einsum(
-                "dcm,dcm->dc", self._codebooks, self._codebooks)
+                "dcm,dcm->dc", stacked, stacked)
             self._codebooks_t = np.ascontiguousarray(
-                self._codebooks.transpose(0, 2, 1))   # [D, m, C] for GEMM
+                stacked.transpose(0, 2, 1))     # [D, m, C] for GEMM
+            self._codebooks = stacked
         return self._codebooks
 
     def _load_rotation(self) -> Optional[np.ndarray]:

@@ -264,3 +264,39 @@ def test_stored_query_fuzz_matches_inmemory(tmp_path):
                             w.squared_distance, rel=1e-4, abs=1e-5)
 
         asyncio.run(arun())
+
+
+def test_concurrent_stored_queries_thread_safe(tmp_path):
+    """8 threads hammering one StoredDatabase (cold caches shared) must all
+    see the same results as a serial baseline — the partition/codebook
+    caches are filled concurrently (GIL-atomic slot writes + the native
+    load lock) and the batched scan path must not share mutable state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import flechasdb_tpu as fdb
+
+    rng = np.random.default_rng(77)
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(16).with_divisions(4)
+          .with_clusters(16).with_seed(9).build())
+    root = save_database(db, LocalFileSystem(tmp_path))
+    queries = [x[i] for i in range(0, 200, 5)]
+
+    baseline = fdb.load_database(LocalFileSystem(tmp_path), f"{root}.binpb")
+    want = [[r.vector_id for r in baseline.query(q, k=5, nprobe=4)]
+            for q in queries]
+
+    sdb = fdb.load_database(LocalFileSystem(tmp_path), f"{root}.binpb")
+
+    def worker(seed: int):
+        order = np.random.default_rng(seed).permutation(len(queries))
+        out = {}
+        for qi in order:
+            res = sdb.query(queries[qi], k=5, nprobe=4)
+            out[int(qi)] = [r.vector_id for r in res]
+        return out
+
+    with ThreadPoolExecutor(8) as ex:
+        for got in ex.map(worker, range(8)):
+            for qi, ids in got.items():
+                assert ids == want[qi], f"thread result diverged at q{qi}"
