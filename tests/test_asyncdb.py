@@ -212,3 +212,29 @@ def test_async_save_objectstore(tmp_path):
 
     got = asyncio.run(roundtrip())
     assert got[0].vector_id == db.vector_ids[0]
+
+
+def test_async_concurrent_first_queries(saved_db):
+    """Many overlapping FIRST queries on one AsyncStoredDatabase: the
+    memoized-Task once-loads must hand every coroutine the same artifacts
+    (single-flight), and results must match a serial baseline."""
+    import asyncio
+
+    import numpy as np
+
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem, load_database
+
+    base, root, db, x = saved_db
+    want = [r.vector_id for r in db.query(x[5], k=5, nprobe=3)]
+
+    async def run():
+        adb = await load_database(AsyncLocalFileSystem(base),
+                                  f"{root}.binpb")
+        outs = await asyncio.gather(*[
+            adb.query(x[5], k=5, nprobe=3) for _ in range(32)])
+        for res in outs:
+            assert [r.vector_id for r in res] == want
+        # the loads were single-flight: one task per artifact
+        assert len(adb._partition_tasks) <= adb.num_partitions
+
+    asyncio.run(run())
