@@ -379,3 +379,30 @@ def test_sharded_fit_grouped_kernel_matches(rng, mesh):
     agree = (np.asarray(sharded.indices)[:, :n]
              == np.asarray(single.indices)).mean()
     assert agree >= 0.99
+
+
+def test_build_staged_matches_one_shot(rng):
+    """build_staged (host-stepped Lloyd rounds — the Deep10M path) must
+    reproduce the monolithic _build_step bit-for-bit given the same key,
+    both with the training caps dormant and with both caps engaged."""
+    from flechasdb_tpu import events as evmod
+    from flechasdb_tpu.parallel.build import _build_step, build_staged
+
+    n, m, p, d, c = 300, 16, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+
+    for caps in [dict(), dict(pq_cap=128, coarse_cap=128)]:
+        key = jax.random.key(21)
+        seen = []
+        staged = build_staged(x, p, d, c, key, events=seen.append, **caps)
+        single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c, **caps)
+        np.testing.assert_allclose(
+            np.asarray(staged.partition_centroids),
+            np.asarray(single.partition_centroids), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(staged.partition_indices),
+            np.asarray(single.partition_indices))
+        np.testing.assert_array_equal(np.asarray(staged.codes),
+                                      np.asarray(single.codes))
+        assert any(isinstance(e, evmod.StartingSubvectorDivision)
+                   for e in seen)
