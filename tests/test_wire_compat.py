@@ -178,3 +178,41 @@ def test_unpacked_repeated_scalars_accepted(wc, rng):
     assert vs.vector_size == 3
     np.testing.assert_array_equal(vs.data,
                                   np.array([1.5, -2.0, 0.25], np.float32))
+
+
+def test_randomized_partitions_both_ways(wc, rng):
+    """Randomized sweep: 8 random partitions (varied sizes, zero-half and
+    max-value UUIDs, empty code sets) must survive ours→protoc and
+    protoc→ours byte-level round-trips — the proto3 zero-scalar skip on
+    Uuid halves is the regression this guards."""
+    rng2 = np.random.default_rng(99)
+    specials = [
+        uuid.UUID(int=0),                               # both halves zero
+        uuid.UUID(int=1),                               # upper zero
+        uuid.UUID(int=1 << 64),                         # lower zero
+        uuid.UUID(int=(1 << 128) - 1),                  # max
+    ]
+    for trial in range(8):
+        n_rows = int(rng2.integers(0, 6))
+        d = int(rng2.integers(1, 5))
+        vids = [specials[int(rng2.integers(0, 4))] if rng2.random() < 0.5
+                else uuid.uuid4() for _ in range(n_rows)]
+        codes = rng2.integers(0, 1 << 31, (n_rows, d)).astype(np.uint32)
+        ours = PPartition(
+            vector_size=d * 2, num_divisions=d,
+            centroid=rng2.standard_normal(d * 2).astype(np.float32),
+            encoded_vectors=PEncodedVectorSet(vector_size=d,
+                                              data=codes.reshape(-1)),
+            vector_ids=[PUuid.from_uuid(v) for v in vids])
+        theirs = wc.Partition()
+        theirs.ParseFromString(ours.encode())
+        got = [uuid.UUID(int=(u.upper << 64) | u.lower)
+               for u in theirs.vector_ids]
+        assert got == vids, f"trial {trial}: ours->protoc ids"
+        assert list(theirs.encoded_vectors.data) == \
+            codes.reshape(-1).tolist()
+        back = PPartition.decode(theirs.SerializeToString())
+        assert [u.to_uuid() for u in back.vector_ids] == vids, \
+            f"trial {trial}: protoc->ours ids"
+        np.testing.assert_array_equal(back.encoded_vectors.data,
+                                      codes.reshape(-1))
