@@ -238,3 +238,38 @@ def test_async_concurrent_first_queries(saved_db):
         assert len(adb._partition_tasks) <= adb.num_partitions
 
     asyncio.run(run())
+
+
+def test_async_save_phase1_concurrent(tmp_path):
+    """Phase-1 artifacts (partitions, centroids, codebooks, rotation) must
+    be in flight TOGETHER: on a 40 ms-latency store, save wall-clock must
+    be far below the serial sum (regression for the create_task wrap —
+    bare coroutines serialized centroids/codebooks behind the partition
+    gather)."""
+    import asyncio
+    import time
+
+    from flechasdb_tpu.asyncdb import save_database as asave
+    from flechasdb_tpu.io import LocalFileSystem
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((200, 24)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(4).with_divisions(3)
+          .with_clusters(8).with_seed(13).build())
+
+    class SlowFS(LocalFileSystem):
+        def create_hashed_file(self, subdir, compress=False):
+            time.sleep(0.04)
+            return super().create_hashed_file(subdir, compress=compress)
+
+    # 4 partitions + centroids + 3 codebooks = 8 phase-1 PUTs, then
+    # 4 attr logs, then the root: serial = 13 x 40 ms = 520 ms+.
+    t0 = time.perf_counter()
+    root = asyncio.run(asave(db, SlowFS(tmp_path)))
+    wall = time.perf_counter() - t0
+    assert wall < 0.40, f"phase-1 writes serialized: {wall:.3f}s"
+
+    sdb = fdb.load_database(LocalFileSystem(tmp_path), f"{root}.binpb")
+    got = sdb.query(x[1], k=3, nprobe=4)
+    want = db.query(x[1], k=3, nprobe=4)
+    assert [r.vector_id for r in got] == [r.vector_id for r in want]
