@@ -161,5 +161,10 @@ def main(argv: list[str]) -> int:
     return 1
 
 
+def _console_entry() -> int:
+    """``flechasdb-tpu`` console script (pyproject ``[project.scripts]``)."""
+    return main(sys.argv[1:])
+
+
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))

@@ -18,7 +18,11 @@ from pathlib import Path
 from typing import Optional
 
 _LIB_PATH = Path(__file__).parent / "_lib" / "libflechas_io.so"
-_SRC_PATH = Path(__file__).parent.parent / "native" / "fastio.cc"
+#: Canonical source ships INSIDE the package (sdist/wheel data), so an
+#: installed copy can auto-build the runtime at first import exactly like
+#: a repo checkout; when g++ or the source is absent, every caller falls
+#: back to the pure-Python zlib/hashlib/numpy paths.
+_SRC_PATH = Path(__file__).parent / "native" / "fastio.cc"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
