@@ -1,4 +1,4 @@
-"""ctypes bindings to the native IO runtime (``native/fastio.cc``).
+"""ctypes bindings to the native IO runtime (``flechasdb_tpu/native/fastio.cc``).
 
 The reference's storage layer is native (``src/io.rs``: streaming SHA-256
 under a zlib encoder). This module loads the C++ equivalent and exposes

@@ -63,7 +63,7 @@ class HashedFileWriter:
         """Finalizes and stores the file; returns its content hash.
 
         Deflate + SHA-256 run in one native pass when the runtime is
-        loaded (``native/fastio.cc``), mirroring the reference's
+        loaded (``flechasdb_tpu/native/fastio.cc``), mirroring the reference's
         hash-under-encoder stream stack (``io.rs:122-129``).
         """
         if self._persisted:

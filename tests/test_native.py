@@ -1,4 +1,4 @@
-"""Native IO runtime parity (``native/fastio.cc`` vs Python zlib/hashlib).
+"""Native IO runtime parity (``flechasdb_tpu/native/fastio.cc`` vs Python zlib/hashlib).
 
 The content-addressing contract requires byte-identical deflate output and
 identical SHA-256 naming regardless of which runtime produced a file — a
