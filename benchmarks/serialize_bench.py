@@ -96,25 +96,38 @@ def main():
              "reference_ms": 0.142})
 
         # --- sync stored query: cold (lazy loads) then warm --------------
+        # p50 over reps (the 1-vCPU bench host is noisy; single-shot rows
+        # previously swung 2x run to run). "Cold" reloads the DB each rep
+        # so every query pays the lazy partition reads — page-cache-warm,
+        # like the reference's own cold row (measured right after save).
         q = x[0]
-        t0 = time.time()
-        res = sdb.query(q, k=10, nprobe=5)
-        cold_ms = (time.time() - t0) * 1e3
-        t0 = time.time()
-        res = sdb.query(q, k=10, nprobe=5)
-        warm_ms = (time.time() - t0) * 1e3
-        log({"metric": "stored sync query cold (lazy loads, host path)",
-             "value": round(cold_ms, 2), "unit": "ms", "reference_ms": 7.80})
-        log({"metric": "stored sync query warm (host path)",
-             "value": round(warm_ms, 2), "unit": "ms", "reference_ms": 1.48})
-
-        # --- attribute fetch x10 on cold logs ----------------------------
-        t0 = time.time()
-        got = [r.get_attribute("tag") for r in res]
-        attr_ms = (time.time() - t0) * 1e3
-        log({"metric": "attribute fetch x10 results (cold logs)",
-             "value": round(attr_ms, 2), "unit": "ms", "reference_ms": 3.39})
-        assert sum(g is not None for g in got) >= 0
+        cold_lats, attr_lats = [], []
+        for _ in range(15):
+            si = fdb.load_database(fdb.LocalFileSystem(td), f"{root}.binpb")
+            t0 = time.time()
+            res = si.query(q, k=10, nprobe=5)
+            cold_lats.append(time.time() - t0)
+            t0 = time.time()
+            got = [r.get_attribute("tag") for r in res]
+            attr_lats.append(time.time() - t0)
+            assert sum(g is not None for g in got) >= 0
+        sdb.query(q, k=10, nprobe=5)               # warm sdb's caches
+        warm_lats = []
+        for _ in range(30):
+            t0 = time.time()
+            res = sdb.query(q, k=10, nprobe=5)
+            warm_lats.append(time.time() - t0)
+        cold_lats.sort(), warm_lats.sort(), attr_lats.sort()
+        log({"metric": "stored sync query cold (lazy loads, host path), p50",
+             "value": round(cold_lats[len(cold_lats) // 2] * 1e3, 2),
+             "unit": "ms", "reference_ms": 7.80})
+        log({"metric": "stored sync query warm (host path), p50",
+             "value": round(warm_lats[len(warm_lats) // 2] * 1e3, 2),
+             "unit": "ms", "reference_ms": 1.48,
+             "min_ms": round(warm_lats[0] * 1e3, 2)})
+        log({"metric": "attribute fetch x10 results (cold logs), p50",
+             "value": round(attr_lats[len(attr_lats) // 2] * 1e3, 2),
+             "unit": "ms", "reference_ms": 3.39})
 
     # --- async concurrent save + async read path -------------------------
     # Reference async rows: load 0.171 ms, query cold 8.04 ms / warm
@@ -141,23 +154,35 @@ def main():
             log({"metric": "async load_database (root manifest only), p50",
                  "value": round(lats[10] * 1e3, 3), "unit": "ms",
                  "reference_ms": 0.171})
-            t0 = time.time()
-            res = await adb.query(q, k=10, nprobe=5)
-            cold = (time.time() - t0) * 1e3
-            t0 = time.time()
-            res = await adb.query(q, k=10, nprobe=5)
-            warm = (time.time() - t0) * 1e3
-            log({"metric": "async query cold (concurrent lazy loads)",
-                 "value": round(cold, 2), "unit": "ms", "reference_ms": 8.04})
-            log({"metric": "async query warm",
-                 "value": round(warm, 2), "unit": "ms", "reference_ms": 0.789})
-            t0 = time.time()
-            got = await asyncio.gather(
-                *(r.get_attribute("tag") for r in res))
-            attr = (time.time() - t0) * 1e3
-            log({"metric": "async attribute fetch x10 (cold logs, concurrent)",
-                 "value": round(attr, 2), "unit": "ms", "reference_ms": 1.94})
-            assert sum(g is not None for g in got) >= 0
+            cold_l, attr_l = [], []
+            for _ in range(15):
+                ai = await async_load(fs, f"{root2}.binpb")
+                t0 = time.time()
+                res = await ai.query(q, k=10, nprobe=5)
+                cold_l.append(time.time() - t0)
+                t0 = time.time()
+                got = await asyncio.gather(
+                    *(r.get_attribute("tag") for r in res))
+                attr_l.append(time.time() - t0)
+                assert sum(g is not None for g in got) >= 0
+            await adb.query(q, k=10, nprobe=5)     # warm adb's caches
+            warm_l = []
+            for _ in range(30):
+                t0 = time.time()
+                res = await adb.query(q, k=10, nprobe=5)
+                warm_l.append(time.time() - t0)
+            cold_l.sort(), warm_l.sort(), attr_l.sort()
+            log({"metric": "async query cold (concurrent lazy loads), p50",
+                 "value": round(cold_l[len(cold_l) // 2] * 1e3, 2),
+                 "unit": "ms", "reference_ms": 8.04})
+            log({"metric": "async query warm, p50",
+                 "value": round(warm_l[len(warm_l) // 2] * 1e3, 2),
+                 "unit": "ms", "reference_ms": 0.789,
+                 "min_ms": round(warm_l[0] * 1e3, 2)})
+            log({"metric":
+                 "async attribute fetch x10 (cold logs, concurrent), p50",
+                 "value": round(attr_l[len(attr_l) // 2] * 1e3, 2),
+                 "unit": "ms", "reference_ms": 1.94})
 
         asyncio.run(async_rows())
 

@@ -11,6 +11,8 @@ can load lazily, partition by partition.
 Public surface (mirrors the reference capability checklist, README.md:40-76):
 
 * :class:`DatabaseBuilder` — build a database from a vector set.
+* :class:`StreamingDatabaseBuilder` — build from an out-of-core source
+  (memmap/h5py) larger than device or host memory.
 * :class:`Database` — in-memory database: query + attributes.
 * :func:`save_database` / :func:`load_database` — persist / lazy-load.
 * :mod:`flechasdb_tpu.asyncdb` — asyncio load & query.
@@ -42,10 +44,11 @@ try:  # staged build-out: these land in later phases of the build plan
     from .objectstore import AsyncFsspecFileSystem, FsspecFileSystem
     from .serialize import save_database
     from .stored import StoredDatabase, load_database
+    from .streaming import StreamingDatabaseBuilder
 except ImportError:  # pragma: no cover
     pass
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"                  # keep in sync with pyproject.toml
 
 __all__ = [
     "AsyncFsspecFileSystem",
@@ -72,6 +75,7 @@ __all__ = [
     "QueryResult",
     "StoredDatabase",
     "StoredFlatDatabase",
+    "StreamingDatabaseBuilder",
     "VerificationFailure",
     "load_database",
     "load_flat_database",
