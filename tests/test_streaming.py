@@ -200,3 +200,31 @@ def test_streamed_errors():
             .with_partitions(2).build()
     with pytest.raises(fdb.InvalidArgs):   # n < p
         StreamingDatabaseBuilder(x).with_partitions(11).build()
+
+
+def test_streamed_build_serves_sharded(corpus, tmp_path):
+    """Composition: a streamed (out-of-core) build saves, loads, and
+    serves SPMD over the 8-device CPU mesh with results identical to
+    single-device serving — the >HBM build feeds the mesh serving path."""
+    import jax
+
+    from flechasdb_tpu.parallel import corpus_mesh
+
+    x, _, _ = corpus
+    db = (StreamingDatabaseBuilder(x[:2000])
+          .with_partitions(8).with_divisions(4).with_clusters(16)
+          .with_seed(13).with_chunk_rows(700).build())
+    root = fdb.save_database(db, fdb.LocalFileSystem(tmp_path))
+
+    single = fdb.load_database(fdb.LocalFileSystem(tmp_path),
+                               f"{root}.binpb")
+    single.preload()
+    sharded = fdb.load_database(fdb.LocalFileSystem(tmp_path),
+                                f"{root}.binpb")
+    sharded.preload(mesh=corpus_mesh(jax.devices("cpu")))
+    assert sharded._dev[0].layout.startswith("sharded")
+
+    a = single.query_batch(x[:8], k=5, nprobe=4)
+    b = sharded.query_batch(x[:8], k=5, nprobe=4)
+    for ra, rb in zip(a, b):
+        assert [r.vector_id for r in ra] == [r.vector_id for r in rb]
