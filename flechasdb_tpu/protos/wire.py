@@ -188,11 +188,19 @@ def decode_string_run(buf: bytes, pos: int) -> "tuple[list[str], int]":
         return [], pos
     rec = 2 + length
     avail = (n - pos) // rec
-    a = np.frombuffer(buf, np.uint8)
-    starts = pos + rec * np.arange(avail)
-    ok = (a[starts] == tag) & (a[starts + 1] == length)
-    bad = np.nonzero(~ok)[0]
-    r = int(bad[0]) if bad.size else avail
+    if avail == 0:
+        return [], pos
+    # Strided bytes slices give the tag/length byte of every candidate
+    # record in one C pass — the run is maximal where both match.
+    end = pos + avail * rec
+    tags = buf[pos:end:rec]
+    lens = buf[pos + 1:end:rec]
+    if tags == bytes([tag]) * avail and lens == bytes([length]) * avail:
+        r = avail
+    else:
+        r = 0
+        while r < avail and tags[r] == tag and lens[r] == length:
+            r += 1
     if r == 0:
         return [], pos
     chunk = buf[pos:pos + r * rec]
