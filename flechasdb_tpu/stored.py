@@ -339,8 +339,13 @@ class StoredDatabase:
                                                        repr=False)
     _codebooks: Optional[np.ndarray] = field(default=None, repr=False)
     _attr_loaded: List[bool] = field(default=None, repr=False)
-    _attribute_table: Optional[AttributeTable] = field(default=None,
-                                                       repr=False)
+    # Shared from birth (never check-then-create: two threads racing the
+    # creation would each replay into a dict the other's assignment then
+    # discards, silently losing a partition's attributes — the async
+    # mirror was born with default_factory=dict for the same reason).
+    _attribute_table: AttributeTable = field(default_factory=dict,
+                                             repr=False)
+    _attrs_all_loaded: bool = field(default=False, repr=False)
     _rotation: Optional[np.ndarray] = field(default=None, repr=False)
     _rotation_loaded: bool = field(default=False, repr=False)
     _codebook_sq_norms: Optional[np.ndarray] = field(default=None,
@@ -482,9 +487,10 @@ class StoredDatabase:
                       key: str) -> Optional[AttributeValue]:
         """Loads *all* attribute logs on first use (``db/stored.rs:118-131``);
         prefer :meth:`StoredQueryResult.get_attribute` after a query."""
-        if self._attribute_table is None:
+        if not self._attrs_all_loaded:
             for pi in range(self.num_partitions):
                 self._load_attributes_log(pi)
+            self._attrs_all_loaded = True
         return self._get_attribute_loaded(vector_id, key)
 
     def _get_attribute_in_partition(self, partition_index: int,
@@ -495,7 +501,7 @@ class StoredDatabase:
 
     def _get_attribute_loaded(self, vector_id: _uuid.UUID,
                               key: str) -> Optional[AttributeValue]:
-        table = self._attribute_table or {}
+        table = self._attribute_table
         try:
             attrs = table[vector_id]
         except KeyError:
@@ -515,8 +521,6 @@ class StoredDatabase:
         payload = f.read(need_hash=self.verify_all)
         if self.verify_all:
             f.verify()
-        if self._attribute_table is None:
-            self._attribute_table = {}
         replay_attributes_log(
             payload, self.root.partition_ids[partition_index],
             self.root.attribute_names, partition, self._attribute_table,
@@ -532,7 +536,7 @@ class StoredDatabase:
         from .filters import ColumnCache, evaluate_mask
         self._load_attributes_log(partition_index)
         return evaluate_mask(where, partition.vector_ids,
-                             self._attribute_table or {}, ColumnCache())
+                             self._attribute_table, ColumnCache())
 
     def _global_filter_mask(self, where) -> np.ndarray:
         """Row mask over the preloaded corpus (loads every attribute log
@@ -544,7 +548,7 @@ class StoredDatabase:
             self._filter_cache = ColumnCache()
         _, _, _, vector_ids = self._dev
         return evaluate_mask(where, vector_ids,
-                             self._attribute_table or {},
+                             self._attribute_table,
                              self._filter_cache)
 
     # -- queries (db/stored.rs:305-442, 534-598) -----------------------------

@@ -220,16 +220,33 @@ class StreamingDatabaseBuilder:
         events(ev.FinishedIdAssignment())
 
         # ---- training sample (one gather serves both phases: the rows
-        # are uniform draws, exactly what each phase would sample alone;
-        # with-replacement duplicates collapse via unique, which only
-        # reweights the objective negligibly at these sizes).
+        # are uniform draws, exactly what each phase would sample alone).
+        # The draw must be WITHOUT replacement: a with-replacement draw
+        # collapsed through unique can come up short of the cluster-count
+        # floor when the budget lands at exactly p or c rows, and k-means
+        # would then reject a perfectly valid corpus.
         s_max = max(s_coarse, s_pq)
         if s_max >= n:
-            sample = _gather_rows(self._source,
-                                  np.arange(n, dtype=np.int64), m)
+            rows = np.arange(n, dtype=np.int64)
+        elif 2 * s_max >= n:
+            # Dense sample: a full permutation costs <= 2x the sample.
+            rows = np.sort(rng.permutation(n)[:s_max].astype(np.int64))
         else:
+            # Sparse sample of a (possibly huge out-of-core) corpus:
+            # draw-and-dedupe, topping up the collision shortfall — at
+            # s_max < n/2 the expected shortfall shrinks geometrically.
             rows = np.unique(rng.integers(0, n, size=s_max, dtype=np.int64))
-            sample = _gather_rows(self._source, rows, m)
+            for _ in range(16):
+                if len(rows) >= s_max:
+                    break
+                extra = rng.integers(0, n, size=2 * (s_max - len(rows)),
+                                     dtype=np.int64)
+                rows = np.unique(np.concatenate([rows, extra]))
+            else:  # pragma: no cover - probabilistically unreachable
+                rows = np.sort(rng.permutation(n)[:s_max].astype(np.int64))
+            if len(rows) > s_max:   # trim overshoot; keep sorted for IO
+                rows = np.sort(rows[rng.permutation(len(rows))[:s_max]])
+        sample = _gather_rows(self._source, rows, m)
         s_have = len(sample)
 
         cluster_events = ((lambda e: events(ev.ClusterEvent(e)))
@@ -274,8 +291,14 @@ class StreamingDatabaseBuilder:
                 pq = kmeans.fit(divided, c, k_pq)
             else:
                 pq = kmeans.fit_with_events(divided, c, k_pq, cluster_events)
+            del divided
         for i in range(d):
             events(ev.FinishedQuantization(i))
+
+        # Training is done: drop the sample (host, up to SAMPLE_BYTES) and
+        # its device copies before the long streamed-encode phase, which
+        # otherwise runs with ~2x the memory it needs.
+        del sample, sub, sample_dev, pq_dev, residues_s, pidx_s
 
         # ---- streamed encode: the only full-corpus pass. Fixed chunk
         # shape (final chunk zero-padded) keeps it ONE compiled program.

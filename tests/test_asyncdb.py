@@ -227,15 +227,27 @@ def test_async_concurrent_first_queries(saved_db):
     base, root, db, x = saved_db
     want = [r.vector_id for r in db.query(x[5], k=5, nprobe=3)]
 
+    class CountingFS(AsyncLocalFileSystem):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.opens = {}
+
+        async def open_hashed_file(self, path, compressed=False):
+            self.opens[path] = self.opens.get(path, 0) + 1
+            return await super().open_hashed_file(path, compressed)
+
     async def run():
-        adb = await load_database(AsyncLocalFileSystem(base),
-                                  f"{root}.binpb")
+        fs = CountingFS(base)
+        adb = await load_database(fs, f"{root}.binpb")
         outs = await asyncio.gather(*[
             adb.query(x[5], k=5, nprobe=3) for _ in range(32)])
         for res in outs:
             assert [r.vector_id for r in res] == want
-        # the loads were single-flight: one task per artifact
-        assert len(adb._partition_tasks) <= adb.num_partitions
+        # single-flight: despite 32 racing queries, every artifact
+        # (root + centroids + codebooks + probed partitions) was opened
+        # exactly once — the memoized Tasks deduplicated the loads.
+        dup = {p: c for p, c in fs.opens.items() if c != 1}
+        assert not dup, f"artifacts opened more than once: {dup}"
 
     asyncio.run(run())
 

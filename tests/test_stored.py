@@ -300,3 +300,64 @@ def test_concurrent_stored_queries_thread_safe(tmp_path):
         for got in ex.map(worker, range(8)):
             for qi, ids in got.items():
                 assert ids == want[qi], f"thread result diverged at q{qi}"
+
+
+def test_concurrent_first_attribute_fetch_no_loss(tmp_path):
+    """Two threads doing their FIRST attribute fetch on partitions A and B
+    simultaneously must both land their replays in the shared table — the
+    check-then-create of the attribute table used to let one thread's
+    assignment discard the other's just-replayed entries while the loaded
+    flag stuck, permanently losing that partition's attributes. A barrier
+    inside the attributes/ read holds both threads at the widest point of
+    the old race window."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import flechasdb_tpu as fdb
+
+    rng = np.random.default_rng(55)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(8).with_divisions(4)
+          .with_clusters(8).with_seed(2).build())
+    for i in range(len(x)):
+        db.set_attribute_at(i, ("datum_id", i))
+    root = save_database(db, LocalFileSystem(tmp_path))
+
+    # Two query vectors whose winners live in different partitions.
+    picks = []
+    for i in range(40):
+        r = db.query(x[i], k=1, nprobe=8)[0]
+        if not picks or picks[0][1] != r.partition_index:
+            picks.append((x[i], r.partition_index, r.vector_id))
+        if len(picks) == 2:
+            break
+    assert len(picks) == 2, "corpus degenerate: one partition won all"
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    class BarrierFS(LocalFileSystem):
+        def open_hashed_file(self, path, compressed=False):
+            if str(path).startswith("attributes/"):
+                try:
+                    barrier.wait()
+                except threading.BrokenBarrierError:
+                    pass
+            return super().open_hashed_file(path, compressed)
+
+    for _ in range(5):   # repeat: the residual window is scheduler-timed
+        sdb = load_database(BarrierFS(tmp_path), f"{root}.binpb")
+        barrier.reset()
+
+        def fetch(pick):
+            qv, _, vid = pick
+            res = sdb.query(qv, k=1, nprobe=8)[0]
+            assert res.vector_id == vid
+            return res.get_attribute("datum_id")
+
+        with ThreadPoolExecutor(2) as ex:
+            got = list(ex.map(fetch, picks))
+        assert all(g is not None for g in got), got
+        # Both partitions' replays must persist: every vector of each
+        # probed partition is resolvable afterwards.
+        for qv, _, vid in picks:
+            assert sdb.get_attribute(vid, "datum_id") is not None

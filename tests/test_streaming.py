@@ -228,3 +228,25 @@ def test_streamed_build_serves_sharded(corpus, tmp_path):
     b = sharded.query_batch(x[:8], k=5, nprobe=4)
     for ra, rb in zip(a, b):
         assert [r.vector_id for r in ra] == [r.vector_id for r in rb]
+
+
+def test_streamed_build_floor_tight_caps():
+    """A sample budget that floors at exactly num_partitions rows must
+    still train: the without-replacement draw guarantees the cluster-count
+    floor is met (a with-replacement draw deduped through unique used to
+    come up short and k-means rejected a valid corpus)."""
+    import flechasdb_tpu as fdb
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((20000, 8)).astype(np.float32)
+    db = (fdb.StreamingDatabaseBuilder(x).with_partitions(1024)
+          .with_divisions(2).with_clusters(16).with_seed(5)
+          .with_training_caps(sample_bytes=1).build())
+    assert db.num_partitions == 1024
+    assert len(db.vector_ids) == 20000
+    # dense-sample branch: budget floors at c but 2*s >= n
+    y = rng.standard_normal((24, 4)).astype(np.float32)
+    db2 = (fdb.StreamingDatabaseBuilder(y).with_partitions(2)
+           .with_divisions(2).with_clusters(16).with_seed(5)
+           .with_training_caps(coarse_cap=16, pq_cap=16).build())
+    assert len(db2.vector_ids) == 24
