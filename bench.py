@@ -58,14 +58,26 @@ def main() -> None:
 
     from flechasdb_tpu.parallel.build import _build_step
 
-    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
-
     # First contact with the device pays tunnel/backend warm-up (observed
     # 30-100 s through axon on a loaded host); do it on a tiny op so the
-    # phase timers below measure the workload, not the plumbing.
+    # phase timers below measure the workload, not the plumbing. The
+    # remote TPU worker also goes UNAVAILABLE for minutes after a crash
+    # (HBM OOM recovery ~10 min) — wait it out instead of failing the
+    # whole benchmark on a transient.
     t0 = time.time()
-    _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    deadline = t0 + 20 * 60
+    while True:
+        try:
+            _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            break
+        except Exception as e:  # backend init / tunnel not ready
+            if time.time() > deadline:
+                raise
+            log(f"backend unavailable ({type(e).__name__}); retrying "
+                f"({time.time() - t0:.0f}s elapsed)")
+            time.sleep(30)
     log(f"backend warm-up (tiny op): {time.time() - t0:.2f}s")
+    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
 
     # NOTE: sync points use host fetches of TINY device-side slices
     # (np.asarray(x[:1, :4])), not block_until_ready — the axon PJRT

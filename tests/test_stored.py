@@ -334,10 +334,11 @@ def test_concurrent_first_attribute_fetch_no_loss(tmp_path):
     assert len(picks) == 2, "corpus degenerate: one partition won all"
 
     barrier = threading.Barrier(2, timeout=10)
+    armed = False
 
     class BarrierFS(LocalFileSystem):
         def open_hashed_file(self, path, compressed=False):
-            if str(path).startswith("attributes/"):
+            if armed and str(path).startswith("attributes/"):
                 try:
                     barrier.wait()
                 except threading.BrokenBarrierError:
@@ -347,6 +348,7 @@ def test_concurrent_first_attribute_fetch_no_loss(tmp_path):
     for _ in range(5):   # repeat: the residual window is scheduler-timed
         sdb = load_database(BarrierFS(tmp_path), f"{root}.binpb")
         barrier.reset()
+        armed = True
 
         def fetch(pick):
             qv, _, vid = pick
@@ -356,6 +358,7 @@ def test_concurrent_first_attribute_fetch_no_loss(tmp_path):
 
         with ThreadPoolExecutor(2) as ex:
             got = list(ex.map(fetch, picks))
+        armed = False   # the serial load-all below must not wait
         assert all(g is not None for g in got), got
         # Both partitions' replays must persist: every vector of each
         # probed partition is resolvable afterwards.
