@@ -31,12 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import events as ev
-from .attributes import AttributeTable, Attributes, AttributeValue, \
+from .attributes import AttributeTable, AttributeValue, \
     check_attribute_value
 from .errors import InvalidArgs
 from .events import EventHandler, _noop
 from .ops import kmeans
-from .partitions import Partitions, partition
+from .partitions import partition
 from .vector import as_vector_set, divide_vector_set
 
 

@@ -14,8 +14,7 @@ equivalence.
 
 from __future__ import annotations
 
-from typing import List, Optional
-import uuid as _uuid
+from typing import Optional
 
 import numpy as np
 
