@@ -64,18 +64,28 @@ def main() -> None:
     # remote TPU worker also goes UNAVAILABLE for minutes after a crash
     # (HBM OOM recovery ~10 min) — wait it out instead of failing the
     # whole benchmark on a transient.
+    # jax caches a failed backend init for the life of the process, so the
+    # availability probe runs in fresh subprocesses; the main process only
+    # touches the device once a probe has succeeded. A failed init can
+    # itself block ~25 min before raising UNAVAILABLE, so grant a minimum
+    # attempt count rather than a pure deadline (and never kill a probe
+    # mid-init — that wedges the tunnel further).
+    import subprocess
+    probe = [sys.executable, "-c",
+             "import jax, numpy as np;"
+             " np.asarray(jax.numpy.ones((8, 8)).sum())"]
     t0 = time.time()
-    deadline = t0 + 20 * 60
-    while True:
-        try:
-            _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    for attempt in range(3):
+        r = subprocess.run(probe, capture_output=True)
+        if r.returncode == 0:
             break
-        except Exception as e:  # backend init / tunnel not ready
-            if time.time() > deadline:
-                raise
-            log(f"backend unavailable ({type(e).__name__}); retrying "
-                f"({time.time() - t0:.0f}s elapsed)")
-            time.sleep(30)
+        log(f"backend unavailable (probe attempt {attempt + 1}, "
+            f"{time.time() - t0:.0f}s elapsed); retrying in 60s")
+        time.sleep(60)
+    # Proceed regardless: if the backend is still down, the tiny op below
+    # surfaces the real error.
+    t0 = time.time()
+    _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     log(f"backend warm-up (tiny op): {time.time() - t0:.2f}s")
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
 

@@ -113,6 +113,7 @@ class StreamingDatabaseBuilder:
         self._pq_cap = PQ_TRAIN_CAP
         self._sample_bytes = SAMPLE_BYTES
         self._chunk_rows: Optional[int] = None
+        self._mesh = None
 
     def with_partitions(self, p: int) -> "StreamingDatabaseBuilder":
         if p <= 0:
@@ -171,6 +172,21 @@ class StreamingDatabaseBuilder:
         if rows <= 0:
             raise InvalidArgs(f"chunk_rows must be positive: {rows}")
         self._chunk_rows = rows
+        return self
+
+    def with_mesh(self, mesh) -> "StreamingDatabaseBuilder":
+        """Shards the streamed encode over a device mesh (extension).
+
+        Training stays single-device — it runs on bounded samples. The
+        full-corpus pass (partition assignment + PQ encoding, the only
+        N-sized work) splits row-wise: each chunk lands sharded across
+        the mesh and the one compiled encode program runs SPMD (GSPMD
+        partitions it — the program is pure XLA, so unlike the Pallas
+        build kernels no ``shard_map`` is needed). Per-row math is
+        unchanged (the reduction axes stay on-device), so codes are
+        bit-identical to the unsharded encode.
+        """
+        self._mesh = mesh
         return self
 
     def build_with_events(self, events: EventHandler) -> "Database":
@@ -305,6 +321,23 @@ class StreamingDatabaseBuilder:
         chunk = self._chunk_rows or max(1, CHUNK_BYTES // (4 * m))
         chunk = min(chunk, n)
         rot_dev = None if rotation is None else jnp.asarray(rotation)
+        enc_cents, enc_books, enc_rot = cents, pq.centroids, rot_dev
+        put = jnp.asarray
+        if self._mesh is not None:        # sharded encode (see with_mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.mesh import AXIS
+            mesh = self._mesh
+            n_dev = int(mesh.devices.size)
+            chunk = -(-chunk // n_dev) * n_dev   # shards divide evenly
+            rows_s = NamedSharding(mesh, PartitionSpec(AXIS, None))
+            rep = NamedSharding(mesh, PartitionSpec())
+            enc_cents = jax.device_put(cents, rep)
+            enc_books = jax.device_put(pq.centroids, rep)
+            enc_rot = (None if rot_dev is None
+                       else jax.device_put(rot_dev, rep))
+
+            def put(xb):                  # noqa: E306 - chunk placer
+                return jax.device_put(xb, rows_s)
         pidx = np.empty(n, np.int32)
         codes = np.empty((n, d), np.uint32)
         for lo in range(0, n, chunk):
@@ -312,7 +345,7 @@ class StreamingDatabaseBuilder:
             xb = np.asarray(self._source[lo:hi], dtype=np.float32)
             if hi - lo < chunk:                # pad-row codes are discarded
                 xb = np.pad(xb, ((0, chunk - (hi - lo)), (0, 0)))
-            pi, co = encode(jnp.asarray(xb), cents, pq.centroids, rot_dev)
+            pi, co = encode(put(xb), enc_cents, enc_books, enc_rot)
             pidx[lo:hi] = np.asarray(pi)[:hi - lo]
             codes[lo:hi] = np.asarray(co)[:hi - lo]
 

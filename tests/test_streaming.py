@@ -250,3 +250,33 @@ def test_streamed_build_floor_tight_caps():
            .with_divisions(2).with_clusters(16).with_seed(5)
            .with_training_caps(coarse_cap=16, pq_cap=16).build())
     assert len(db2.vector_ids) == 24
+
+
+def test_streamed_build_sharded_encode_matches():
+    """with_mesh shards the streamed encode row-wise over the device mesh;
+    per-row math is unchanged, so partition indices and codes must be
+    bit-identical to the unsharded streamed build (same seed), and the
+    result must serve like any other database."""
+    from flechasdb_tpu.parallel import corpus_mesh
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+
+    def build(mesh):
+        b = (StreamingDatabaseBuilder(x).with_partitions(16)
+             .with_divisions(4).with_clusters(16).with_seed(11)
+             .with_chunk_rows(700))      # 5 chunks, last padded; 700 % 8 != 0
+        if mesh is not None:
+            b = b.with_mesh(mesh)
+        return b.build()
+
+    base = build(None)
+    sharded = build(corpus_mesh())       # 8 virtual CPU devices
+    np.testing.assert_array_equal(base.partition_indices,
+                                  sharded.partition_indices)
+    np.testing.assert_array_equal(base.codes, sharded.codes)
+    assert base.vector_ids == sharded.vector_ids     # same seed, same ids
+
+    got = sharded.query(x[5], k=3, nprobe=16)
+    want = base.query(x[5], k=3, nprobe=16)
+    assert [r.vector_id for r in got] == [r.vector_id for r in want]
