@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--d", type=int, default=8)
     ap.add_argument("--c", type=int, default=256)
     ap.add_argument("--chunk-rows", type=int, default=0)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the streamed encode over all devices")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -71,6 +73,11 @@ def main():
             .with_clusters(args.c).with_seed(5)
         if args.chunk_rows:
             b = b.with_chunk_rows(args.chunk_rows)
+        if args.mesh:
+            mesh = fdb.parallel.corpus_mesh()
+            b = b.with_mesh(mesh)
+            log({"metric": "encode mesh devices",
+                 "value": int(mesh.devices.size), "unit": "devices"})
         t0 = time.time()
         db = b.build()
         log({"metric": (f"streamed build {args.n}x{args.m} "
