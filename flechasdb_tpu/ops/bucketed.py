@@ -3,13 +3,15 @@
 The masked full scan (:mod:`.adc`) touches all ``N`` code rows per query —
 optimal when ``nprobe × avg_partition ≈ N``, wasteful when ``nprobe ≪ P``
 (SIFT1M: P=1024, nprobe=10 ⇒ ~100× extra reads). This module is the pruned
-layout: codes bucketize by partition into a padded ``[P, L, D]`` block array
-(the device analogue of the reference's per-partition files,
-``database.proto:47-63``), and a query gathers only its ``nprobe`` buckets:
+layout: codes bucketize by partition into a padded ``[P, D, L]`` block array
+— L MINOR, so the 128-lane tiling pads the large axis; see
+:class:`Buckets` for the up-to-16× HBM blowup the other orientation costs
+— (the device analogue of the reference's per-partition files,
+``database.proto:47-63``), and a query touches only its ``nprobe`` buckets:
 
 1. coarse top-k picks ``probed [B, nprobe]``,
 2. ADC tables ONLY for probed partitions: ``[B, nprobe, D, C]`` einsum,
-3. bucket gather ``[B, nprobe, L, D]`` + flat table gather-sum,
+3. bucket lookup (in-place scalar-prefetch kernel, or gather + table sum),
 4. mask pad rows, ``lax.top_k`` over ``[B, nprobe·L]``.
 
 Static shapes throughout — ragged partition sizes become one padded length

@@ -35,10 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.bucketed import (Buckets, bucket_scan, probed_tables,
-                            _default_impl)
+from ..ops.bucketed import Buckets, bucket_scan, probed_tables
 from ..ops.distance import sqdist
-from .mesh import AXIS
+from .mesh import AXIS, merge_topk
 
 
 def shard_buckets(mesh: Mesh, buckets: Buckets) -> Buckets:
@@ -102,13 +101,8 @@ def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
         rows = jnp.pad(rows, ((0, 0), (0, k - kk)))
 
     # k-best merge over ICI: k candidates per device, not the bucket scan.
-    negs = jax.lax.all_gather(neg, AXIS)                # [n_dev, B, k]
-    rowss = jax.lax.all_gather(rows, AXIS)
-    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
-    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
-    mneg, sel = jax.lax.top_k(negs, k)
-    mrows = jnp.take_along_axis(rowss, sel, axis=1)
-    return -mneg, mrows.astype(jnp.int32), probed.astype(jnp.int32)
+    mdist, mrows = merge_topk(neg, rows, k)
+    return mdist, mrows, probed.astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -130,11 +124,15 @@ def query_bucketed_sharded(
 
     Same contract as :func:`..ops.bucketed.query_bucketed` (``row_mask``
     is over global corpus rows, replicated). ``buckets`` must come from
-    :func:`shard_buckets`. ``impl`` resolves per device: Pallas
-    scalar-prefetch on TPU, the XLA gather formulation elsewhere.
+    :func:`shard_buckets`. ``impl`` resolves from the MESH's devices —
+    not the default device, which may be a different platform (a CPU
+    validation mesh on a TPU-default box must not lower Mosaic onto CPU):
+    Pallas scalar-prefetch on a TPU mesh, the XLA gather formulation
+    elsewhere.
     """
     if impl is None:
-        impl = _default_impl()
+        impl = ("pallas" if mesh.devices.flat[0].platform == "tpu"
+                else "gather")
     has_rot, has_mask = rotation is not None, row_mask is not None
     extras, especs = [], []
     if has_rot:

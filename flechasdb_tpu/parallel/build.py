@@ -171,8 +171,6 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     under the remote-execution deadline (~8 rounds ≈ a few seconds at
     Deep10M scale vs minutes for the monolithic 100-round program).
     """
-    import numpy as np
-
     from .. import events as ev
 
     handler = events if events is not None else (lambda e: None)

@@ -16,7 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.exact import exact_topk
-from .mesh import AXIS, pad_rows
+from .mesh import AXIS, merge_topk, pad_rows
 
 
 def shard_flat(mesh: Mesh, x: np.ndarray) -> tuple[jax.Array, int]:
@@ -40,13 +40,7 @@ def _local(q, x, *, k, kk, n):
         d = jnp.pad(d, ((0, 0), (0, k - d.shape[1])),
                     constant_values=jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, k - rows.shape[1])))
-    negs = jax.lax.all_gather(-d, AXIS)                 # [n_dev, B, k]
-    rowss = jax.lax.all_gather(rows, AXIS)
-    b = q.shape[0]
-    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
-    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
-    mneg, sel = jax.lax.top_k(negs, k)
-    return -mneg, jnp.take_along_axis(rowss, sel, axis=1).astype(jnp.int32)
+    return merge_topk(-d, rows, k)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "n"))

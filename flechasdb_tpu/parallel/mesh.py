@@ -59,3 +59,26 @@ def shard_mask(mesh: Mesh, mask: np.ndarray) -> jax.Array:
     """
     mask = pad_rows(np.asarray(mask, bool), mesh.devices.size, False)
     return jax.device_put(mask, NamedSharding(mesh, P(AXIS)))
+
+
+def merge_topk(neg: "jax.Array", rows: "jax.Array", k: int,
+               ) -> tuple["jax.Array", "jax.Array"]:
+    """k-best merge over ICI shared by every sharded query path.
+
+    ``neg [B, k]`` (NEGATED distances, so larger is better) and ``rows
+    [B, k]`` are each device's local candidates; ``all_gather`` moves only
+    ``k`` rows per device across the interconnect — the device analogue of
+    the reference's global ``n_best_by_key`` merge
+    (``db/stored.rs:378-387``). Returns ``(sq_distances [B, k],
+    rows [B, k] int32)``.
+    """
+    import jax.numpy as jnp
+
+    b = neg.shape[0]
+    negs = jax.lax.all_gather(neg, AXIS)                # [n_dev, B, k]
+    rowss = jax.lax.all_gather(rows, AXIS)
+    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
+    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
+    mneg, sel = jax.lax.top_k(negs, k)
+    mrows = jnp.take_along_axis(rowss, sel, axis=1)
+    return -mneg, mrows.astype(jnp.int32)

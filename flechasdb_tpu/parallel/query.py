@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.adc import adc_tables
-from .mesh import AXIS
+from .mesh import AXIS, merge_topk
 
 
 def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
@@ -66,13 +66,8 @@ def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
     rows = rows + base
 
     # k-best merge over ICI: k candidates per device, not the full scan.
-    negs = jax.lax.all_gather(neg, AXIS)                  # [n_dev, B, k]
-    rowss = jax.lax.all_gather(rows, AXIS)
-    negs = jnp.moveaxis(negs, 0, 1).reshape(b, -1)
-    rowss = jnp.moveaxis(rowss, 0, 1).reshape(b, -1)
-    mneg, sel = jax.lax.top_k(negs, k)
-    mrows = jnp.take_along_axis(rowss, sel, axis=1)
-    return -mneg, mrows.astype(jnp.int32), probed.astype(jnp.int32)
+    mdist, mrows = merge_topk(neg, rows, k)
+    return mdist, mrows, probed.astype(jnp.int32)
 
 
 @functools.partial(jax.jit,

@@ -2,8 +2,9 @@
 
 Picks the query layout empirically (SURVEY.md §7 left this to measurement):
 
-* **bucketed** (default): partition-major padded ``[P, L, D]`` buckets +
-  the Pallas compare-select lookup — work scales with ``nprobe × L``.
+* **bucketed** (default): partition-major padded ``[P, D, L]`` buckets
+  (L MINOR — see :class:`.ops.bucketed.Buckets` for why) + the Pallas
+  compare-select lookup — work scales with ``nprobe × L``.
 * **masked**: flat ``[N, D]`` codes + masked full scan — work scales with
   ``N``; chosen when partition-size skew would make bucket padding waste
   (``P·L > PAD_LIMIT × N``) outweigh pruning.
@@ -27,6 +28,46 @@ PAD_LIMIT = 4.0
 #: index via ``DeviceIndex(..., hbm_budget_bytes=...)``. See
 #: docs/SCALING.md "Masked-scan memory bound".
 HBM_BUDGET_BYTES = 2 << 30
+
+
+def _masked_limit(cent_shape, cb_shape, n: int, budget: int) -> int:
+    """Largest query batch whose masked-scan transients fit ``budget``.
+
+    Per query the masked path materializes the ADC tables ``[P, D, C]
+    f32``, the residual intermediate ``[P, M] f32`` and the gather-sum
+    ``[n, D] f32`` (``ops/adc.py``; ``n`` = rows scanned by one device);
+    the bucketed path never blows up this way (per-probed-partition
+    tables only).
+    """
+    p, m = cent_shape
+    d, c, _ = cb_shape
+    per_query = 4 * (p * d * c + p * m + n * d)
+    return max(1, budget // per_query)
+
+
+def _run_chunked(run, qd, limit: int):
+    """Runs ``run(q_chunk)`` over fixed-size query chunks and concatenates
+    the three outputs on the host.
+
+    The tail chunk is zero-padded up to ``limit`` (pad results sliced off)
+    so every iteration reuses ONE compiled program — a distinct tail shape
+    would otherwise cost a second multi-second compile on a
+    tunnel-attached TPU.
+    """
+    import jax.numpy as jnp
+
+    b = len(qd)
+    if b <= limit:
+        return tuple(np.asarray(x) for x in run(qd))
+    outs = []
+    for i in range(0, b, limit):
+        chunk = qd[i:i + limit]
+        pad = limit - len(chunk)
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+        outs.append(tuple(
+            np.asarray(x)[:limit - pad] for x in run(chunk)))
+    return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
 
 
 def _choose_layout(p: int, pidx: np.ndarray, n: int) -> str:
@@ -75,18 +116,10 @@ class DeviceIndex:
             raise ValueError(f"unknown layout: {layout!r}")
 
     def _masked_batch_limit(self) -> int:
-        """Largest query batch whose masked-scan transients fit the budget.
-
-        Per query the masked path materializes the ADC tables
-        ``[P, D, C] f32``, the residual intermediate ``[P, M] f32`` and the
-        gather-sum ``[N, D] f32`` (``ops/adc.py``); the bucketed path never
-        blows up this way (per-partition tables only).
-        """
-        p, m = self.centroids.shape
-        d, c, _ = self.codebooks.shape
-        n = self.codes.shape[0]
-        per_query = 4 * (p * d * c + p * m + n * d)
-        return max(1, self.hbm_budget_bytes // per_query)
+        """Largest query batch whose masked-scan transients fit the budget
+        (see :func:`_masked_limit`)."""
+        return _masked_limit(self.centroids.shape, self.codebooks.shape,
+                             self.codes.shape[0], self.hbm_budget_bytes)
 
     def query(self, q: np.ndarray, k: int, nprobe: int,
               row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -114,21 +147,11 @@ class DeviceIndex:
                 self.rotation, row_mask, k=k, nprobe=nprobe)
             return np.asarray(d), np.asarray(r), np.asarray(p)
 
-        limit = self._masked_batch_limit()
-        if len(qd) <= limit:
-            d, r, p = query_masked_scan(
-                qd, self.centroids, self.codebooks, self.codes, self.pidx,
-                self.rotation, row_mask, k=k, nprobe=nprobe)
-            return np.asarray(d), np.asarray(r), np.asarray(p)
-        outs = []
-        for i in range(0, len(qd), limit):
-            outs.append(query_masked_scan(
-                qd[i:i + limit], self.centroids, self.codebooks,
-                self.codes, self.pidx, self.rotation, row_mask,
-                k=k, nprobe=nprobe))
-        return (np.concatenate([np.asarray(o[0]) for o in outs]),
-                np.concatenate([np.asarray(o[1]) for o in outs]),
-                np.concatenate([np.asarray(o[2]) for o in outs]))
+        return _run_chunked(
+            lambda qc: query_masked_scan(
+                qc, self.centroids, self.codebooks, self.codes, self.pidx,
+                self.rotation, row_mask, k=k, nprobe=nprobe),
+            qd, self._masked_batch_limit())
 
 
 class ShardedIndex:
@@ -146,8 +169,9 @@ class ShardedIndex:
 
     def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
                  codes: np.ndarray, pidx: np.ndarray,
-                 rotation: Optional[np.ndarray] = None, *, mesh,
-                 layout: Optional[str] = None) -> None:
+                 layout: Optional[str] = None,
+                 rotation: Optional[np.ndarray] = None,
+                 hbm_budget_bytes: int = HBM_BUDGET_BYTES, *, mesh) -> None:
         import jax.numpy as jnp
 
         from .ops.bucketed import bucketize
@@ -155,6 +179,7 @@ class ShardedIndex:
         from .parallel.mesh import shard_corpus
 
         self.mesh = mesh
+        self.hbm_budget_bytes = hbm_budget_bytes
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
         self.rotation = None if rotation is None else jnp.asarray(rotation)
@@ -195,7 +220,15 @@ class ShardedIndex:
             return np.asarray(d), np.asarray(r), np.asarray(p)
         if row_mask is not None:
             row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
-        d, r, p = query_sharded(
-            qd, self.centroids, self.codebooks, self.codes, self.pidx,
-            self.rotation, row_mask, mesh=self.mesh, k=k, nprobe=nprobe)
-        return np.asarray(d), np.asarray(r), np.asarray(p)
+        # The query batch is replicated, so every device materializes the
+        # full [B, P, D, C] ADC tables — chunk by the same budget as the
+        # single-chip masked path (per-device scanned rows = N / n_dev).
+        n_local = self.codes.shape[0] // int(self.mesh.devices.size)
+        limit = _masked_limit(self.centroids.shape, self.codebooks.shape,
+                              n_local, self.hbm_budget_bytes)
+        return _run_chunked(
+            lambda qc: query_sharded(
+                qc, self.centroids, self.codebooks, self.codes, self.pidx,
+                self.rotation, row_mask, mesh=self.mesh, k=k,
+                nprobe=nprobe),
+            qd, limit)

@@ -91,3 +91,36 @@ def test_masked_limit_never_zero():
     d, r, p = idx.query(rng.standard_normal((3, 8)).astype(np.float32),
                         k=2, nprobe=2)
     assert d.shape == (3, 2)
+
+
+def test_sharded_masked_scan_chunks_to_hbm_budget():
+    """ShardedIndex's masked path must honour the same per-device HBM
+    budget as DeviceIndex (the batch is replicated, so every device
+    materializes the full [B, P, D, C] tables) — a tight budget forces
+    chunking with identical results, tail chunk zero-padded so only one
+    program shape ever compiles."""
+    from flechasdb_tpu.parallel import corpus_mesh
+    from flechasdb_tpu.serving import ShardedIndex
+
+    rng = np.random.default_rng(9)
+    n, m, p, d, c = 3000, 32, 12, 4, 16
+    centroids = rng.standard_normal((p, m)).astype(np.float32)
+    codebooks = rng.standard_normal((d, c, m // d)).astype(np.float32)
+    codes = rng.integers(0, c, (n, d)).astype(np.int32)
+    pidx = rng.integers(0, p, n).astype(np.int32)
+    q = rng.standard_normal((64, m)).astype(np.float32)
+
+    mesh = corpus_mesh()
+    full = ShardedIndex(centroids, codebooks, codes, pidx,
+                        layout="masked", mesh=mesh)
+    n_local = -(-n // mesh.devices.size)
+    per_query = 4 * (p * d * c + p * m + n_local * d)
+    tight = ShardedIndex(centroids, codebooks, codes, pidx,
+                         layout="masked",
+                         hbm_budget_bytes=7 * per_query, mesh=mesh)
+
+    d_full, r_full, p_full = full.query(q, k=5, nprobe=3)
+    d_chunk, r_chunk, p_chunk = tight.query(q, k=5, nprobe=3)
+    np.testing.assert_allclose(d_chunk, d_full, rtol=1e-6)
+    np.testing.assert_array_equal(r_chunk, r_full)
+    np.testing.assert_array_equal(p_chunk, p_full)
