@@ -266,7 +266,6 @@ def _subsampled_init(x: jax.Array, k: int, key: jax.Array, *,
         # centroids anyway — skip the full-corpus pass (a whole corpus read
         # at Deep10M scale) when the caller will run at least one round.
         return centroids, jnp.zeros((b, n), jnp.int32)
-    from .distance import assign_chunked
     indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
     return centroids, indices
 
@@ -331,6 +330,30 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         from .pallas_kmeans import regroup_divisions
         xg = regroup_divisions(x)  # once, outside the Lloyd loop
 
+    return lloyd_loop(
+        centroids, indices, x.dtype, epsilon=epsilon, max_rounds=max_rounds,
+        round_fn=lambda c: _fused_round(x, c, k, impl, xg),
+        assign_fn=lambda c: _assign_only(x, c, k, impl, xg))
+
+
+def lloyd_loop(centroids, indices, dtype, *, epsilon, max_rounds,
+               round_fn, assign_fn, post_update=None) -> KMeansResult:
+    """The Lloyd driver shared by :func:`fit` and the sharded fit.
+
+    Owns the convergence/freeze semantics — the trickiest parity surface
+    (``kmeans.rs:114-137``) — in ONE place; callers inject the round
+    kernel (``round_fn(centroids) -> (indices, sums, counts)``), the
+    epilogue assignment (``assign_fn(centroids) -> indices``), and an
+    optional ``post_update`` centroid hook (the sharded fit re-pins
+    replication there). Freeze rules: batches converged before a round
+    keep centroids AND indices; a batch converging IN a round keeps the
+    assignment against the PRE-update centroids, as the reference
+    requires; batches that exhaust ``max_rounds`` unconverged carry an
+    assignment predating the final update, so one last ``assign_fn`` runs
+    for them (skipped entirely when everything converged).
+    """
+    b = centroids.shape[0]
+
     class S(NamedTuple):
         centroids: jax.Array
         indices: jax.Array
@@ -343,13 +366,12 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return (s.r < max_rounds) & ~jnp.all(s.done)
 
     def body(s: S):
-        idx_f, sums, counts = _fused_round(x, s.centroids, k, impl, xg)
-        new_c, grad = _means_grad(sums, counts, s.centroids, x.dtype)
+        idx_f, sums, counts = round_fn(s.centroids)
+        new_c, grad = _means_grad(sums, counts, s.centroids, dtype)
         newly_done = grad < epsilon
-        # Converged-before-this-round batches freeze entirely; freshly
-        # converged ones keep idx_f — the assignment against the
-        # PRE-update centroids, as the reference requires.
         centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
+        if post_update is not None:
+            centroids = post_update(centroids)
         indices = jnp.where(s.done[:, None], s.indices, idx_f)
         return S(
             centroids=centroids,
@@ -364,15 +386,11 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
            jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
            jnp.full((b,), jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
     s = jax.lax.while_loop(cond, body, s0)
-    # Batches that exhausted max_rounds without converging end with a
-    # final centroid update the carried assignment predates; the reference
-    # reassigns after every non-converged update, so run one last
-    # assignment for them (skipped entirely when everything converged).
     final_idx = jax.lax.cond(
         jnp.all(s.done),
         lambda: s.indices,
         lambda: jnp.where(s.done[:, None], s.indices,
-                          _assign_only(x, s.centroids, k, impl, xg)))
+                          assign_fn(s.centroids)))
     return KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)
 
 
@@ -427,8 +445,27 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
 
     handler(ev.StartingCentroidInitialization())
     centroids, indices = _init_jit(x, k, key, skip_indices=max_rounds > 0)
-    jax.block_until_ready(centroids)
+    # Fence with a tiny host fetch: through the axon tunnel
+    # block_until_ready returns immediately (CLAUDE.md), and the event
+    # would fire before seeding actually ran.
+    _ = jax.device_get(centroids[:1, :1, :1])
     handler(ev.FinishedCentroidInitialization())
+    if max_rounds == 0:
+        # Same contract as fit(): the init assignment IS the result — the
+        # while-else epilogue below must not re-assign with a different
+        # (bf16-kernel) formulation than the init used.
+        return KMeansResult(centroids, indices, jnp.zeros((b,), jnp.int32),
+                            jnp.full((b,), jnp.inf, jnp.float32))
+
+    if impl is None:
+        impl = _auto_impl(x)
+    xg = None
+    if impl == "pallas_grouped":
+        from .pallas_kmeans import regroup_divisions
+        # Hoisted once per fit: recomputing the [B,N,m]→[G,N,128] regroup
+        # copy inside every rounds_per_step program costs a multi-GB HBM
+        # transpose ~R/steps times at GIST PQ scale.
+        xg = jax.jit(regroup_divisions)(x)
 
     done = jnp.zeros((b,), bool)
     rounds = jnp.zeros((b,), jnp.int32)
@@ -437,7 +474,7 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     while r < max_rounds:
         steps = min(rounds_per_step, max_rounds - r)
         centroids, indices, done, rounds, gradient, grads = _scan_rounds_jit(
-            x, centroids, indices, done, rounds, gradient, k=k,
+            x, centroids, indices, done, rounds, gradient, xg, k=k,
             epsilon=epsilon, steps=steps, impl=impl)
         grads_host = jax.device_get(grads)          # [steps, B]
         all_done = bool(jax.device_get(jnp.all(done)))
@@ -485,24 +522,26 @@ def _assign_jit(x, centroids, *, k, impl):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "epsilon", "steps", "impl"))
-def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, *,
-                     k, epsilon, steps, impl):
+def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, xg=None,
+                     *, k, epsilon, steps, impl):
     """``steps`` Lloyd rounds in one program (``lax.scan`` over the
     :func:`_round_body`); identical results to ``steps`` host-stepped
     rounds — ``done`` freezes converged batch entries either way. Returns
-    the per-round gradient history ``[steps, B]`` for event replay."""
+    the per-round FROZEN gradient history ``[steps, B]`` for event replay
+    (a batch that converged in an earlier program reports its frozen
+    sub-epsilon gradient, matching ``KMeansResult.gradient``, not a raw
+    recomputation)."""
     if impl is None:
         impl = _auto_impl(x)
-    xg = None
-    if impl == "pallas_grouped":
+    if impl == "pallas_grouped" and xg is None:
         from .pallas_kmeans import regroup_divisions
         xg = regroup_divisions(x)  # once per program, outside the scan
 
     def body(state, _):
         c, i, d, r, g = state
-        c, i, d, r, g, grad = _round_body(x, c, i, d, r, g, k, epsilon,
+        c, i, d, r, g, _raw = _round_body(x, c, i, d, r, g, k, epsilon,
                                           impl, xg)
-        return (c, i, d, r, g), grad
+        return (c, i, d, r, g), g
 
     (centroids, indices, done, rounds, gradient), grads = jax.lax.scan(
         body, (centroids, indices, done, rounds, gradient), None,

@@ -98,6 +98,18 @@ def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
     return jax.lax.fori_loop(0, steps, body, codes0)
 
 
+def _pq_impl(impl: "str | None", sub: int) -> "str | None":
+    """Per-phase kernel re-resolution for a forced ``impl`` override.
+
+    A coarse-phase ``impl="pallas"`` must not carry into PQ training when
+    the subvector width is sub-lane: the plain pallas kernel pins a layout
+    that lane-pads the minor dim to 128 IN HBM (``[60, 1M, 16]`` → 30 GB,
+    ``ops.kmeans._auto_impl``). Re-resolve (None → auto) for that case;
+    explicit "xla"/"pallas_grouped" pass through unchanged.
+    """
+    return None if (impl == "pallas" and sub < 128) else impl
+
+
 def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
               pq_cap: int = PQ_TRAIN_CAP,
               coarse_cap: int = COARSE_TRAIN_CAP,
@@ -122,12 +134,12 @@ def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
         sample = (jnp.take(x, rows, axis=0)
                   - jnp.take(cents, jnp.take(idx, rows), axis=0))
         divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
-        pq = kmeans.fit(divided, c, k_pq, impl=impl)
+        pq = kmeans.fit(divided, c, k_pq, impl=_pq_impl(impl, m // d))
         codes = _encode_chunked(x, cents, idx, pq.centroids)
     else:
         residues = x - jnp.take(cents, idx, axis=0)
         divided = residues.reshape(n, d, m // d).transpose(1, 0, 2)
-        pq = kmeans.fit(divided, c, k_pq, impl=impl)
+        pq = kmeans.fit(divided, c, k_pq, impl=_pq_impl(impl, m // d))
         codes = pq.indices.T.astype(jnp.int32)            # [N, D]
     return ShardedBuild(cents, idx, pq.centroids, codes)
 
@@ -195,7 +207,13 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
 
     pq = kmeans.fit_with_events(divided, c, k_pq, handler,
                                 rounds_per_step=rounds_per_step)
-    codes = _encode_jit(x, cents, idx, pq.centroids)
+    if n > pq_cap:
+        codes = _encode_jit(x, cents, idx, pq.centroids)
+    else:
+        # divided held ALL residuals, so the fit's own assignments ARE the
+        # codes (exactly _build_fn's small branch) — re-encoding would
+        # waste a full-corpus pass and could flip float ties.
+        codes = pq.indices.T.astype(jnp.int32)
     return ShardedBuild(cents, idx, pq.centroids, codes)
 
 
@@ -216,15 +234,10 @@ _encode_jit = jax.jit(_encode_chunked)
 def _encode_sharded(x: jax.Array, cents: jax.Array, idx: jax.Array,
                     codebooks: jax.Array, mesh: Mesh) -> jax.Array:
     """Per-device chunked PQ encode (no collectives; codes stay sharded)."""
-    from .mesh import AXIS as _AXIS
-
-    def local(xl, cl, il, cb):
-        return _encode_chunked(xl, cl, il, cb)
-
     return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(_AXIS, None), P(), P(_AXIS), P()),
-        out_specs=P(_AXIS, None),
+        _encode_chunked, mesh=mesh,
+        in_specs=(P(AXIS, None), P(), P(AXIS), P()),
+        out_specs=P(AXIS, None),
         check_vma=False,
     )(x, cents, idx, codebooks)
 
@@ -267,7 +280,7 @@ def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
         divided = jax.lax.with_sharding_constraint(
             sp.reshape(pq_cap + spad, d, m // d).transpose(1, 0, 2), dspec)
         pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=pq_cap,
-                         impl=impl)
+                         impl=_pq_impl(impl, m // d))
         codes = _encode_sharded(xp, cents, idx, pq.centroids, mesh)
     else:
         # Pad rows must stay zero: 0 - cents[garbage] would poison the
@@ -276,7 +289,8 @@ def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
                              xp - jnp.take(cents, idx, axis=0), 0.0)
         divided = jax.lax.with_sharding_constraint(
             residues.reshape(np_total, d, m // d).transpose(1, 0, 2), dspec)
-        pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=n, impl=impl)
+        pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=n,
+                         impl=_pq_impl(impl, m // d))
         codes = pq.indices.T.astype(jnp.int32)
     return ShardedBuild(cents, idx[:n], pq.centroids, codes[:n])
 

@@ -127,6 +127,11 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     if max_rounds < 1:
         raise ValueError(
             f"fit_sharded needs max_rounds >= 1: {max_rounds}")
+    if n == k:                    # before the cap check, as fit() orders it
+        cents = _gather_rows(mesh, x, jnp.arange(n))
+        idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32), (b, np_))
+        return kmeans.KMeansResult(cents, idx, jnp.zeros((b,), jnp.int32),
+                                   jnp.zeros((b,), jnp.float32))
     if train_cap is not None and train_cap > 0 and n > train_cap:
         if train_cap < k:
             raise ValueError(
@@ -143,11 +148,6 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         idx = _assign_sharded(x, sub.centroids, k, impl, mesh)
         return kmeans.KMeansResult(sub.centroids, idx, sub.rounds,
                                    sub.gradient)
-    if n == k:
-        cents = _gather_rows(mesh, x, jnp.arange(n))
-        idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32), (b, np_))
-        return kmeans.KMeansResult(cents, idx, jnp.zeros((b,), jnp.int32),
-                                   jnp.zeros((b,), jnp.float32))
 
     # Resolve the kernel once against the LOCAL shard shape (auto picks by
     # per-device bytes), so the grouped kernel's lane-fold layout can be
@@ -179,45 +179,13 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     centroids = _replicated(mesh, centroids)
     indices = jnp.zeros((b, np_), jnp.int32)
 
-    from typing import NamedTuple
-
-    class S(NamedTuple):
-        centroids: jax.Array
-        indices: jax.Array
-        done: jax.Array
-        rounds: jax.Array
-        gradient: jax.Array
-        r: jax.Array
-
-    def cond(s: S):
-        return (s.r < max_rounds) & ~jnp.all(s.done)
-
-    def body(s: S):
-        idx_f, sums, counts = fused_round_sharded(
-            x, s.centroids, k, impl, mesh, n_pad, xg)
-        new_c, grad = kmeans._means_grad(sums, counts, s.centroids, x.dtype)
-        newly_done = grad < epsilon
-        centroids = jnp.where(s.done[:, None, None], s.centroids, new_c)
-        indices = jnp.where(s.done[:, None], s.indices, idx_f)
-        return S(
-            centroids=_replicated(mesh, centroids),
-            indices=indices,
-            done=s.done | newly_done,
-            rounds=s.rounds + (~s.done).astype(jnp.int32),
-            gradient=jnp.where(s.done, s.gradient, grad),
-            r=s.r + 1,
-        )
-
-    s0 = S(centroids, indices,
-           jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
-           jnp.full((b,), jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
-    s = jax.lax.while_loop(cond, body, s0)
-    # Unconverged batches carry an assignment predating the final centroid
-    # update — reassign, as in fit's epilogue (kmeans.rs:130-136).
-    final_idx = jax.lax.cond(
-        jnp.all(s.done),
-        lambda: s.indices,
-        lambda: jnp.where(s.done[:, None], s.indices,
-                          _assign_sharded(x, s.centroids, k, impl, mesh,
-                                          xg)))
-    return kmeans.KMeansResult(s.centroids, final_idx, s.rounds, s.gradient)
+    # The convergence/freeze semantics live in ONE place —
+    # kmeans.lloyd_loop; only the round kernel (psum-reduced, pad-count
+    # corrected), the epilogue assignment, and the replication re-pin
+    # differ from the single-chip fit.
+    return kmeans.lloyd_loop(
+        centroids, indices, x.dtype, epsilon=epsilon, max_rounds=max_rounds,
+        round_fn=lambda c: fused_round_sharded(x, c, k, impl, mesh,
+                                               n_pad, xg),
+        assign_fn=lambda c: _assign_sharded(x, c, k, impl, mesh, xg),
+        post_update=lambda c: _replicated(mesh, c))
