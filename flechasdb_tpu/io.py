@@ -155,6 +155,13 @@ class LocalFileSystem(FileSystem):
         def persist_cb(payload: bytes, filename: str) -> None:
             try:
                 target_dir.mkdir(parents=True, exist_ok=True)
+                target = target_dir / filename
+                if target.exists():
+                    # Content-addressed: an existing name IS these bytes
+                    # (writes are atomic, so no partial file can carry
+                    # it). Skipping makes re-saves of updated databases
+                    # O(touched artifacts) in bytes written.
+                    return
                 fd, tmp = tempfile.mkstemp(dir=target_dir)
                 try:
                     with os.fdopen(fd, "wb") as f:

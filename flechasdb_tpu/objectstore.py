@@ -60,6 +60,11 @@ class FsspecFileSystem(FileSystem):
             rel = f"{subdir}/{filename}" if subdir else filename
             full = self._full(rel)
             try:
+                if self.fs.exists(full):
+                    # Content-addressed: the name pins the bytes, so an
+                    # existing object needs no PUT (an exists round-trip
+                    # is cheaper than re-uploading the payload).
+                    return
                 parent = full.rsplit("/", 1)[0]
                 if parent != full:
                     self.fs.makedirs(parent, exist_ok=True)

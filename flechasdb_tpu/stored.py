@@ -714,6 +714,89 @@ class StoredDatabase:
         events(ev.FinishedResultSelection())
         return results
 
+    def _load_all_partitions(self, events: EventHandler = _noop,
+                             max_workers: Optional[int] = None
+                             ) -> List[StoredPartition]:
+        """Loads every partition, missing ones concurrently on a thread
+        pool — the native inflate+hash pass releases the GIL, so
+        open→inflate→decode round-trips overlap instead of serializing P
+        times through Python. ``events`` receives ``Starting/
+        FinishedPartitionLoad`` from worker threads; pass a thread-safe
+        handler."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        missing = [pi for pi in range(self.num_partitions)
+                   if self._partitions[pi] is None]
+
+        def load_one(pi: int) -> None:
+            events(ev.StartingPartitionLoad(pi))
+            self.get_partition(pi)
+            events(ev.FinishedPartitionLoad(pi))
+
+        workers = max_workers or min(32, max(4, (os.cpu_count() or 8)))
+        if len(missing) > 1 and workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(load_one, missing))
+        else:
+            for pi in missing:
+                load_one(pi)
+        return [self.get_partition(pi) for pi in range(self.num_partitions)]
+
+    def to_database(self, events: EventHandler = _noop,
+                    max_workers: Optional[int] = None) -> "Database":
+        """Materializes the stored tree into an in-memory :class:`Database`.
+
+        The update story for stored databases (the reference leaves
+        "Update database" open, ``README.md:73``): ``load_database`` →
+        ``to_database()`` → :meth:`Database.add_vectors` /
+        :meth:`Database.remove_vectors` → ``save_database`` back into the
+        same store. Rows materialize partition-by-partition in stored
+        order, so an untouched partition re-serializes to byte-identical
+        artifacts — same content hash, same file — and the re-save writes
+        only touched partitions plus the root manifest (the content store
+        skips persisting files that already exist).
+
+        Residues are not part of the wire format (``database.proto``), so
+        the materialized database cannot :meth:`Database.reconstruct` or
+        exact-rerank; everything else (query, filters, attributes,
+        updates, re-save) works.
+        """
+        from .build import Database
+
+        centroids = self._load_partition_centroids()
+        codebooks = self._load_codebooks()
+        rotation = self._load_rotation()
+        parts = self._load_all_partitions(events, max_workers)
+        for pi in range(self.num_partitions):
+            self._load_attributes_log(pi)
+        self._attrs_all_loaded = True
+        codes = np.concatenate([p.codes for p in parts]) \
+            if parts else np.zeros((0, self.num_divisions), np.uint32)
+        pidx = np.concatenate([
+            np.full(len(p.codes), pi, np.int32)
+            for pi, p in enumerate(parts)
+        ]) if parts else np.zeros((0,), np.int32)
+        vector_ids = [vid for p in parts for vid in p.vector_ids]
+        table: AttributeTable = {
+            vid: dict(attrs)
+            for vid, attrs in self._attribute_table.items()
+        }
+        return Database(
+            vector_size=self.vector_size,
+            num_partitions=self.num_partitions,
+            num_divisions=self.num_divisions,
+            num_clusters=self.num_codes,
+            vector_ids=vector_ids,
+            partition_centroids=np.array(centroids),
+            partition_indices=pidx,
+            codebooks=np.array(codebooks),
+            codes=codes.astype(np.uint32),
+            residues=None,
+            rotation=None if rotation is None else np.array(rotation),
+            attribute_table=table,
+        )
+
     def preload(self, mesh=None, events: EventHandler = _noop,
                 max_workers: Optional[int] = None) -> None:
         """Loads every partition and pushes the index to the device(s).
@@ -736,30 +819,11 @@ class StoredDatabase:
         ``Starting/FinishedPartitionLoad`` from worker threads; pass a
         thread-safe handler.
         """
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
         from .serving import DeviceIndex, ShardedIndex
 
         centroids = self._load_partition_centroids()
         codebooks = self._load_codebooks()
-
-        missing = [pi for pi in range(self.num_partitions)
-                   if self._partitions[pi] is None]
-
-        def load_one(pi: int) -> None:
-            events(ev.StartingPartitionLoad(pi))
-            self.get_partition(pi)
-            events(ev.FinishedPartitionLoad(pi))
-
-        workers = max_workers or min(32, max(4, (os.cpu_count() or 8)))
-        if len(missing) > 1 and workers > 1:
-            with ThreadPoolExecutor(workers) as ex:
-                list(ex.map(load_one, missing))
-        else:
-            for pi in missing:
-                load_one(pi)
-        parts = [self.get_partition(pi) for pi in range(self.num_partitions)]
+        parts = self._load_all_partitions(events, max_workers)
         codes = np.concatenate([p.codes for p in parts]) \
             if parts else np.zeros((0, self.num_divisions), np.uint32)
         pidx = np.concatenate([
