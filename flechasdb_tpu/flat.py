@@ -410,6 +410,27 @@ class StoredFlatDatabase:
             raise InvalidArgs(f"no such vector ID: {vector_id}") from None
         return attrs.get(key)
 
+    def to_database(self) -> FlatDatabase:
+        """Materializes the stored chunks into an in-memory
+        :class:`FlatDatabase` — the flat tier's update story (mirror of
+        :meth:`..stored.StoredDatabase.to_database`): load → mutate
+        (:meth:`FlatDatabase.append` / :meth:`FlatDatabase.remove`) →
+        ``save_flat_database`` back into the same store. Rows keep chunk
+        order, so an append re-serializes the existing full chunks to
+        byte-identical artifacts and the store skips their files."""
+        parts = [self._load_chunk(i)
+                 for i in range(len(self.root.chunk_ids))]
+        self._ensure_attrs_loaded()
+        x = (np.concatenate([p[0] for p in parts]) if parts
+             else np.zeros((0, self.vector_size), np.float32))
+        ids = [vid for p in parts for vid in p[1]]
+        db = FlatDatabase(x.copy(), ids)
+        db.attribute_table = {
+            vid: dict(attrs)
+            for vid, attrs in self._attribute_table.items()
+        }
+        return db
+
 
 async def load_flat_database_async(fs, path: str) -> "AsyncStoredFlatDatabase":
     """Async flat loader (extension parity with :mod:`.asyncdb`)."""

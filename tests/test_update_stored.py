@@ -131,3 +131,39 @@ def test_materialized_database_cannot_reconstruct(saved):
     mem = _load(base, root).to_database()
     with pytest.raises(InvalidArgs):
         mem.reconstruct(0)
+
+
+# -- flat tier ---------------------------------------------------------------
+
+
+def test_flat_to_database_append_resave(tmp_path, monkeypatch):
+    import flechasdb_tpu.flat as flat
+    from flechasdb_tpu import (FlatDatabase, load_flat_database,
+                               save_flat_database)
+
+    monkeypatch.setattr(flat, "CHUNK_ROWS", 32)  # several chunks at N=100
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    db = FlatDatabase(x, seed=1)
+    db.set_attribute_at(3, ("tag", 3))
+    fs = LocalFileSystem(tmp_path)
+    root = save_flat_database(db, fs)
+
+    mem = load_flat_database(fs, f"{root}.binpb").to_database()
+    assert mem.vector_ids == db.vector_ids
+    np.testing.assert_array_equal(mem.vectors, x)
+    assert mem.get_attribute(db.vector_ids[3], "tag") == 3
+
+    # identity re-save: byte-identical root
+    assert save_flat_database(mem, fs) == root
+
+    # append: full chunks keep their hashes; tail chunk + root change
+    mem.append(rng.standard_normal((5, 8)).astype(np.float32))
+    root2 = save_flat_database(mem, fs)
+    s1 = load_flat_database(fs, f"{root}.binpb")
+    s2 = load_flat_database(fs, f"{root2}.binpb")
+    assert s2.num_vectors == 105
+    assert s1.root.chunk_ids[:3] == s2.root.chunk_ids[:3]  # 96 rows
+    assert s1.root.chunk_ids[3] != s2.root.chunk_ids[3]    # tail grew
+    got = s2.query(x[7], k=1)
+    assert got[0].vector_id == db.vector_ids[7]
