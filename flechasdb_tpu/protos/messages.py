@@ -129,6 +129,8 @@ class PEncodedVectorSet:
             elif f == 10 and wt == wire.WT_VARINT:
                 scalars.append(value)
         if scalars:
+            if max(scalars) > 0xFFFFFFFF:
+                raise ProtobufError("uint32 overflow in unpacked field")
             m.data = np.array(scalars, np.uint32)
         return m
 
@@ -312,8 +314,8 @@ class PAttributeValue:
         m = cls()
         for f, wt, value, payload in iter_fields(buf):
             if f == 1 and wt == wire.WT_LEN:
-                m.value = _expect_payload(
-                    payload, "AttributeValue").decode("utf-8")
+                m.value = wire.decode_utf8(_expect_payload(
+                    payload, "AttributeValue"), "AttributeValue")
             elif f == 2 and wt == wire.WT_VARINT:
                 m.value = value
         return m
@@ -365,8 +367,8 @@ class PAttributesLog:
         m = cls()
         for f, wt, value, payload in iter_fields(buf):
             if f == 1 and wt == wire.WT_LEN:
-                m.partition_id = _expect_payload(
-                    payload, "partition_id").decode("utf-8")
+                m.partition_id = wire.decode_utf8(_expect_payload(
+                    payload, "partition_id"), "partition_id")
             elif f == 10 and wt == wire.WT_LEN:
                 m.entries.append(POperationSetAttribute.decode(
                     _expect_payload(payload, "entries")))
@@ -437,11 +439,11 @@ class PDatabase:
                 payload = buf[pos:pos + length]
                 pos += length
                 if f == 11:
-                    m.partition_centroids_id = payload.decode("utf-8")
+                    m.partition_centroids_id = wire.decode_utf8(payload)
                 elif f == 20:
-                    m.rotation_id = payload.decode("utf-8")
+                    m.rotation_id = wire.decode_utf8(payload)
                 elif f in runs:     # 2-byte length (>127-char string)
-                    getattr(m, runs[f]).append(payload.decode("utf-8"))
+                    getattr(m, runs[f]).append(wire.decode_utf8(payload))
             elif wt == wire.WT_VARINT:
                 value, pos = decode_varint(buf, pos)
                 if f == 1:
@@ -610,9 +612,9 @@ class PFlatDatabase:
                     m.num_vectors = value
             elif wt == wire.WT_LEN:
                 if f == 10:
-                    m.chunk_ids.append(payload.decode("utf-8"))
+                    m.chunk_ids.append(wire.decode_utf8(payload))
                 elif f == 11:
-                    m.attributes_log_ids.append(payload.decode("utf-8"))
+                    m.attributes_log_ids.append(wire.decode_utf8(payload))
                 elif f == 12:
-                    m.attribute_names.append(payload.decode("utf-8"))
+                    m.attribute_names.append(wire.decode_utf8(payload))
         return m

@@ -60,6 +60,17 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ProtobufError("varint too long")
 
 
+def decode_utf8(payload: bytes, what: str = "string field") -> str:
+    """UTF-8 decode with the protobuf error contract: malformed bytes in
+    a ``string`` field are a wire-format violation (proto3 requires valid
+    UTF-8; rust-protobuf rejects them the same way), so they surface as
+    :class:`ProtobufError` — never a raw ``UnicodeDecodeError``."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ProtobufError(f"invalid UTF-8 in {what}: {e}") from e
+
+
 def encode_packed_floats(arr: np.ndarray) -> bytes:
     """Payload of a packed ``repeated float`` field."""
     return np.ascontiguousarray(arr, dtype="<f4").tobytes()
@@ -208,7 +219,7 @@ def decode_string_run(buf: bytes, pos: int) -> "tuple[list[str], int]":
         s = chunk.decode("ascii")
         strs = [s[i + 2:i + rec] for i in range(0, r * rec, rec)]
     except UnicodeDecodeError:  # arbitrary utf-8 (attribute names)
-        strs = [chunk[i + 2:i + rec].decode("utf-8")
+        strs = [decode_utf8(chunk[i + 2:i + rec], "string run")
                 for i in range(0, r * rec, rec)]
     return strs, pos + r * rec
 
