@@ -149,6 +149,98 @@ def load(path: str) -> None:
         t.report(f"[{r}] listed results")
 
 
+def verify(path: str) -> int:
+    """Hash-verifies and decodes EVERY artifact of a stored tree.
+
+    Extension ops tool (no reference analogue; the reference's sync
+    reader even skips verifying two artifact kinds, ``db/stored.rs:
+    729-755`` — this checks everything, like the async tier). Works on
+    IVF-PQ and flat trees. Exit 0 = every file matches its
+    content-addressed name and parses; 1 = at least one failure.
+    """
+    import pathlib
+
+    from .errors import FlechasError, InvalidData
+    from .protos import PDatabase, PFlatDatabase
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        roots = sorted(p.glob("*.binpb"))
+        if len(roots) != 1:
+            print(f"expected exactly one root manifest in {path}, "
+                  f"found {len(roots)}", file=sys.stderr)
+            return 1
+        base, root_name = p, roots[0].name
+    else:
+        base, root_name = p.parent, p.name
+    fs = LocalFileSystem(base)
+    failures = 0
+
+    def check(rel: str, compressed: bool, decode) -> object:
+        nonlocal failures
+        try:
+            f = fs.open_hashed_file(rel, compressed=compressed)
+            payload = f.read()
+            f.verify()
+            msg = decode(payload)
+            print(f"ok    {rel}")
+            return msg
+        except FlechasError as e:
+            failures += 1
+            print(f"FAIL  {rel}: {type(e).__name__}: {e}")
+            return None
+
+    # Root: IVF-PQ first, flat on a structural mismatch.
+    f = fs.open_hashed_file(root_name, compressed=True)
+    payload = f.read()
+    f.verify()
+    try:
+        root = PDatabase.decode(payload)
+        # A valid IVF-PQ root always sets both (load_database enforces
+        # it); a flat root has neither field, so they decode as 0.
+        flat = root.num_divisions == 0 or root.num_codes == 0
+    except FlechasError:
+        flat = True
+    if flat:
+        root = PFlatDatabase.decode(payload)
+        if root.vector_size == 0:
+            raise InvalidData("root manifest is neither an IVF-PQ nor a "
+                              "flat database")
+        print(f"ok    {root_name} (flat root)")
+        from .protos import PAttributesLog, PFlatChunk
+        for cid in root.chunk_ids:
+            check(f"chunks/{cid}.binpb", True, PFlatChunk.decode)
+        for aid in root.attributes_log_ids:
+            check(f"attributes/{aid}.binpb", True, PAttributesLog.decode)
+    else:
+        print(f"ok    {root_name} (IVF-PQ root)")
+        from .protos import PAttributesLog, PPartition
+        from .stored import decode_vector_set
+        for pid in root.partition_ids:
+            check(f"partitions/{pid}.binpb", True, PPartition.decode)
+        check(f"partitions/{root.partition_centroids_id}.binpb", False,
+              lambda b: decode_vector_set(
+                  b, root.vector_size, root.num_partitions,
+                  "partition centroids"))
+        sub = root.vector_size // root.num_divisions
+        for did in root.codebook_ids:
+            check(f"codebooks/{did}.binpb", False,
+                  lambda b: decode_vector_set(
+                      b, sub, root.num_codes, "codebook"))
+        for aid in root.attributes_log_ids:
+            check(f"attributes/{aid}.binpb", True, PAttributesLog.decode)
+        if getattr(root, "rotation_id", ""):
+            check(f"rotations/{root.rotation_id}.binpb", False,
+                  lambda b: decode_vector_set(
+                      b, root.vector_size, root.vector_size, "rotation"))
+    if failures:
+        print(f"{failures} artifact(s) FAILED verification",
+              file=sys.stderr)
+        return 1
+    print("all artifacts verified")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 1 and argv[0] == "generate":
         generate(*argv[1:2])
@@ -156,7 +248,10 @@ def main(argv: list[str]) -> int:
     if len(argv) >= 2 and argv[0] == "load":
         load(argv[1])
         return 0
-    print("usage: python -m flechasdb_tpu [generate [path] | load <path>]",
+    if len(argv) >= 2 and argv[0] == "verify":
+        return verify(argv[1])
+    print("usage: python -m flechasdb_tpu "
+          "[generate [path] | load <path> | verify <path>]",
           file=sys.stderr)
     return 1
 

@@ -328,15 +328,23 @@ class StoredFlatDatabase:
             self._chunks[i] = (x, _chunk_uuids(msg))
         return self._chunks[i]
 
+    def _load_all_host(self):
+        """All chunks concatenated host-side: ``([N, M] f32, ids)``.
+
+        ``np.concatenate`` always copies, so the result never aliases the
+        per-chunk caches."""
+        parts = [self._load_chunk(i)
+                 for i in range(len(self.root.chunk_ids))]
+        x = (np.concatenate([p[0] for p in parts]) if parts
+             else np.zeros((0, self.vector_size), np.float32))
+        ids = [vid for p in parts for vid in p[1]]
+        return x, ids
+
     def _load_all(self):
         import jax.numpy as jnp
 
         if self._dev is None:
-            parts = [self._load_chunk(i)
-                     for i in range(len(self.root.chunk_ids))]
-            x = (np.concatenate([p[0] for p in parts]) if parts
-                 else np.zeros((0, self.vector_size), np.float32))
-            ids = [vid for p in parts for vid in p[1]]
+            x, ids = self._load_all_host()
             self._dev = (jnp.asarray(x), ids)
         return self._dev
 
@@ -418,13 +426,9 @@ class StoredFlatDatabase:
         ``save_flat_database`` back into the same store. Rows keep chunk
         order, so an append re-serializes the existing full chunks to
         byte-identical artifacts and the store skips their files."""
-        parts = [self._load_chunk(i)
-                 for i in range(len(self.root.chunk_ids))]
+        x, ids = self._load_all_host()
         self._ensure_attrs_loaded()
-        x = (np.concatenate([p[0] for p in parts]) if parts
-             else np.zeros((0, self.vector_size), np.float32))
-        ids = [vid for p in parts for vid in p[1]]
-        db = FlatDatabase(x.copy(), ids)
+        db = FlatDatabase(x, ids)
         db.attribute_table = {
             vid: dict(attrs)
             for vid, attrs in self._attribute_table.items()

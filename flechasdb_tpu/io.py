@@ -156,12 +156,19 @@ class LocalFileSystem(FileSystem):
             try:
                 target_dir.mkdir(parents=True, exist_ok=True)
                 target = target_dir / filename
-                if target.exists():
-                    # Content-addressed: an existing name IS these bytes
-                    # (writes are atomic, so no partial file can carry
-                    # it). Skipping makes re-saves of updated databases
-                    # O(touched artifacts) in bytes written.
-                    return
+                try:
+                    if target.stat().st_size == len(payload):
+                        # Content-addressed: an existing name IS these
+                        # bytes (writes are atomic). Skipping makes
+                        # re-saves of updated databases O(touched
+                        # artifacts) in bytes written. The size check
+                        # keeps the store self-healing: a short file
+                        # under a valid name (interrupted copy from
+                        # elsewhere, truncation) is overwritten, not
+                        # trusted.
+                        return
+                except OSError:
+                    pass        # missing: write it
                 fd, tmp = tempfile.mkstemp(dir=target_dir)
                 try:
                     with os.fdopen(fd, "wb") as f:

@@ -60,11 +60,17 @@ class FsspecFileSystem(FileSystem):
             rel = f"{subdir}/{filename}" if subdir else filename
             full = self._full(rel)
             try:
-                if self.fs.exists(full):
-                    # Content-addressed: the name pins the bytes, so an
-                    # existing object needs no PUT (an exists round-trip
-                    # is cheaper than re-uploading the payload).
-                    return
+                try:
+                    if self.fs.size(full) == len(payload):
+                        # Content-addressed: the name pins the bytes, so
+                        # an existing object needs no PUT (a size probe
+                        # is cheaper than re-uploading the payload). The
+                        # size check keeps the store self-healing: a
+                        # truncated object under a valid name (failed
+                        # multipart upload) is overwritten, not trusted.
+                        return
+                except (OSError, FileNotFoundError):
+                    pass        # missing: write it
                 parent = full.rsplit("/", 1)[0]
                 if parent != full:
                     self.fs.makedirs(parent, exist_ok=True)

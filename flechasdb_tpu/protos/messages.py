@@ -88,18 +88,27 @@ class PVectorSet:
     @classmethod
     def decode(cls, buf: bytes) -> "PVectorSet":
         m = cls()
-        scalars: List[float] = []
+        parts: List[np.ndarray] = []
+        pend: List[int] = []    # consecutive unpacked fixed32 scalars
+
+        def flush() -> None:
+            if pend:
+                parts.append(np.frombuffer(
+                    np.array(pend, np.uint32).tobytes(), "<f4").copy())
+                pend.clear()
+
         for f, wt, value, payload in iter_fields(buf):
             if f == 1 and wt == wire.WT_VARINT:
                 m.vector_size = value
             elif f == 10 and wt == wire.WT_LEN:
-                m.data = wire.decode_packed_floats(
-                    _expect_payload(payload, "VectorSet.data"))
+                flush()
+                parts.append(wire.decode_packed_floats(
+                    _expect_payload(payload, "VectorSet.data")))
             elif f == 10 and wt == wire.WT_FIXED32:
-                scalars.append(value)
-        if scalars:
-            m.data = np.frombuffer(
-                np.array(scalars, np.uint32).tobytes(), "<f4").copy()
+                pend.append(value)
+        flush()
+        if parts:
+            m.data = wire.concat_repeated(parts)
         return m
 
 
@@ -119,19 +128,28 @@ class PEncodedVectorSet:
     @classmethod
     def decode(cls, buf: bytes) -> "PEncodedVectorSet":
         m = cls()
-        scalars: List[int] = []
+        parts: List[np.ndarray] = []
+        pend: List[int] = []    # consecutive unpacked varint scalars
+
+        def flush() -> None:
+            if pend:
+                if max(pend) > 0xFFFFFFFF:
+                    raise ProtobufError("uint32 overflow in unpacked field")
+                parts.append(np.array(pend, np.uint32))
+                pend.clear()
+
         for f, wt, value, payload in iter_fields(buf):
             if f == 1 and wt == wire.WT_VARINT:
                 m.vector_size = value
             elif f == 10 and wt == wire.WT_LEN:
-                m.data = wire.decode_packed_u32(
-                    _expect_payload(payload, "EncodedVectorSet.data"))
+                flush()
+                parts.append(wire.decode_packed_u32(
+                    _expect_payload(payload, "EncodedVectorSet.data")))
             elif f == 10 and wt == wire.WT_VARINT:
-                scalars.append(value)
-        if scalars:
-            if max(scalars) > 0xFFFFFFFF:
-                raise ProtobufError("uint32 overflow in unpacked field")
-            m.data = np.array(scalars, np.uint32)
+                pend.append(value)
+        flush()
+        if parts:
+            m.data = wire.concat_repeated(parts)
         return m
 
 
@@ -244,6 +262,9 @@ class PPartition:
         # only if the field cursor lands exactly on its start.
         tail_start = _scan_uuid_tail(buf, (12 << 3) | wire.WT_LEN)
         id_payloads: List[bytes] = []
+        cent_parts: List[np.ndarray] = []   # repeated-field merge: concat
+        cent_pend: List[int] = []
+        ev_payloads: List[bytes] = []       # message merge = concat-decode
         decode_varint = wire.decode_varint
         pos = 0
         while pos < n:
@@ -270,9 +291,14 @@ class PPartition:
                 payload = buf[pos:pos + length]
                 pos += length
                 if f == 10:
-                    m.centroid = wire.decode_packed_floats(payload)
+                    if cent_pend:
+                        cent_parts.append(np.frombuffer(np.array(
+                            cent_pend, np.uint32).tobytes(),
+                            "<f4").copy())
+                        cent_pend.clear()
+                    cent_parts.append(wire.decode_packed_floats(payload))
                 elif f == 11:
-                    m.encoded_vectors = PEncodedVectorSet.decode(payload)
+                    ev_payloads.append(payload)
                 elif f == 12:
                     id_payloads.append(payload)
             elif wt == wire.WT_FIXED64:
@@ -282,9 +308,22 @@ class PPartition:
             elif wt == wire.WT_FIXED32:
                 if pos + 4 > n:
                     raise ProtobufError("truncated fixed32")
+                if f == 10:     # unpacked centroid element
+                    cent_pend.append(
+                        int.from_bytes(buf[pos:pos + 4], "little"))
                 pos += 4
             else:
                 raise ProtobufError(f"unsupported wire type {wt}")
+        if cent_pend:
+            cent_parts.append(np.frombuffer(
+                np.array(cent_pend, np.uint32).tobytes(), "<f4").copy())
+        if cent_parts:
+            m.centroid = wire.concat_repeated(cent_parts)
+        if ev_payloads:
+            # Singular-message merge: parsing the concatenation of all
+            # occurrences' payloads == proto3 field-by-field merge.
+            m.encoded_vectors = PEncodedVectorSet.decode(
+                b"".join(ev_payloads))
         if id_payloads:
             raw = wire.decode_uuid_records_raw(id_payloads)
             if raw is not None:
@@ -337,15 +376,19 @@ class POperationSetAttribute:
     @classmethod
     def decode(cls, buf: bytes) -> "POperationSetAttribute":
         m = cls()
+        vid_p: List[bytes] = []     # message merge = concat-decode
+        val_p: List[bytes] = []
         for f, wt, value, payload in iter_fields(buf):
             if f == 1 and wt == wire.WT_LEN:
-                m.vector_id = PUuid.decode(
-                    _expect_payload(payload, "vector_id"))
+                vid_p.append(_expect_payload(payload, "vector_id"))
             elif f == 2 and wt == wire.WT_VARINT:
                 m.name_index = value
             elif f == 3 and wt == wire.WT_LEN:
-                m.value = PAttributeValue.decode(
-                    _expect_payload(payload, "value"))
+                val_p.append(_expect_payload(payload, "value"))
+        if vid_p:
+            m.vector_id = PUuid.decode(b"".join(vid_p))
+        if val_p:
+            m.value = PAttributeValue.decode(b"".join(val_p))
         return m
 
 
@@ -534,6 +577,7 @@ class PFlatChunk:
         n = len(buf)
         tail_start = _scan_uuid_tail(buf, (11 << 3) | wire.WT_LEN)
         id_payloads: List[bytes] = []
+        vec_payloads: List[bytes] = []      # message merge = concat-decode
         decode_varint = wire.decode_varint
         pos = 0
         while pos < n:
@@ -558,7 +602,7 @@ class PFlatChunk:
                 payload = buf[pos:pos + length]
                 pos += length
                 if f == 10:
-                    m.vectors = PVectorSet.decode(payload)
+                    vec_payloads.append(payload)
                 elif f == 11:
                     id_payloads.append(payload)
             elif wt == wire.WT_FIXED64:
@@ -571,6 +615,10 @@ class PFlatChunk:
                 pos += 4
             else:
                 raise ProtobufError(f"unsupported wire type {wt}")
+        if vec_payloads:
+            # Singular-message merge: parsing the concatenation of all
+            # occurrences' payloads == proto3 field-by-field merge.
+            m.vectors = PVectorSet.decode(b"".join(vec_payloads))
         if id_payloads:
             raw = wire.decode_uuid_records_raw(id_payloads)
             if raw is not None:

@@ -71,6 +71,16 @@ def decode_utf8(payload: bytes, what: str = "string field") -> str:
         raise ProtobufError(f"invalid UTF-8 in {what}: {e}") from e
 
 
+def concat_repeated(parts: list) -> np.ndarray:
+    """Joins per-occurrence segments of a repeated scalar field.
+
+    Proto3 merge semantics: multiple occurrences of a repeated field in
+    one message (several packed segments, unpacked scalars, or a mix)
+    CONCATENATE in arrival order — they never replace each other
+    (rust-protobuf does the same, ``protos/mod.rs``)."""
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 def encode_packed_floats(arr: np.ndarray) -> bytes:
     """Payload of a packed ``repeated float`` field."""
     return np.ascontiguousarray(arr, dtype="<f4").tobytes()

@@ -778,9 +778,15 @@ class StoredDatabase:
             for pi, p in enumerate(parts)
         ]) if parts else np.zeros((0,), np.int32)
         vector_ids = [vid for p in parts for vid in p.vector_ids]
+        # Only vectors the log actually touched: a natively built Database
+        # holds table entries solely for vectors that saw set_attribute_at
+        # (get_attribute on others raises InvalidArgs, db/build.rs:228-245)
+        # — the materialized object reproduces the ORIGINAL builder
+        # semantics, not the stored tier's seeded-empty-map lookups. There
+        # is no attribute-delete op, so empty ⇔ never touched.
         table: AttributeTable = {
             vid: dict(attrs)
-            for vid, attrs in self._attribute_table.items()
+            for vid, attrs in self._attribute_table.items() if attrs
         }
         return Database(
             vector_size=self.vector_size,
@@ -791,7 +797,7 @@ class StoredDatabase:
             partition_centroids=np.array(centroids),
             partition_indices=pidx,
             codebooks=np.array(codebooks),
-            codes=codes.astype(np.uint32),
+            codes=codes.astype(np.uint32, copy=False),
             residues=None,
             rotation=None if rotation is None else np.array(rotation),
             attribute_table=table,

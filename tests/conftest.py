@@ -22,6 +22,18 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# FORCE cpu via the config (not just the env var): sitecustomize imports
+# jax at interpreter start with the ambient ``JAX_PLATFORMS=axon``, so the
+# setdefault above is too late when the suite runs with the axon site on
+# PYTHONPATH — and a wedged TPU tunnel then blocks backend discovery for
+# ~25 min (measured: the suite sat idle exactly that long). The config
+# update works even after the plugin registered; trivial CPU ops complete
+# in <1 s with the tunnel fully down.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - older jax without the option
+    pass
+
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:  # pragma: no cover - cpu backend always exists

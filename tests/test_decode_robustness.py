@@ -171,10 +171,12 @@ def test_unpacked_varint_overflow():
         pm.PEncodedVectorSet.decode(w.getvalue())
 
 
-def test_packed_u32_native_matches_numpy():
-    """The native varint walk and the numpy fallback must agree on
-    adversarial payloads: same values, or both reject (native signals
-    malformed by returning None; numpy raises)."""
+def test_packed_u32_native_matches_numpy(monkeypatch):
+    """The native varint walk and the production numpy fallback must
+    agree on adversarial payloads: same values, or both reject (native
+    signals malformed by returning None; numpy raises ProtobufError).
+    The fallback is exercised THROUGH ``wire.decode_packed_u32`` with the
+    native hook disabled, so this check tracks the real code path."""
     from flechasdb_tpu import _native
     from flechasdb_tpu.errors import ProtobufError
     if not _native.available():
@@ -189,28 +191,11 @@ def test_packed_u32_native_matches_numpy():
         b"\xff\xff\xff\xff\x0f",      # 2^32-1: max valid
         b"\x00" * 50,                 # fifty zeros
     ]
-    for payload in cases:
-        got = _native.varint_u32(payload)
+    native_results = [_native.varint_u32(p) for p in cases]
+    monkeypatch.setattr(wire._native, "varint_u32", lambda payload: None)
+    for payload, got in zip(cases, native_results):
         try:
-            b = np.frombuffer(payload, np.uint8)
-            is_end = (b & 0x80) == 0
-            if not is_end[-1]:
-                raise ProtobufError("truncated varint in packed field")
-            ends = np.nonzero(is_end)[0]
-            starts = np.empty(len(ends), np.int64)
-            starts[0] = 0
-            starts[1:] = ends[:-1] + 1
-            gid = np.zeros(len(b), np.int64)
-            gid[1:] = np.cumsum(is_end)[:-1]
-            offset = np.arange(len(b), dtype=np.int64) - starts[gid]
-            if (offset > 9).any():
-                raise ProtobufError("varint too long in packed field")
-            vals = (b & 0x7F).astype(np.uint64) << (7 * offset).astype(
-                np.uint64)
-            out = np.add.reduceat(vals, starts)
-            if (out > 0xFFFFFFFF).any():
-                raise ProtobufError("uint32 overflow in packed field")
-            expect = out.astype(np.uint32)
+            expect = wire.decode_packed_u32(payload)
         except ProtobufError:
             expect = None
         if expect is None:

@@ -375,3 +375,97 @@ def test_flat_chunk_zero_half_fallback():
                      vector_ids=[PUuid.from_uuid(u) for u in ids]).encode()
     got = PFlatChunk.decode(enc)
     assert [u.to_uuid() for u in got.vector_ids] == ids
+
+
+# --- proto3 merge semantics (occurrences concatenate, never replace) --------
+# rust-protobuf concatenates repeated-field occurrences and merges repeated
+# occurrences of a singular message field; decode(a.encode() + b.encode())
+# must therefore equal the field-wise merge of a and b.
+
+def test_repeated_u32_segments_concatenate():
+    a = PEncodedVectorSet(vector_size=4,
+                          data=np.array([1, 2, 3, 4], np.uint32))
+    b = PEncodedVectorSet(data=np.array([5, 6], np.uint32))
+    got = PEncodedVectorSet.decode(a.encode() + b.encode())
+    assert np.array_equal(got.data, [1, 2, 3, 4, 5, 6])
+    assert got.vector_size == 4
+
+
+def test_repeated_u32_packed_unpacked_mix():
+    w = wire.Writer()
+    w.len_field(10, wire.encode_packed_u32(np.array([1, 2], np.uint32)))
+    w.raw(wire.tag(10, wire.WT_VARINT))
+    w.raw(wire.encode_varint(9))
+    w.len_field(10, wire.encode_packed_u32(np.array([4], np.uint32)))
+    got = PEncodedVectorSet.decode(w.getvalue())
+    assert np.array_equal(got.data, [1, 2, 9, 4])
+
+
+def test_repeated_float_segments_concatenate():
+    a = PVectorSet(vector_size=2,
+                   data=np.array([1.5, -2.0], np.float32))
+    b = PVectorSet(data=np.array([0.25], np.float32))
+    got = PVectorSet.decode(a.encode() + b.encode())
+    assert np.array_equal(got.data, [1.5, -2.0, 0.25])
+
+
+def test_repeated_float_unpacked_scalars():
+    w = wire.Writer()
+    w.len_field(10, wire.encode_packed_floats(
+        np.array([1.0], np.float32)))
+    w.raw(wire.tag(10, wire.WT_FIXED32))
+    w.raw(np.float32(3.5).tobytes())
+    got = PVectorSet.decode(w.getvalue())
+    assert np.array_equal(got.data, [1.0, 3.5])
+
+
+def test_partition_centroid_and_nested_merge(rng):
+    """Split centroid across two packed segments plus one unpacked
+    element, and the encoded_vectors message across two occurrences."""
+    cent = rng.standard_normal(8).astype(np.float32)
+    codes = rng.integers(0, 16, 12, dtype=np.uint32)
+    w = wire.Writer()
+    w.varint_field(1, 8)
+    w.varint_field(2, 2)
+    w.len_field(10, wire.encode_packed_floats(cent[:5]))
+    w.len_field(10, wire.encode_packed_floats(cent[5:7]))
+    w.raw(wire.tag(10, wire.WT_FIXED32))
+    w.raw(cent[7:8].tobytes())
+    ev = PEncodedVectorSet(vector_size=2, data=codes)
+    evb = ev.encode()
+    cut = len(evb) // 2
+    # two occurrences of field 11 whose payloads concatenate to evb; any
+    # split point is valid since merge == parse-of-concatenation
+    w.len_field(11, evb[:cut])
+    w.len_field(11, evb[cut:])
+    got = PPartition.decode(w.getvalue())
+    assert np.array_equal(got.centroid, cent)
+    assert got.encoded_vectors.vector_size == 2
+    assert np.array_equal(got.encoded_vectors.data, codes)
+
+
+def test_flat_chunk_vectors_merge(rng):
+    from flechasdb_tpu.protos import PFlatChunk
+
+    data = rng.standard_normal(8).astype(np.float32)
+    w = wire.Writer()
+    w.varint_field(1, 4)
+    w.len_field(10, PVectorSet(vector_size=4, data=data[:6]).encode())
+    w.len_field(10, PVectorSet(data=data[6:]).encode())
+    got = PFlatChunk.decode(w.getvalue())
+    assert got.vectors.vector_size == 4
+    assert np.array_equal(got.vectors.data, data)
+
+
+def test_operation_nested_message_merge():
+    u = uuid.uuid4()
+    op = POperationSetAttribute(
+        vector_id=PUuid.from_uuid(u), name_index=1,
+        value=PAttributeValue("x"))
+    # a second value occurrence switches the oneof: last write wins
+    w = wire.Writer()
+    w.raw(op.encode())
+    w.message_field(3, PAttributeValue(42))
+    got = POperationSetAttribute.decode(w.getvalue())
+    assert got.vector_id.to_uuid() == u
+    assert got.value.value == 42

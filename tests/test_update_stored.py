@@ -60,8 +60,12 @@ def test_to_database_attributes_survive(saved):
     mem = _load(base, root).to_database()
     for i in range(0, 240, 3):
         assert mem.get_attribute(db.vector_ids[i], "tag") == i
-    # attribute-less vector: present, attribute absent
-    assert mem.get_attribute(db.vector_ids[1], "tag") is None
+    # attribute-less vector: same as on the original in-memory builder —
+    # InvalidArgs (db/build.rs:228-245), not the stored tier's None
+    with pytest.raises(InvalidArgs):
+        mem.get_attribute(db.vector_ids[1], "tag")
+    with pytest.raises(InvalidArgs):
+        db.get_attribute(db.vector_ids[1], "tag")
 
 
 def test_to_database_resave_is_byte_identical(saved):
@@ -167,3 +171,43 @@ def test_flat_to_database_append_resave(tmp_path, monkeypatch):
     assert s1.root.chunk_ids[3] != s2.root.chunk_ids[3]    # tail grew
     got = s2.query(x[7], k=1)
     assert got[0].vector_id == db.vector_ids[7]
+
+
+def test_resave_repairs_truncated_artifact(tmp_path):
+    """Write-skip must not trust a SHORT file under a valid hash name: a
+    truncated artifact (interrupted copy, disk fault) is overwritten on
+    the next save — the store stays self-healing."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((120, 8)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(3).with_divisions(2)
+          .with_clusters(4).with_seed(2).build())
+    fs = LocalFileSystem(tmp_path)
+    root = save_database(db, fs)
+    victim = next(p for p in tmp_path.rglob("*.binpb")
+                  if p.stem != root and p.parent.name == "partitions")
+    good = victim.read_bytes()
+    victim.write_bytes(good[: len(good) // 2])
+    save_database(db, fs)              # re-save: skip everywhere EXCEPT
+    assert victim.read_bytes() == good  # the damaged file gets rewritten
+    sdb = load_database(fs, f"{root}.binpb")
+    got = sdb.query(x[0], k=3, nprobe=3)
+    assert len(got) == 3
+
+
+def test_resave_repairs_truncated_object(tmp_path):
+    """Same self-healing contract on the fsspec object store."""
+    pytest.importorskip("fsspec")
+    from flechasdb_tpu.objectstore import FsspecFileSystem
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((90, 8)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(3).with_divisions(2)
+          .with_clusters(4).with_seed(3).build())
+    fs = FsspecFileSystem(f"file://{tmp_path}")
+    root = save_database(db, fs)
+    victim = next(p for p in tmp_path.rglob("*.binpb")
+                  if p.stem != root and p.parent.name == "partitions")
+    good = victim.read_bytes()
+    victim.write_bytes(good[: len(good) // 2])
+    save_database(db, fs)
+    assert victim.read_bytes() == good

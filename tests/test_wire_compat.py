@@ -216,3 +216,36 @@ def test_randomized_partitions_both_ways(wc, rng):
             f"trial {trial}: protoc->ours ids"
         np.testing.assert_array_equal(back.encoded_vectors.data,
                                       codes.reshape(-1))
+
+
+def test_merge_semantics_match_official_runtime(wc, rng):
+    """Concatenated encodes must merge identically in both codecs:
+    repeated scalars concatenate, nested messages field-merge, singular
+    scalars last-write-wins (the official runtime defines the contract;
+    rust-protobuf implements the same)."""
+    cent = rng.standard_normal(8).astype(np.float32)
+    codes = rng.integers(0, 99, 10, dtype=np.uint32)
+    a = PPartition(
+        vector_size=8, num_divisions=2, centroid=cent[:5],
+        encoded_vectors=PEncodedVectorSet(vector_size=2, data=codes[:6]),
+        vector_ids=[PUuid.from_uuid(uuid.uuid4())])
+    b = PPartition(
+        vector_size=8, num_divisions=2, centroid=cent[5:],
+        encoded_vectors=PEncodedVectorSet(data=codes[6:]),
+        vector_ids=[PUuid.from_uuid(uuid.uuid4())])
+    blob = a.encode() + b.encode()
+
+    theirs = wc.Partition()
+    theirs.ParseFromString(blob)
+    ours = PPartition.decode(blob)
+
+    np.testing.assert_array_equal(
+        np.array(theirs.centroid, np.float32), ours.centroid)
+    np.testing.assert_array_equal(cent, ours.centroid)
+    assert list(theirs.encoded_vectors.data) == \
+        ours.encoded_vectors.data.tolist() == codes.tolist()
+    assert theirs.encoded_vectors.vector_size == \
+        ours.encoded_vectors.vector_size == 2
+    assert [uuid.UUID(int=(u.upper << 64) | u.lower)
+            for u in theirs.vector_ids] == \
+        [u.to_uuid() for u in ours.vector_ids]
