@@ -48,12 +48,17 @@ def main() -> None:
     args = ap.parse_args()
     n, m, p, d, c = args.n, args.m, args.p, args.d, args.c
 
-    from flechasdb_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache(os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
-
     import jax
+
+    if jax.default_backend() == "tpu":
+        # TPU-only: the shared cache dir holds XLA:CPU AOT entries
+        # compiled on a different host (machine-feature mismatch spews
+        # loader errors and can SIGILL a CPU smoke run).
+        from flechasdb_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+
     import jax.numpy as jnp
 
     from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed

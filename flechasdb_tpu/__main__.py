@@ -241,6 +241,81 @@ def verify(path: str) -> int:
     return 0
 
 
+def _referenced(root) -> "set[str]":
+    """Relative artifact paths a decoded root manifest points at."""
+    refs: set[str] = set()
+    if getattr(root, "num_divisions", 0):    # IVF-PQ
+        refs.update(f"partitions/{i}.binpb" for i in root.partition_ids)
+        refs.add(f"partitions/{root.partition_centroids_id}.binpb")
+        refs.update(f"codebooks/{i}.binpb" for i in root.codebook_ids)
+        refs.update(f"attributes/{i}.binpb"
+                    for i in root.attributes_log_ids)
+        if getattr(root, "rotation_id", ""):
+            refs.add(f"rotations/{root.rotation_id}.binpb")
+    else:                                    # flat
+        refs.update(f"chunks/{i}.binpb" for i in root.chunk_ids)
+        refs.update(f"attributes/{i}.binpb"
+                    for i in root.attributes_log_ids)
+    return refs
+
+
+def gc(path: str, dry_run: bool = False) -> int:
+    """Deletes artifacts no root manifest references.
+
+    The update story (materialize → mutate → re-save) leaves the PREVIOUS
+    root's touched partitions orphaned — content addressing never
+    overwrites, so stores grow monotonically. Every ``*.binpb`` at the
+    store's top level is treated as a live root (keep old roots around
+    for time travel; delete a root file first to let gc reap its tree).
+    Exit 0 always; ``--dry-run`` only lists.
+    """
+    import pathlib
+
+    from .errors import InvalidData
+    from .protos import PDatabase, PFlatDatabase
+
+    base = pathlib.Path(path)
+    fs = LocalFileSystem(base)
+    live: set[str] = set()
+    roots = sorted(base.glob("*.binpb"))
+    if not roots:
+        print(f"no root manifests in {path}", file=sys.stderr)
+        return 1
+    for rp in roots:
+        f = fs.open_hashed_file(rp.name, compressed=True)
+        payload = f.read()
+        f.verify()          # a corrupt root would hide its references
+        root = PDatabase.decode(payload)
+        if not (root.num_divisions and root.num_codes):
+            root = PFlatDatabase.decode(payload)
+            if root.vector_size == 0:
+                raise InvalidData(
+                    f"{rp.name} is neither an IVF-PQ nor a flat root")
+        live |= _referenced(root)
+        live.add(rp.name)
+    freed = 0
+    victims = []
+    for sub in ("partitions", "codebooks", "attributes", "chunks",
+                "rotations"):
+        d = base / sub
+        if not d.is_dir():
+            continue
+        for p in sorted(d.glob("*.binpb")):
+            rel = f"{sub}/{p.name}"
+            if rel not in live:
+                victims.append((rel, p.stat().st_size))
+    for rel, size in victims:
+        freed += size
+        print(f"{'would delete' if dry_run else 'deleted'}  {rel} "
+              f"({size} B)")
+        if not dry_run:
+            (base / rel).unlink()
+    print(f"{len(victims)} orphaned artifact(s), {freed} bytes"
+          f"{' (dry run)' if dry_run else ' freed'}; "
+          f"{len(roots)} live root(s)")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 1 and argv[0] == "generate":
         generate(*argv[1:2])
@@ -250,8 +325,11 @@ def main(argv: list[str]) -> int:
         return 0
     if len(argv) >= 2 and argv[0] == "verify":
         return verify(argv[1])
+    if len(argv) >= 2 and argv[0] == "gc":
+        return gc(argv[-1], dry_run="--dry-run" in argv[1:-1])
     print("usage: python -m flechasdb_tpu "
-          "[generate [path] | load <path> | verify <path>]",
+          "[generate [path] | load <path> | verify <path> | "
+          "gc [--dry-run] <path>]",
           file=sys.stderr)
     return 1
 

@@ -106,3 +106,57 @@ def test_read_without_hash_then_verify(rng):
     assert bad.read(need_hash=False) == payload
     with pytest.raises(VerificationFailure):
         bad.verify()
+
+
+def test_interrupted_save_leaves_old_tree_intact(tmp_path):
+    """Crash consistency: the root manifest is written LAST, so a save
+    that dies on any earlier artifact leaves the previous root fully
+    servable — the store only ever grows by unreferenced files (which
+    ``gc`` reaps), never breaks."""
+    import numpy as np
+
+    from flechasdb_tpu import (DatabaseBuilder, load_database,
+                               save_database)
+    from flechasdb_tpu.__main__ import main
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((150, 16)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(4).with_divisions(4)
+          .with_clusters(8).with_seed(5).build())
+    fs = LocalFileSystem(tmp_path)
+    root = save_database(db, fs)
+    before = {p: p.read_bytes() for p in tmp_path.rglob("*.binpb")}
+
+    class Dying(LocalFileSystem):
+        def __init__(self, base, die_after):
+            super().__init__(base)
+            self.left = die_after
+
+        def create_hashed_file(self, subdir="", compress=False):
+            if self.left <= 0:
+                raise IOError_("disk died")
+            self.left -= 1
+            return super().create_hashed_file(subdir, compress)
+
+    mem = load_database(fs, f"{root}.binpb").to_database()
+    mem.add_vectors(rng.standard_normal((9, 16)).astype(np.float32))
+    # Die at every artifact position up to the root write
+    # (4 partitions + 1 centroids + 4 codebooks + 4 attr logs + root).
+    for die_after in range(0, 20):
+        dying = Dying(tmp_path, die_after)
+        try:
+            save_database(mem, dying)
+            break                      # save completed: root was last
+        except IOError_:
+            pass
+        # old root still byte-identical and servable
+        for p, blob in before.items():
+            assert p.read_bytes() == blob, p
+        sdb = load_database(fs, f"{root}.binpb")
+        assert len(sdb.query(x[0], k=3, nprobe=4)) == 3
+    else:
+        raise AssertionError("save never completed")
+    # a completed save plus gc returns the store to a verified state
+    (tmp_path / f"{root}.binpb").unlink()
+    assert main(["gc", str(tmp_path)]) == 0
+    assert main(["verify", str(tmp_path)]) == 0
