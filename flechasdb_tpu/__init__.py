@@ -41,6 +41,7 @@ try:  # staged build-out: these land in later phases of the build plan
         save_flat_database,
     )
     from .io import FileSystem, LocalFileSystem
+    from .metrics import VALID_METRICS
     from .objectstore import AsyncFsspecFileSystem, FsspecFileSystem
     from .serialize import save_database
     from .stored import StoredDatabase, load_database
@@ -76,6 +77,7 @@ __all__ = [
     "StoredDatabase",
     "StoredFlatDatabase",
     "StreamingDatabaseBuilder",
+    "VALID_METRICS",
     "VerificationFailure",
     "load_database",
     "load_flat_database",

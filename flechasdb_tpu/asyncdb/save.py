@@ -124,5 +124,7 @@ async def save_database(db: Database, fs: FileSystem, *,
         attributes_log_ids=attributes_log_ids,
         attribute_names=attribute_names,
         rotation_id=rotation_id,
+        metric=("" if getattr(db, "metric", "l2") in ("", "l2")
+                else db.metric),
     )
     return await put("", root.encode, True)

@@ -119,6 +119,11 @@ class AsyncStoredDatabase:
         return self.vector_size // self.num_divisions
 
     @property
+    def metric(self) -> str:
+        """Query metric (extension root field 21; "" = "l2")."""
+        return getattr(self.root, "metric", "") or "l2"
+
+    @property
     def attribute_names(self) -> List[str]:
         return self.root.attribute_names
 
@@ -290,6 +295,9 @@ class AsyncStoredDatabase:
         if v.shape[0] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {v.shape[0]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from ..metrics import normalize_rows
+            v = normalize_rows(v[None], "query")[0]
 
         # Kick codebooks immediately so they overlap the centroids load
         # (query.rs:294-299); only emit load events on a cold cache.
@@ -308,8 +316,11 @@ class AsyncStoredDatabase:
             events(ev.FinishedPartitionCentroidsLoad())
 
         events(ev.StartingPartitionSelection())
-        # Ranking-only expansion; ‖c‖² cached at centroid load (see sync).
-        coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
+        if self.metric == "dot":
+            coarse = -(centroids @ v)     # MIPS coarse key (metrics.py)
+        else:
+            # Ranking-only expansion; ‖c‖² cached at centroid load (sync).
+            coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
         probed = topk_stable(coarse, nprobe)
         events(ev.FinishedPartitionSelection())
 
@@ -334,9 +345,15 @@ class AsyncStoredDatabase:
 
         # All nprobe ADC tables in one batched GEMM (they depend only on
         # the probed centroids, never on partition contents).
-        tables, qnorms = adc_tables(v[None] - centroids[probed], codebooks,
-                                    rotation, self._codebook_sq_norms,
-                                    self._codebooks_t)
+        if self.metric == "dot":
+            from ..stored import adc_tables_dot
+            tables, qnorms = adc_tables_dot(
+                v, centroids[probed], codebooks, rotation,
+                self._codebooks_t)
+        else:
+            tables, qnorms = adc_tables(
+                v[None] - centroids[probed], codebooks, rotation,
+                self._codebook_sq_norms, self._codebooks_t)
 
         # Hot path (no filter, no observer): await all loads, then run all
         # nprobe scans as ONE native call — mirrors the sync fast path
@@ -362,8 +379,10 @@ class AsyncStoredDatabase:
                             partition_index=int(probed[pj]),
                             vector_id=parts[pj].vector_id_at(vi),
                             vector_index=vi,
-                            # clamp f32-cancellation negatives (see sync)
-                            squared_distance=0.0 if sq < 0.0 else sq,
+                            # clamp f32-cancellation negatives (see sync);
+                            # dot keys are legitimately negative
+                            squared_distance=sq if (
+                                sq >= 0.0 or self.metric == "dot") else 0.0,
                         ))
                     return merged
                 per_partition = [
@@ -424,8 +443,10 @@ class AsyncStoredDatabase:
                 partition_index=pi,
                 vector_id=part.vector_id_at(vi),
                 vector_index=vi,
-                # clamp f32-cancellation negatives (see the sync path)
-                squared_distance=0.0 if sq < 0.0 else sq,
+                # clamp f32-cancellation negatives (see the sync path);
+                # dot keys are legitimately negative
+                squared_distance=sq if (sq >= 0.0 or self.metric == "dot")
+                else 0.0,
             ))
         events(ev.FinishedResultSelection())
         return merged

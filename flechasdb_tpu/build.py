@@ -48,17 +48,24 @@ def _make_uuids(n: int, rng: np.random.Generator) -> List[_uuid.UUID]:
     return [_uuid.UUID(bytes=row.tobytes()) for row in raw]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rerank_exact(q, rows, valid, x, *, k):
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _rerank_exact(q, rows, valid, x, *, k, metric="l2"):
     """Exact re-scoring of ADC candidates.
 
     ``q [B, M]``, ``rows [B, R]`` candidate corpus rows, ``valid [B, R]``
     (False where the ADC pass ran out of reachable vectors), ``x [N, M]``
-    originals → exact ``(dists [B, k], rows [B, k])``.
+    originals → exact ``(dists [B, k], rows [B, k])``. ``metric="dot"``
+    re-scores by ``−⟨q, x⟩`` (see :mod:`.metrics`); cosine callers pass
+    unit vectors and the L2 key.
     """
     cand = jnp.take(x, rows, axis=0)                    # [B, R, M]
-    diff = cand - q[:, None, :]
-    exact = jnp.sum(diff * diff, axis=-1)
+    if metric == "dot":
+        exact = -jnp.einsum("bm,brm->br", q, cand,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    else:
+        diff = cand - q[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)
     exact = jnp.where(valid, exact, jnp.inf)
     neg, sel = jax.lax.top_k(-exact, k)
     return -neg, jnp.take_along_axis(rows, sel, axis=1)
@@ -118,6 +125,7 @@ class DatabaseBuilder:
         self._num_clusters = 16
         self._seed: Optional[int] = None
         self._opq_iters: int = 0
+        self._metric = "l2"
 
     def with_partitions(self, p: int) -> "DatabaseBuilder":
         if p <= 0:
@@ -147,6 +155,17 @@ class DatabaseBuilder:
         self._opq_iters = iters
         return self
 
+    def with_metric(self, metric: str) -> "DatabaseBuilder":
+        """Sets the query metric: ``"l2"`` (default, the reference's),
+        ``"dot"`` (maximum inner product) or ``"cosine"`` (corpus and
+        queries are unit-normalized; zero vectors raise). EXTENSION — see
+        :mod:`.metrics`; non-L2 databases save with root extension field
+        21 and would be served as L2 by the reference (same caveat as
+        OPQ's field 20)."""
+        from .metrics import check_metric
+        self._metric = check_metric(metric)
+        return self
+
     def with_seed(self, seed: int) -> "DatabaseBuilder":
         """Fixes the RNG for clustering *and* UUID assignment.
 
@@ -166,6 +185,9 @@ class DatabaseBuilder:
     def build(self, events: EventHandler = _noop) -> "Database":
         """Runs the build pipeline (``build.rs:78-129``)."""
         x = self._vs
+        if self._metric == "cosine":
+            from .metrics import normalize_rows
+            x = normalize_rows(x)
         n, m = x.shape
         p, d, c = (self._num_partitions, self._num_divisions,
                    self._num_clusters)
@@ -229,6 +251,7 @@ class DatabaseBuilder:
             codes=np.asarray(pq.indices, dtype=np.uint32).T.copy(),
             residues=np.asarray(parts.residues),
             rotation=rotation,
+            metric=self._metric,
         )
 
     def _build_f64(self, x, p, d, c, rng, vector_ids,
@@ -281,6 +304,7 @@ class DatabaseBuilder:
             codes=np.asarray(ob.codes, np.uint32),
             residues=cast32(residues64, "residues"),
             rotation=None,
+            metric=self._metric,
         )
 
 
@@ -302,6 +326,7 @@ class Database:
     codes: np.ndarray                        # [N, D] uint32
     residues: Optional[np.ndarray] = None    # [N, M] f32 (for reconstruction)
     rotation: Optional[np.ndarray] = None    # [M, M] OPQ rotation (extension)
+    metric: str = "l2"                       # see metrics.py (extension)
     attribute_table: AttributeTable = field(default_factory=dict)
 
     _local_idx: Optional[np.ndarray] = field(default=None, repr=False)
@@ -352,6 +377,9 @@ class Database:
         from .ops.encode import encode
 
         x = as_vector_set(vs, self.vector_size)
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            x = normalize_rows(x)
         if vector_ids is None:
             vector_ids = _make_uuids(len(x), np.random.default_rng(seed))
         if len(vector_ids) != len(x):
@@ -450,8 +478,15 @@ class Database:
             self._dev = DeviceIndex(
                 self.partition_centroids, self.codebooks,
                 self.codes.astype(np.int32), self.partition_indices,
-                rotation=self.rotation)
+                rotation=self.rotation, metric=self.metric)
         return self._dev
+
+    def _prep_queries(self, vs: np.ndarray) -> np.ndarray:
+        """Metric-specific query prep: cosine normalizes (zero → error)."""
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            return normalize_rows(vs, "query")
+        return vs
 
     def query(self, v, k: int, nprobe: int,
               where=None) -> List[QueryResult]:
@@ -472,6 +507,7 @@ class Database:
         if v.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {v.shape[1]} != {self.vector_size}")
+        v = self._prep_queries(v)
         mask = None if where is None else self._filter_mask(where)
         events(ev.StartingPartitionSelection())
         dists, rows, probed = self._device_state().query(
@@ -507,6 +543,7 @@ class Database:
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
+        vs = self._prep_queries(vs)
         mask = None if where is None else self._filter_mask(where)
         if rerank is None:
             dists, rows, _ = self._device_state().query(
@@ -521,7 +558,8 @@ class Database:
             vs, rerank, nprobe, row_mask=mask)
         dists, rows = _rerank_exact(
             jnp.asarray(vs), jnp.asarray(rows),
-            jnp.asarray(np.isfinite(adc)), self._device_originals(), k=k)
+            jnp.asarray(np.isfinite(adc)), self._device_originals(), k=k,
+            metric="dot" if self.metric == "dot" else "l2")
         dists, rows = np.asarray(dists), np.asarray(rows)
         return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
 

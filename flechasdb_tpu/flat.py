@@ -62,8 +62,13 @@ class FlatDatabase:
     """In-memory exact-search database."""
 
     def __init__(self, vectors, vector_ids: Optional[List[_uuid.UUID]] = None,
-                 seed: Optional[int] = None) -> None:
+                 seed: Optional[int] = None, metric: str = "l2") -> None:
+        from .metrics import check_metric, normalize_rows
+
+        self.metric = check_metric(metric)
         self._x = as_vector_set(vectors)
+        if self.metric == "cosine":
+            self._x = normalize_rows(self._x)
         rng = np.random.default_rng(seed)
         if vector_ids is None:
             vector_ids = _make_uuids(len(self._x), rng)
@@ -96,6 +101,9 @@ class FlatDatabase:
                ) -> List[_uuid.UUID]:
         """Appends vectors; returns their IDs. O(new data) when re-saved."""
         new = as_vector_set(vectors, self.vector_size)
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            new = normalize_rows(new)
         if vector_ids is None:
             vector_ids = _make_uuids(len(new), self._rng)
         if len(vector_ids) != len(new):
@@ -177,11 +185,16 @@ class FlatDatabase:
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
         vs = as_vector_set(vs, self.vector_size)
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            vs = normalize_rows(vs, "query")
         if self._dev is None:
             self._dev = jnp.asarray(self._x)
         mask = None if where is None else \
             jnp.asarray(self._filter_mask(where))
-        dists, rows = exact_topk(jnp.asarray(vs), self._dev, mask, k=k)
+        dists, rows = exact_topk(
+            jnp.asarray(vs), self._dev, mask, k=k,
+            metric="dot" if self.metric == "dot" else "l2")
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -261,6 +274,7 @@ def save_flat_database(db: FlatDatabase, fs: FileSystem) -> str:
         chunk_ids=chunk_ids,
         attributes_log_ids=log_ids,
         attribute_names=names,
+        metric="" if db.metric == "l2" else db.metric,
     )
     f = fs.create_hashed_file(compress=True)
     f.write(root.encode())
@@ -273,11 +287,19 @@ def load_flat_database(fs: FileSystem, path: str) -> "StoredFlatDatabase":
     payload = f.read()
     f.verify()
     root = PFlatDatabase.decode(payload)
+    _validate_flat_root(root)
+    return StoredFlatDatabase(fs=fs, root=root)
+
+
+def _validate_flat_root(root: PFlatDatabase) -> None:
+    from .metrics import VALID_METRICS
+
     if root.vector_size == 0:
         raise InvalidData("vector_size is zero")
     if len(root.chunk_ids) != len(root.attributes_log_ids):
         raise InvalidData("chunk/attributes-log count mismatch")
-    return StoredFlatDatabase(fs=fs, root=root)
+    if getattr(root, "metric", "") not in ("",) + VALID_METRICS:
+        raise InvalidData(f"unknown metric: {root.metric!r}")
 
 
 @dataclass
@@ -307,6 +329,11 @@ class StoredFlatDatabase:
     @property
     def attribute_names(self) -> List[str]:
         return self.root.attribute_names
+
+    @property
+    def metric(self) -> str:
+        """Query metric (root extension field 21; "" = "l2")."""
+        return getattr(self.root, "metric", "") or "l2"
 
     def _load_chunk(self, i: int) -> tuple:
         if self._chunks[i] is None:
@@ -361,6 +388,9 @@ class StoredFlatDatabase:
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
         vs = as_vector_set(vs, self.vector_size)
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            vs = normalize_rows(vs, "query")
         xd, ids = self._load_all()
         mask = None
         if where is not None:
@@ -370,7 +400,9 @@ class StoredFlatDatabase:
                 self._filter_cache = ColumnCache()
             mask = jnp.asarray(evaluate_mask(
                 where, ids, self._attribute_table, self._filter_cache))
-        dists, rows = exact_topk(jnp.asarray(vs), xd, mask, k=k)
+        dists, rows = exact_topk(
+            jnp.asarray(vs), xd, mask, k=k,
+            metric="dot" if self.metric == "dot" else "l2")
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -428,7 +460,7 @@ class StoredFlatDatabase:
         byte-identical artifacts and the store skips their files."""
         x, ids = self._load_all_host()
         self._ensure_attrs_loaded()
-        db = FlatDatabase(x, ids)
+        db = FlatDatabase(x, ids, metric=self.metric)
         db.attribute_table = {
             vid: dict(attrs)
             for vid, attrs in self._attribute_table.items()
@@ -442,10 +474,7 @@ async def load_flat_database_async(fs, path: str) -> "AsyncStoredFlatDatabase":
     payload = await f.read()
     f.verify()
     root = PFlatDatabase.decode(payload)
-    if root.vector_size == 0:
-        raise InvalidData("vector_size is zero")
-    if len(root.chunk_ids) != len(root.attributes_log_ids):
-        raise InvalidData("chunk/attributes-log count mismatch")
+    _validate_flat_root(root)
     return AsyncStoredFlatDatabase(fs=fs, root=root)
 
 
@@ -501,8 +530,13 @@ class AsyncStoredFlatDatabase:
         if v.shape[1] != self.root.vector_size:
             raise InvalidArgs(
                 f"query vector size {v.shape[1]} != {self.root.vector_size}")
+        metric = getattr(self.root, "metric", "") or "l2"
+        if metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v, "query")
         xd, ids = await self._load_all()
-        dists, rows = exact_topk(jnp.asarray(v), xd, k=k)
+        dists, rows = exact_topk(jnp.asarray(v), xd, k=k,
+                                 metric="dot" if metric == "dot" else "l2")
         dists, rows = np.asarray(dists)[0], np.asarray(rows)[0]
         out = []
         for dist, row in zip(dists, rows):

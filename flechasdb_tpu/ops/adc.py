@@ -38,25 +38,68 @@ from .distance import sqdist
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+def coarse_scores(q: jax.Array, centroids: jax.Array,
+                  metric: str = "l2") -> jax.Array:
+    """Coarse partition ranking keys (lower = better), ``[B, P]``.
+
+    L2/cosine: squared distances (cosine callers pass unit vectors, so
+    the same key ranks by similarity); dot: ``−q·cᵀ`` — the partitions
+    whose centroids have the largest inner product with the query are
+    probed (see :mod:`..metrics`).
+    """
+    if metric == "dot":
+        return -jnp.matmul(q, centroids.T, precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
+    return sqdist(q, centroids)
+
+
+def _dot_tables(q: jax.Array, codebooks: jax.Array,
+                cent_scores: jax.Array,
+                rotation: jax.Array | None) -> jax.Array:
+    """MIPS ADC tables with the per-partition scalar folded in.
+
+    ``q [B, M]``, ``cent_scores [B, J] = −⟨q, c_j⟩`` (J = P or nprobe) →
+    ``[B, J, D, C]`` where summing ``t[b, j, d, code_d]`` over d yields
+    exactly ``−⟨q, x̂⟩`` for a vector encoded in partition j:
+    ``t[b, j, d, c] = −⟨q'_d, cb[d, c]⟩ + cent_scores[b, j]/D`` with
+    ``q' = q @ R`` under OPQ (codes live in the rotated space and R is
+    orthogonal, so ``⟨q, r⟩ = ⟨qR, rR⟩``).
+    """
+    b, m = q.shape
+    d, c, sub = codebooks.shape
+    qr = q if rotation is None else jnp.matmul(
+        q, rotation, precision=_PRECISION,
+        preferred_element_type=jnp.float32)
+    qc = jnp.einsum("bds,dcs->bdc", qr.reshape(b, d, sub), codebooks,
+                    precision=_PRECISION,
+                    preferred_element_type=jnp.float32)   # [B, D, C]
+    return cent_scores[..., None, None] / d - qc[:, None, :, :]
+
+
 def adc_tables(q: jax.Array, centroids: jax.Array,
                codebooks: jax.Array,
                rotation: jax.Array | None = None,
+               metric: str = "l2",
                ) -> tuple[jax.Array, jax.Array]:
-    """Coarse distances and ADC tables for every partition.
+    """Coarse scores and ADC tables for every partition.
 
     ``q: [B, M]``, ``centroids: [P, M]``, ``codebooks: [D, C, m]`` →
-    ``(coarse [B, P], tables [B, P, D, C])`` where
+    ``(coarse [B, P], tables [B, P, D, C])`` where, for L2,
     ``tables[b, p, d, c] = ||(q_b - cent_p)_d - codebook[d, c]||²``
     (the reference builds these per selected partition at
     ``db/stored.rs:556-573``). With an OPQ ``rotation [M, M]`` the residual
     is rotated before division (codes live in the rotated space; coarse
-    distances are rotation-invariant).
+    distances are rotation-invariant). For ``metric="dot"`` the tables
+    hold the decomposed negated inner product (:func:`_dot_tables`) and
+    everything downstream ranks identically.
     """
     b, m = q.shape
     p = centroids.shape[0]
     d, c, sub = codebooks.shape
 
-    coarse = sqdist(q, centroids)                      # [B, P]
+    coarse = coarse_scores(q, centroids, metric)       # [B, P]
+    if metric == "dot":
+        return coarse, _dot_tables(q, codebooks, coarse, rotation)
 
     resid = q[:, None, :] - centroids[None, :, :]      # [B, P, M]
     if rotation is not None:
@@ -73,7 +116,7 @@ def adc_tables(q: jax.Array, centroids: jax.Array,
     return coarse, tables
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def query_masked_scan(
     q: jax.Array,
     centroids: jax.Array,
@@ -85,6 +128,7 @@ def query_masked_scan(
     *,
     k: int,
     nprobe: int,
+    metric: str = "l2",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched IVF-PQ k-NN over an in-memory corpus.
 
@@ -93,14 +137,16 @@ def query_masked_scan(
     excludes rows whose mask is False (attribute filtering,
     :mod:`..filters`). Returns ``(sq_distances [B, k], vector_rows [B, k]
     int32, probed [B, nprobe] int32)``. Entries beyond the number of
-    reachable vectors carry ``+inf`` distance.
+    reachable vectors carry ``+inf`` distance. ``metric`` as in
+    :mod:`..metrics` (for ``"dot"`` the distances are negated inner
+    products; cosine callers pass pre-normalized data and use "l2" keys).
     """
     b, m = q.shape
     p = centroids.shape[0]
     d, c, _ = codebooks.shape
     n = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation)
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
 
     # Flat gather: vdist[b, i] = Σ_d tables[b, pidx[i], d, codes[i, d]]

@@ -113,18 +113,29 @@ def unpack_codes(words: jax.Array, d: int) -> jax.Array:
 
 def probed_tables(q: jax.Array, centroids: jax.Array, codebooks: jax.Array,
                   probed: jax.Array,
-                  rotation: jax.Array | None = None) -> jax.Array:
+                  rotation: jax.Array | None = None,
+                  metric: str = "l2") -> jax.Array:
     """ADC distance tables for the probed partitions only.
 
-    ``q [B, M]``, ``probed [B, nprobe]`` → ``[B, nprobe, D, C]`` where
+    ``q [B, M]``, ``probed [B, nprobe]`` → ``[B, nprobe, D, C]`` where,
+    for L2,
     ``tables[b, j, d, c] = ‖(q_b - centroid_{probed[b,j]})_d - cb[d,c]‖²``
     (clamped at 0; OPQ rotation applied to the residual when given).
+    For ``metric="dot"`` the tables decompose the negated inner product
+    with the per-probe ``−⟨q, c⟩/D`` scalar folded in
+    (:func:`.adc._dot_tables`), so the lookup kernels run unchanged.
     Shared by the single-chip and sharded bucketed query paths.
     """
     b = q.shape[0]
     nprobe = probed.shape[1]
     d, c, sub = codebooks.shape
     pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
+    if metric == "dot":
+        from .adc import _dot_tables
+        cent_scores = -jnp.einsum(
+            "bm,bjm->bj", q, pc, precision=_PRECISION,
+            preferred_element_type=jnp.float32)         # [B, nprobe]
+        return _dot_tables(q, codebooks, cent_scores, rotation)
     resid = q[:, None, :] - pc
     if rotation is not None:  # OPQ: codes live in the rotated space
         resid = jnp.matmul(resid, rotation, precision=_PRECISION,
@@ -175,7 +186,8 @@ def _default_impl() -> str:
     return "pallas" if _platform() == "tpu" else "gather"
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
+                                              "metric"))
 def query_bucketed(
     q: jax.Array,
     centroids: jax.Array,
@@ -187,12 +199,14 @@ def query_bucketed(
     k: int,
     nprobe: int,
     impl: str | None = None,
+    metric: str = "l2",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched pruned IVF-PQ k-NN.
 
     Same contract as :func:`.adc.query_masked_scan`: returns
     ``(sq_distances [B, k], rows [B, k] int32, probed [B, nprobe] int32)``
-    with ``+inf`` beyond the number of reachable vectors.
+    with ``+inf`` beyond the number of reachable vectors. ``metric`` as in
+    :mod:`..metrics` ("dot" → distances are negated inner products).
 
     ``row_mask [N] bool`` (optional): corpus rows whose mask is False are
     excluded (attribute filtering, :mod:`..filters`) — one gather + select
@@ -206,9 +220,11 @@ def query_bucketed(
     d, c, sub = codebooks.shape
     l = buckets.codes.shape[2]
 
-    coarse = sqdist(q, centroids)                       # [B, P]
+    from .adc import coarse_scores
+    coarse = coarse_scores(q, centroids, metric)        # [B, P]
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
-    tables = probed_tables(q, centroids, codebooks, probed, rotation)
+    tables = probed_tables(q, centroids, codebooks, probed, rotation,
+                           metric)
 
     # Table lookup-sum over the probed buckets. The pallas path reads the
     # buckets IN PLACE via scalar-prefetch block indexing (the gathered

@@ -16,17 +16,22 @@ import jax.numpy as jnp
 
 from .distance import sqdist
 
+_PRECISION = jax.lax.Precision.HIGHEST
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
 def exact_topk(q: jax.Array, x: jax.Array,
                row_mask: jax.Array | None = None, *, k: int,
-               chunk: int = 1 << 17) -> tuple[jax.Array, jax.Array]:
+               chunk: int = 1 << 17,
+               metric: str = "l2") -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbours of each query.
 
     ``q: [B, M]``, ``x: [N, M]`` → ``(sq_distances [B, k], rows [B, k]
     int32)``, ascending. Entries beyond ``N`` carry ``+inf``.
     ``row_mask [N] bool`` (optional) excludes rows whose mask is False
-    (attribute filtering, :mod:`..filters`).
+    (attribute filtering, :mod:`..filters`). ``metric`` as in
+    :mod:`..metrics`: ``"dot"`` ranks by ``−⟨q, x⟩`` (maximum inner
+    product); cosine callers pass unit vectors with the default key.
     """
     b, m = q.shape
     n = x.shape[0]
@@ -40,7 +45,11 @@ def exact_topk(q: jax.Array, x: jax.Array,
         best_d, best_i = state
         start = jnp.minimum(i * chunk, n - chunk)
         xi = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
-        d = sqdist(q, xi)                                   # [B, chunk]
+        if metric == "dot":
+            d = -jnp.matmul(q, xi.T, precision=_PRECISION,
+                            preferred_element_type=jnp.float32)
+        else:
+            d = sqdist(q, xi)                               # [B, chunk]
         rows = start + jnp.arange(chunk, dtype=jnp.int32)
         # Overlapping rows in the (shifted) last chunk must not appear
         # twice in the running set: mask rows already covered.

@@ -36,7 +36,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.bucketed import Buckets, bucket_scan, probed_tables
-from ..ops.distance import sqdist
 from .mesh import AXIS, merge_topk
 
 
@@ -63,16 +62,19 @@ def shard_buckets(mesh: Mesh, buckets: Buckets) -> Buckets:
 
 
 def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
-                       rotation, row_mask, *, k, nprobe, impl):
+                       rotation, row_mask, *, k, nprobe, impl, metric):
     """Per-device body: scan owned probed buckets, local top-k, ICI merge."""
+    from ..ops.adc import coarse_scores
+
     b = q.shape[0]
     d, c, _ = codebooks.shape
     ploc, _, l = bcodes.shape
     p0 = jax.lax.axis_index(AXIS) * ploc
 
-    coarse = sqdist(q, centroids)                       # [B, P] replicated
+    coarse = coarse_scores(q, centroids, metric)        # [B, P] replicated
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe] global
-    tables = probed_tables(q, centroids, codebooks, probed, rotation)
+    tables = probed_tables(q, centroids, codebooks, probed, rotation,
+                           metric)
 
     lidx = probed - p0
     owned = (lidx >= 0) & (lidx < ploc)
@@ -106,7 +108,7 @@ def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "k", "nprobe", "impl"))
+                   static_argnames=("mesh", "k", "nprobe", "impl", "metric"))
 def query_bucketed_sharded(
     q: jax.Array,
     centroids: jax.Array,
@@ -119,6 +121,7 @@ def query_bucketed_sharded(
     k: int,
     nprobe: int,
     impl: str | None = None,
+    metric: str = "l2",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched pruned k-NN with buckets partition-sharded over ``mesh``.
 
@@ -146,7 +149,8 @@ def query_bucketed_sharded(
         rot = ex[0] if has_rot else None
         rm = ex[-1] if has_mask else None
         return _local_bucket_scan(q, cents, cbs, bc, br, ln, rot, rm,
-                                  k=k, nprobe=nprobe, impl=impl)
+                                  k=k, nprobe=nprobe, impl=impl,
+                                  metric=metric)
 
     fn = jax.shard_map(
         local, mesh=mesh,

@@ -30,14 +30,14 @@ from .mesh import AXIS, merge_topk
 
 
 def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
-                *, k, nprobe):
+                *, k, nprobe, metric):
     """Per-device body: scan local rows, return local top-k in global rows."""
     b = q.shape[0]
     p = centroids.shape[0]
     d, c, _ = codebooks.shape
     nloc = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation)
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
     _, probed = jax.lax.top_k(-coarse, nprobe)            # [B, nprobe]
 
     # Padding rows carry pidx == -1; clamp for the gather, mask below.
@@ -71,7 +71,7 @@ def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "k", "nprobe"))
+                   static_argnames=("mesh", "k", "nprobe", "metric"))
 def query_sharded(
     q: jax.Array,
     centroids: jax.Array,
@@ -84,6 +84,7 @@ def query_sharded(
     mesh: Mesh,
     k: int,
     nprobe: int,
+    metric: str = "l2",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched k-NN with the corpus sharded across ``mesh``.
 
@@ -107,7 +108,8 @@ def query_sharded(
     def local(q, c, cb, co, pi, *ex):
         rot = ex[0] if has_rot else None
         rm = ex[-1] if has_mask else None
-        return _local_scan(q, c, cb, co, pi, rot, rm, k=k, nprobe=nprobe)
+        return _local_scan(q, c, cb, co, pi, rot, rm, k=k, nprobe=nprobe,
+                           metric=metric)
 
     fn = jax.shard_map(
         local, mesh=mesh,

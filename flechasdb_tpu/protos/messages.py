@@ -434,6 +434,10 @@ class PDatabase:
     #: readable by the reference (it would skip the unknown field and decode
     #: codes without rotating the query residuals).
     rotation_id: str = ""
+    #: EXTENSION (field 21): query metric name — "" (= "l2", the
+    #: reference's), "dot" or "cosine" (see ``metrics.py``). The reference
+    #: would skip the unknown field and serve the index as L2.
+    metric: str = ""
 
     def encode(self) -> bytes:
         w = Writer()
@@ -451,6 +455,7 @@ class PDatabase:
         for s in self.attribute_names:
             w.string_field(14, s, force=True)
         w.string_field(20, self.rotation_id)
+        w.string_field(21, self.metric)
         return w.getvalue()
 
     @classmethod
@@ -485,6 +490,8 @@ class PDatabase:
                     m.partition_centroids_id = wire.decode_utf8(payload)
                 elif f == 20:
                     m.rotation_id = wire.decode_utf8(payload)
+                elif f == 21:
+                    m.metric = wire.decode_utf8(payload)
                 elif f in runs:     # 2-byte length (>127-char string)
                     getattr(m, runs[f]).append(wire.decode_utf8(payload))
             elif wt == wire.WT_VARINT:
@@ -636,6 +643,8 @@ class PFlatDatabase:
     chunk_ids: List[str] = dfield(default_factory=list)
     attributes_log_ids: List[str] = dfield(default_factory=list)
     attribute_names: List[str] = dfield(default_factory=list)
+    #: Query metric ("" = "l2"); same contract as PDatabase.metric.
+    metric: str = ""
 
     def encode(self) -> bytes:
         w = Writer()
@@ -647,6 +656,7 @@ class PFlatDatabase:
             w.string_field(11, s, force=True)
         for s in self.attribute_names:
             w.string_field(12, s, force=True)
+        w.string_field(21, self.metric)
         return w.getvalue()
 
     @classmethod
@@ -665,4 +675,6 @@ class PFlatDatabase:
                     m.attributes_log_ids.append(wire.decode_utf8(payload))
                 elif f == 12:
                     m.attribute_names.append(wire.decode_utf8(payload))
+                elif f == 21:
+                    m.metric = wire.decode_utf8(payload)
         return m

@@ -68,6 +68,10 @@ def save_database(db: Database, fs: FileSystem) -> str:
         attributes_log_ids=attributes_log_ids,
         attribute_names=attribute_names,
         rotation_id=rotation_id,
+        # "" for L2 keeps the root byte-identical to the reference format;
+        # non-L2 writes extension field 21 (see metrics.py).
+        metric=("" if getattr(db, "metric", "l2") in ("", "l2")
+                else db.metric),
     )
     f = fs.create_hashed_file(compress=True)
     f.write(root.encode())

@@ -86,12 +86,18 @@ class DeviceIndex:
                  codes: np.ndarray, pidx: np.ndarray,
                  layout: Optional[str] = None,
                  rotation: Optional[np.ndarray] = None,
-                 hbm_budget_bytes: int = HBM_BUDGET_BYTES) -> None:
+                 hbm_budget_bytes: int = HBM_BUDGET_BYTES,
+                 metric: str = "l2") -> None:
         import jax.numpy as jnp
 
+        from .metrics import check_metric
         from .ops.bucketed import bucketize
 
         self.hbm_budget_bytes = hbm_budget_bytes
+        # Kernel-level metric: cosine is L2 over unit vectors — the
+        # DATABASE layer normalizes corpus/queries; kernels see "l2".
+        m = check_metric(metric)
+        self.metric = "dot" if m == "dot" else "l2"
 
         p = centroids.shape[0]
         n = max(len(codes), 1)
@@ -144,13 +150,15 @@ class DeviceIndex:
         if self.layout == "bucketed":
             d, r, p = query_bucketed(
                 qd, self.centroids, self.codebooks, self.buckets,
-                self.rotation, row_mask, k=k, nprobe=nprobe)
+                self.rotation, row_mask, k=k, nprobe=nprobe,
+                metric=self.metric)
             return np.asarray(d), np.asarray(r), np.asarray(p)
 
         return _run_chunked(
             lambda qc: query_masked_scan(
                 qc, self.centroids, self.codebooks, self.codes, self.pidx,
-                self.rotation, row_mask, k=k, nprobe=nprobe),
+                self.rotation, row_mask, k=k, nprobe=nprobe,
+                metric=self.metric),
             qd, self._masked_batch_limit())
 
 
@@ -171,15 +179,19 @@ class ShardedIndex:
                  codes: np.ndarray, pidx: np.ndarray,
                  layout: Optional[str] = None,
                  rotation: Optional[np.ndarray] = None,
-                 hbm_budget_bytes: int = HBM_BUDGET_BYTES, *, mesh) -> None:
+                 hbm_budget_bytes: int = HBM_BUDGET_BYTES,
+                 metric: str = "l2", *, mesh) -> None:
         import jax.numpy as jnp
 
+        from .metrics import check_metric
         from .ops.bucketed import bucketize
         from .parallel.bucketed import shard_buckets
         from .parallel.mesh import shard_corpus
 
         self.mesh = mesh
         self.hbm_budget_bytes = hbm_budget_bytes
+        m = check_metric(metric)  # cosine normalizes upstream; see DeviceIndex
+        self.metric = "dot" if m == "dot" else "l2"
         self.centroids = jnp.asarray(centroids)
         self.codebooks = jnp.asarray(codebooks)
         self.rotation = None if rotation is None else jnp.asarray(rotation)
@@ -216,7 +228,8 @@ class ShardedIndex:
                 row_mask = jnp.asarray(row_mask, bool)  # replicated, global
             d, r, p = query_bucketed_sharded(
                 qd, self.centroids, self.codebooks, self.buckets,
-                self.rotation, row_mask, mesh=self.mesh, k=k, nprobe=nprobe)
+                self.rotation, row_mask, mesh=self.mesh, k=k, nprobe=nprobe,
+                metric=self.metric)
             return np.asarray(d), np.asarray(r), np.asarray(p)
         if row_mask is not None:
             row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
@@ -230,5 +243,5 @@ class ShardedIndex:
             lambda qc: query_sharded(
                 qc, self.centroids, self.codebooks, self.codes, self.pidx,
                 self.rotation, row_mask, mesh=self.mesh, k=k,
-                nprobe=nprobe),
+                nprobe=nprobe, metric=self.metric),
             qd, limit)

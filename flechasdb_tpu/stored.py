@@ -103,6 +103,9 @@ def validate_root(root: PDatabase) -> PDatabase:
         raise InvalidData(
             f"num_divisions {root.num_divisions} and codebook_ids.len()"
             f" {len(root.codebook_ids)} do not match")
+    from .metrics import VALID_METRICS
+    if getattr(root, "metric", "") not in ("",) + VALID_METRICS:
+        raise InvalidData(f"unknown metric: {root.metric!r}")
     return root
 
 
@@ -262,6 +265,32 @@ def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
     return tables, qnorms
 
 
+def adc_tables_dot(v: np.ndarray, probed_centroids: np.ndarray,
+                   codebooks: np.ndarray,
+                   rotation: np.ndarray | None = None,
+                   codebooks_t: np.ndarray | None = None,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """MIPS ADC tables, host path (see :mod:`.metrics` and
+    :func:`.ops.adc._dot_tables` for the device analogue).
+
+    ``v [M]``, ``probed_centroids [n, M]`` → ``(tables [n, D, C] f32
+    C-contiguous, qnorms [n] zeros)`` with the per-partition scalar
+    ``−⟨v, c_j⟩/D`` folded into every table entry, so the same native
+    gather-accumulate / k-best heap (:func:`adc_scan_topk`) ranks by
+    ``−⟨v, x̂⟩``. The query·codebook product is partition-independent —
+    ONE ``[D, 1, m] @ [D, m, C]`` GEMM serves all nprobe tables.
+    """
+    d, c, m_sub = codebooks.shape
+    vq = v if rotation is None else v @ rotation
+    if codebooks_t is None:
+        codebooks_t = np.ascontiguousarray(codebooks.transpose(0, 2, 1))
+    cross = np.matmul(vq.reshape(d, 1, m_sub), codebooks_t)    # [D, 1, C]
+    scal = -(probed_centroids @ v) / np.float32(d)             # [n]
+    tables = np.ascontiguousarray(
+        scal[:, None, None] - cross.transpose(1, 0, 2), dtype=np.float32)
+    return tables, np.zeros(len(probed_centroids), np.float32)
+
+
 def adc_dists(table: np.ndarray, qnorm: float,
               codes: np.ndarray) -> np.ndarray:
     """All-row distances against one precomputed ``[D, C]`` table (see
@@ -385,6 +414,11 @@ class StoredDatabase:
     @property
     def attribute_names(self) -> List[str]:
         return self.root.attribute_names
+
+    @property
+    def metric(self) -> str:
+        """Query metric (extension root field 21; "" = "l2")."""
+        return getattr(self.root, "metric", "") or "l2"
 
     def get_partition_id(self, index: int) -> Optional[str]:
         ids = self.root.partition_ids
@@ -576,6 +610,9 @@ class StoredDatabase:
         if v.shape[0] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {v.shape[0]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v[None], "query")[0]
 
         if self._dev is not None:
             mask = None if where is None else self._global_filter_mask(where)
@@ -589,9 +626,14 @@ class StoredDatabase:
         events(ev.FinishedQueryInitialization())
 
         events(ev.StartingPartitionSelection())
-        # Ranking-only: ‖v−c‖² = ‖c‖² − 2·c·v + const(v); the constant
-        # cannot change the argsort, and ‖c‖² is cached at centroid load.
-        coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
+        if self.metric == "dot":
+            # MIPS coarse key: −⟨v, c⟩ (see metrics.py).
+            coarse = -(centroids @ v)
+        else:
+            # Ranking-only: ‖v−c‖² = ‖c‖² − 2·c·v + const(v); the constant
+            # cannot change the argsort, and ‖c‖² is cached at centroid
+            # load.
+            coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
         probed = topk_stable(coarse, nprobe)
         events(ev.FinishedPartitionSelection())
 
@@ -602,9 +644,14 @@ class StoredDatabase:
         # stored.rs:576-612).
         # All nprobe ADC tables in one batched GEMM (they depend only on
         # the probed centroids, db/stored.rs:549-575).
-        tables, qnorms = adc_tables(v[None] - centroids[probed], codebooks,
-                                    rotation, self._codebook_sq_norms,
-                                    self._codebooks_t)
+        if self.metric == "dot":
+            tables, qnorms = adc_tables_dot(
+                v, centroids[probed], codebooks, rotation,
+                self._codebooks_t)
+        else:
+            tables, qnorms = adc_tables(
+                v[None] - centroids[probed], codebooks, rotation,
+                self._codebook_sq_norms, self._codebooks_t)
 
         # Prefetch missing probed partitions concurrently: inflate+hash
         # releases the GIL, so a cold query stops paying nprobe serial
@@ -646,8 +693,10 @@ class StoredDatabase:
                             vector_index=vi,
                             # the ranking-only ‖c‖²−2·c·r+‖r‖² expansion can
                             # go ~-1e-6 on exact matches (f32 cancellation);
-                            # the device path clamps, so does the result
-                            squared_distance=0.0 if sq < 0.0 else sq,
+                            # the device path clamps, so does the result.
+                            # Dot keys are legitimately negative (−⟨q,x⟩).
+                            squared_distance=sq if (
+                                sq >= 0.0 or self.metric == "dot") else 0.0,
                         ))
                     return results
                 sel_d = [distb[j, :int(cntb[j])] for j in range(len(parts))]
@@ -708,8 +757,10 @@ class StoredDatabase:
                 partition_index=sel_pi[pj],
                 vector_id=sel_part[pj].vector_id_at(vi),
                 vector_index=vi,
-                # clamp f32-cancellation negatives (see the fast path)
-                squared_distance=0.0 if sq < 0.0 else sq,
+                # clamp f32-cancellation negatives (see the fast path);
+                # dot keys are legitimately negative
+                squared_distance=sq if (sq >= 0.0 or self.metric == "dot")
+                else 0.0,
             ))
         events(ev.FinishedResultSelection())
         return results
@@ -800,6 +851,7 @@ class StoredDatabase:
             codes=codes.astype(np.uint32, copy=False),
             residues=None,
             rotation=None if rotation is None else np.array(rotation),
+            metric=self.metric,
             attribute_table=table,
         )
 
@@ -842,7 +894,7 @@ class StoredDatabase:
         cls = DeviceIndex if mesh is None else \
             (lambda *a, **kw: ShardedIndex(*a, **kw, mesh=mesh))
         index = cls(centroids, codebooks, codes.astype(np.int32), pidx,
-                    rotation=rotation)
+                    rotation=rotation, metric=self.metric)
         self._dev = (index, pidx, local, vector_ids)
 
     def query_batch(self, vs, k: int, nprobe: int,
@@ -860,6 +912,9 @@ class StoredDatabase:
         if vs.shape[1] != self.vector_size:
             raise InvalidArgs(
                 f"query vector size {vs.shape[1]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            vs = normalize_rows(vs, "query")
         mask = None if where is None else self._global_filter_mask(where)
         return self._query_device(vs, k, nprobe, _noop, row_mask=mask)
 

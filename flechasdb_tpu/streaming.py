@@ -114,6 +114,7 @@ class StreamingDatabaseBuilder:
         self._sample_bytes = SAMPLE_BYTES
         self._chunk_rows: Optional[int] = None
         self._mesh = None
+        self._metric = "l2"
 
     def with_partitions(self, p: int) -> "StreamingDatabaseBuilder":
         if p <= 0:
@@ -145,6 +146,15 @@ class StreamingDatabaseBuilder:
         if iters <= 0:
             raise InvalidArgs(f"opq iters must be positive: {iters}")
         self._opq_iters = iters
+        return self
+
+    def with_metric(self, metric: str) -> "StreamingDatabaseBuilder":
+        """Query metric (extension; see :meth:`.build.DatabaseBuilder
+        .with_metric` and :mod:`.metrics`). Cosine normalizes every row
+        as it streams (training sample and encode chunks alike); zero
+        rows raise :class:`InvalidArgs` when they stream past."""
+        from .metrics import check_metric
+        self._metric = check_metric(metric)
         return self
 
     def with_training_caps(self, *, coarse_cap: Optional[int] = None,
@@ -263,6 +273,9 @@ class StreamingDatabaseBuilder:
             if len(rows) > s_max:   # trim overshoot; keep sorted for IO
                 rows = np.sort(rows[rng.permutation(len(rows))[:s_max]])
         sample = _gather_rows(self._source, rows, m)
+        if self._metric == "cosine":
+            from .metrics import normalize_rows
+            sample = normalize_rows(sample)
         s_have = len(sample)
 
         cluster_events = ((lambda e: events(ev.ClusterEvent(e)))
@@ -343,6 +356,9 @@ class StreamingDatabaseBuilder:
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
             xb = np.asarray(self._source[lo:hi], dtype=np.float32)
+            if self._metric == "cosine":
+                from .metrics import normalize_rows
+                xb = normalize_rows(xb)
             if hi - lo < chunk:                # pad-row codes are discarded
                 xb = np.pad(xb, ((0, chunk - (hi - lo)), (0, 0)))
             pi, co = encode(put(xb), enc_cents, enc_books, enc_rot)
@@ -361,4 +377,5 @@ class StreamingDatabaseBuilder:
             codes=codes,
             residues=None,
             rotation=rotation,
+            metric=self._metric,
         )
