@@ -6,6 +6,8 @@ Configs (BASELINE.json "configs"):
   * gist: GIST1M-shaped (1M × 960, P=1024, D=60, C=256) — high-dim build
     stress (``--scale small`` shrinks N)
   * async: batched queries against a stored DB with attribute fetch
+  * mips: the "dot"-metric extension at sift shape — recall@10 vs exact
+    max-inner-product ground truth + qps (same build; only scoring changes)
 
 SIFT/GIST are served from disk at the original datasets' homes; this image
 has no egress, so the sweep uses clustered GMM synthetic data with
@@ -173,6 +175,106 @@ def run_sift(scale, rng, opq=False):
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 
 
+def exact_mips_device(x, q, k):
+    """Brute-force max-inner-product ground truth on TPU, chunked."""
+    import jax
+    import jax.numpy as jnp
+
+    qd = jnp.asarray(q)
+    best_d = jnp.full((len(q), k), jnp.inf)
+    best_i = jnp.zeros((len(q), k), jnp.int32)
+    step = 1 << 17
+
+    @jax.jit
+    def fold(best_d, best_i, chunk, base):
+        d = -jnp.matmul(qd, chunk.T, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        idx = (jnp.arange(chunk.shape[0], dtype=jnp.int32) + base)[None, :]
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
+            idx, d.shape).astype(jnp.int32)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    for i in range(0, len(x), step):
+        best_d, best_i = fold(best_d, best_i, jnp.asarray(x[i:i + step]),
+                              np.int32(i))
+    return np.asarray(best_i)
+
+
+def run_mips(scale, rng):
+    """MIPS ("dot" metric) recall + qps at SIFT shape (metrics.py ext).
+
+    Same corpus/build as the sift config (training is L2 for every
+    metric); queries rank by negated inner product against exact MIPS
+    ground truth. The dot tables are partition-scalar folds — expect qps
+    at or above the L2 rows (no per-probe residual einsum).
+    """
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+    from flechasdb_tpu.ops.bucketed import bucketize, query_bucketed
+    from flechasdb_tpu.parallel.build import _build_step
+    from flechasdb_tpu.utils.synth import gmm_pair_device
+
+    n = 1_000_000 if scale == "full" else 200_000
+    m, p, d, c = 128, 1024, 8, 256
+    nq, k = 1000, 10
+    xd, qdev = gmm_pair_device(jax.random.key(17), n, nq, m,
+                               n_clusters=256, intrinsic=12)
+    q = np.asarray(qdev)
+    _ = np.asarray(xd[:1, :1])
+    t0 = time.time()
+    built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    build_s = time.time() - t0
+    log({"config": "mips", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+         "value": round(build_s, 3), "unit": "s"})
+
+    gt = exact_mips_device(np.asarray(xd), q, k)
+    buckets = bucketize(np.asarray(built.codes), pidx, p)
+    qd = jnp.asarray(q)
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def refine_ip(qv, rows, xdev, *, k):
+        cand = jnp.take(xdev, rows, axis=0)
+        ex = -jnp.einsum("bm,brm->br", qv, cand,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        neg, sel = jax.lax.top_k(-ex, k)
+        return -neg, jnp.take_along_axis(rows, sel, axis=1)
+
+    for nprobe, rerank in ((1, None), (5, None), (10, None), (50, None),
+                           (5, 100), (10, 100)):
+        kk = rerank or k
+        dists, rows, _ = query_bucketed(
+            qd, built.partition_centroids, built.codebooks, buckets,
+            k=kk, nprobe=nprobe, metric="dot")
+        if rerank:
+            _, rows = refine_ip(qd, rows, xd, k=k)
+        rows_h = np.asarray(rows)
+        recall = np.mean([
+            len(set(rows_h[b].tolist()) & set(gt[b].tolist())) / k
+            for b in range(nq)])
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            dists, rows, _ = query_bucketed(
+                qd, built.partition_centroids, built.codebooks, buckets,
+                k=kk, nprobe=nprobe, metric="dot")
+            if rerank:
+                _, rows = refine_ip(qd, rows, xd, k=k)
+        _ = np.asarray(rows)
+        dt = (time.time() - t0) / reps
+        row = {"config": "mips", "nprobe": nprobe,
+               "recall@10": round(float(recall), 4),
+               "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)}
+        if rerank:
+            row["rerank"] = rerank
+        log(row)
+
+
 def run_gist(scale, rng):
     import jax
     import jax.numpy as jnp
@@ -266,8 +368,8 @@ def main():
         if cfg == "sift-opq":
             run_sift(args.scale, rng, opq=True)
         else:
-            {"sift": run_sift, "gist": run_gist, "async": run_async}[cfg](
-                args.scale, rng)
+            {"sift": run_sift, "gist": run_gist, "async": run_async,
+             "mips": run_mips}[cfg](args.scale, rng)
 
 
 if __name__ == "__main__":
