@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .adc import adc_tables  # noqa: F401  (re-exported pattern)
-from .distance import sqdist
+from .adc import coarse_scores
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -220,7 +220,6 @@ def query_bucketed(
     d, c, sub = codebooks.shape
     l = buckets.codes.shape[2]
 
-    from .adc import coarse_scores
     coarse = coarse_scores(q, centroids, metric)        # [B, P]
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
     tables = probed_tables(q, centroids, codebooks, probed, rotation,
