@@ -42,8 +42,10 @@ def synth(rng, n, m, intrinsic, n_clusters=256):
     return gmm_corpus(rng, n, m, n_clusters=n_clusters, intrinsic=intrinsic)
 
 
-def exact_topk_device(x, q, k):
-    """Brute-force ground truth on TPU, chunked over the corpus."""
+def exact_topk_device(x, q, k, metric="l2"):
+    """Brute-force ground truth on TPU, chunked over the corpus.
+
+    ``metric="dot"`` ranks by the negated inner product (exact MIPS)."""
     import jax
     import jax.numpy as jnp
     from flechasdb_tpu.ops.distance import sqdist
@@ -55,7 +57,12 @@ def exact_topk_device(x, q, k):
 
     @jax.jit
     def fold(best_d, best_i, chunk, base):
-        d = sqdist(qd, chunk)                       # [Q, step]
+        if metric == "dot":
+            d = -jnp.matmul(qd, chunk.T,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        else:
+            d = sqdist(qd, chunk)                   # [Q, step]
         idx = (jnp.arange(chunk.shape[0], dtype=jnp.int32) + base)[None, :]
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
@@ -175,33 +182,6 @@ def run_sift(scale, rng, opq=False):
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 
 
-def exact_mips_device(x, q, k):
-    """Brute-force max-inner-product ground truth on TPU, chunked."""
-    import jax
-    import jax.numpy as jnp
-
-    qd = jnp.asarray(q)
-    best_d = jnp.full((len(q), k), jnp.inf)
-    best_i = jnp.zeros((len(q), k), jnp.int32)
-    step = 1 << 17
-
-    @jax.jit
-    def fold(best_d, best_i, chunk, base):
-        d = -jnp.matmul(qd, chunk.T, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-        idx = (jnp.arange(chunk.shape[0], dtype=jnp.int32) + base)[None, :]
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
-            idx, d.shape).astype(jnp.int32)], axis=1)
-        neg, sel = jax.lax.top_k(-cat_d, k)
-        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
-
-    for i in range(0, len(x), step):
-        best_d, best_i = fold(best_d, best_i, jnp.asarray(x[i:i + step]),
-                              np.int32(i))
-    return np.asarray(best_i)
-
-
 def run_mips(scale, rng):
     """MIPS ("dot" metric) recall + qps at SIFT shape (metrics.py ext).
 
@@ -226,13 +206,18 @@ def run_mips(scale, rng):
     q = np.asarray(qdev)
     _ = np.asarray(xd[:1, :1])
     t0 = time.time()
+    built = _build_step(xd, jax.random.key(0), p=p, d=d, c=c)
+    pidx = np.asarray(built.partition_indices)
+    cold = time.time() - t0
+    t0 = time.time()
     built = _build_step(xd, jax.random.key(1), p=p, d=d, c=c)
     pidx = np.asarray(built.partition_indices)
     build_s = time.time() - t0
     log({"config": "mips", "metric": f"build {n}x{m} P={p} D={d} C={c}",
-         "value": round(build_s, 3), "unit": "s"})
+         "value": round(build_s, 3), "unit": "s",
+         "compile_s": round(cold - build_s, 1)})
 
-    gt = exact_mips_device(np.asarray(xd), q, k)
+    gt = exact_topk_device(xd, q, k, metric="dot")
     buckets = bucketize(np.asarray(built.codes), pidx, p)
     qd = jnp.asarray(q)
 

@@ -348,7 +348,7 @@ class AsyncStoredDatabase:
         if self.metric == "dot":
             from ..stored import adc_tables_dot
             tables, qnorms = adc_tables_dot(
-                v, centroids[probed], codebooks, rotation,
+                v, coarse[probed], codebooks, rotation,
                 self._codebooks_t)
         else:
             tables, qnorms = adc_tables(

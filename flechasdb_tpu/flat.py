@@ -460,7 +460,12 @@ class StoredFlatDatabase:
         byte-identical artifacts and the store skips their files."""
         x, ids = self._load_all_host()
         self._ensure_attrs_loaded()
-        db = FlatDatabase(x, ids, metric=self.metric)
+        # Stored cosine rows are ALREADY unit vectors; constructing with
+        # metric="cosine" would re-normalize (÷ ~0.99999994 in f32) and
+        # flip low mantissa bits — breaking the byte-identical re-save
+        # contract above. Build as-is, then tag the metric.
+        db = FlatDatabase(x, ids)
+        db.metric = self.metric
         db.attribute_table = {
             vid: dict(attrs)
             for vid, attrs in self._attribute_table.items()

@@ -114,7 +114,8 @@ def unpack_codes(words: jax.Array, d: int) -> jax.Array:
 def probed_tables(q: jax.Array, centroids: jax.Array, codebooks: jax.Array,
                   probed: jax.Array,
                   rotation: jax.Array | None = None,
-                  metric: str = "l2") -> jax.Array:
+                  metric: str = "l2",
+                  coarse: jax.Array | None = None) -> jax.Array:
     """ADC distance tables for the probed partitions only.
 
     ``q [B, M]``, ``probed [B, nprobe]`` → ``[B, nprobe, D, C]`` where,
@@ -123,19 +124,25 @@ def probed_tables(q: jax.Array, centroids: jax.Array, codebooks: jax.Array,
     (clamped at 0; OPQ rotation applied to the residual when given).
     For ``metric="dot"`` the tables decompose the negated inner product
     with the per-probe ``−⟨q, c⟩/D`` scalar folded in
-    (:func:`.adc._dot_tables`), so the lookup kernels run unchanged.
-    Shared by the single-chip and sharded bucketed query paths.
+    (:func:`.adc._dot_tables`), so the lookup kernels run unchanged;
+    ``coarse [B, P]`` (the scores the probe selection already computed,
+    ``−q·cᵀ``) supplies those scalars as a gather instead of a second
+    centroid GEMM. Shared by the single-chip and sharded bucketed paths.
     """
     b = q.shape[0]
     nprobe = probed.shape[1]
     d, c, sub = codebooks.shape
-    pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
     if metric == "dot":
         from .adc import _dot_tables
-        cent_scores = -jnp.einsum(
-            "bm,bjm->bj", q, pc, precision=_PRECISION,
-            preferred_element_type=jnp.float32)         # [B, nprobe]
+        if coarse is not None:
+            cent_scores = jnp.take_along_axis(coarse, probed, axis=1)
+        else:
+            pc = jnp.take(centroids, probed, axis=0)    # [B, nprobe, M]
+            cent_scores = -jnp.einsum(
+                "bm,bjm->bj", q, pc, precision=_PRECISION,
+                preferred_element_type=jnp.float32)     # [B, nprobe]
         return _dot_tables(q, codebooks, cent_scores, rotation)
+    pc = jnp.take(centroids, probed, axis=0)            # [B, nprobe, M]
     resid = q[:, None, :] - pc
     if rotation is not None:  # OPQ: codes live in the rotated space
         resid = jnp.matmul(resid, rotation, precision=_PRECISION,
@@ -223,7 +230,7 @@ def query_bucketed(
     coarse = coarse_scores(q, centroids, metric)        # [B, P]
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
     tables = probed_tables(q, centroids, codebooks, probed, rotation,
-                           metric)
+                           metric, coarse)
 
     # Table lookup-sum over the probed buckets. The pallas path reads the
     # buckets IN PLACE via scalar-prefetch block indexing (the gathered

@@ -74,7 +74,7 @@ def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
     coarse = coarse_scores(q, centroids, metric)        # [B, P] replicated
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe] global
     tables = probed_tables(q, centroids, codebooks, probed, rotation,
-                           metric)
+                           metric, coarse)
 
     lidx = probed - p0
     owned = (lidx >= 0) & (lidx < ploc)

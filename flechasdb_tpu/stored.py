@@ -265,7 +265,7 @@ def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
     return tables, qnorms
 
 
-def adc_tables_dot(v: np.ndarray, probed_centroids: np.ndarray,
+def adc_tables_dot(v: np.ndarray, cent_scores: np.ndarray,
                    codebooks: np.ndarray,
                    rotation: np.ndarray | None = None,
                    codebooks_t: np.ndarray | None = None,
@@ -273,22 +273,24 @@ def adc_tables_dot(v: np.ndarray, probed_centroids: np.ndarray,
     """MIPS ADC tables, host path (see :mod:`.metrics` and
     :func:`.ops.adc._dot_tables` for the device analogue).
 
-    ``v [M]``, ``probed_centroids [n, M]`` → ``(tables [n, D, C] f32
-    C-contiguous, qnorms [n] zeros)`` with the per-partition scalar
-    ``−⟨v, c_j⟩/D`` folded into every table entry, so the same native
-    gather-accumulate / k-best heap (:func:`adc_scan_topk`) ranks by
-    ``−⟨v, x̂⟩``. The query·codebook product is partition-independent —
-    ONE ``[D, 1, m] @ [D, m, C]`` GEMM serves all nprobe tables.
+    ``v [M]``, ``cent_scores [n] = −⟨v, c_j⟩`` for the probed partitions
+    (a gather from the coarse scores the probe selection already
+    computed) → ``(tables [n, D, C] f32 C-contiguous, qnorms [n]
+    zeros)`` with the per-partition scalar ``−⟨v, c_j⟩/D`` folded into
+    every table entry, so the same native gather-accumulate / k-best
+    heap (:func:`adc_scan_topk`) ranks by ``−⟨v, x̂⟩``. The
+    query·codebook product is partition-independent — ONE ``[D, 1, m] @
+    [D, m, C]`` GEMM serves all nprobe tables.
     """
     d, c, m_sub = codebooks.shape
     vq = v if rotation is None else v @ rotation
     if codebooks_t is None:
         codebooks_t = np.ascontiguousarray(codebooks.transpose(0, 2, 1))
     cross = np.matmul(vq.reshape(d, 1, m_sub), codebooks_t)    # [D, 1, C]
-    scal = -(probed_centroids @ v) / np.float32(d)             # [n]
+    scal = np.asarray(cent_scores, np.float32) / np.float32(d)  # [n]
     tables = np.ascontiguousarray(
         scal[:, None, None] - cross.transpose(1, 0, 2), dtype=np.float32)
-    return tables, np.zeros(len(probed_centroids), np.float32)
+    return tables, np.zeros(len(scal), np.float32)
 
 
 def adc_dists(table: np.ndarray, qnorm: float,
@@ -646,7 +648,7 @@ class StoredDatabase:
         # the probed centroids, db/stored.rs:549-575).
         if self.metric == "dot":
             tables, qnorms = adc_tables_dot(
-                v, centroids[probed], codebooks, rotation,
+                v, coarse[probed], codebooks, rotation,
                 self._codebooks_t)
         else:
             tables, qnorms = adc_tables(

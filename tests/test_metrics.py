@@ -209,6 +209,10 @@ def test_metric_roundtrip_and_parity(tmp_path, corpus, dot_db):
     warm_db.preload()
     warm = warm_db.query(q[0], k=5, nprobe=8)
     assert [r.vector_id for r in warm] == [r.vector_id for r in mem]
+    # keys too: a warm-path clamp/sign regression must not hide behind
+    # identical ranking (dot keys are negative inner products)
+    np.testing.assert_allclose([r.squared_distance for r in warm],
+                               [r.squared_distance for r in mem], atol=1e-4)
 
     # to_database keeps the metric (update story)
     mat = sdb.to_database()
@@ -353,6 +357,31 @@ def test_flat_dot_and_cosine(tmp_path, corpus):
 
 
 # -- streaming builder ---------------------------------------------------------
+
+def test_flat_cosine_resave_is_byte_identical(tmp_path, corpus):
+    """to_database must NOT re-normalize the already-unit cosine corpus:
+    f32 unit norms are ~0.99999994, so a second normalize flips mantissa
+    bits and every artifact re-hashes — breaking the O(touched) update
+    contract. Save → load → materialize → save must add zero files."""
+    import os
+
+    x, _ = corpus
+    flat = fdb.FlatDatabase(x[:512], seed=5, metric="cosine")
+    fs = fdb.LocalFileSystem(str(tmp_path))
+    root1 = fdb.save_flat_database(flat, fs)
+    files1 = sorted(str(p) for p in tmp_path.rglob("*") if p.is_file())
+    stored = fdb.load_flat_database(fs, f"{root1}.binpb")
+    mat = stored.to_database()
+    assert mat.metric == "cosine"
+    root2 = fdb.save_flat_database(mat, fs)
+    files2 = sorted(str(p) for p in tmp_path.rglob("*") if p.is_file())
+    assert root2 == root1
+    assert files2 == files1
+    # and appends still normalize under the carried metric
+    mat.append(np.full((1, 32), 3.0, np.float32))
+    np.testing.assert_allclose(np.linalg.norm(mat.vectors[-1]), 1.0,
+                               atol=1e-6)
+
 
 def test_streaming_metric_parity(corpus):
     x, q = corpus
