@@ -75,12 +75,25 @@ def main() -> None:
              "import jax, numpy as np;"
              " np.asarray(jax.numpy.ones((8, 8)).sum())"]
     t0 = time.time()
-    for attempt in range(3):
+    # Budget-based, not attempt-based: a probe against a wedged tunnel
+    # itself blocks up to ~25 min before raising UNAVAILABLE, and worker
+    # recovery after a crash has been observed to take over an hour —
+    # keep probing until the budget is spent, then let the real op fail.
+    PROBE_BUDGET_S = 45 * 60
+    attempt = 0
+    while True:
+        attempt += 1
         r = subprocess.run(probe, capture_output=True)
         if r.returncode == 0:
             break
-        log(f"backend unavailable (probe attempt {attempt + 1}, "
-            f"{time.time() - t0:.0f}s elapsed); retrying in 60s")
+        elapsed = time.time() - t0
+        if elapsed > PROBE_BUDGET_S:
+            log(f"backend still unavailable after {elapsed:.0f}s "
+                f"({attempt} probes); proceeding — the first op will "
+                "surface the real error")
+            break
+        log(f"backend unavailable (probe attempt {attempt}, "
+            f"{elapsed:.0f}s elapsed); retrying in 60s")
         time.sleep(60)
     # Proceed regardless: if the backend is still down, the tiny op below
     # surfaces the real error.
