@@ -419,6 +419,77 @@ class AsyncStoredDatabase:
             events(ev.FinishedCodebookLoad())
         return self._merge_async(per_partition, k, events)
 
+    async def query_range(self, v, radius: float, nprobe: int,
+                          limit=None, where=None) -> List[AsyncQueryResult]:
+        """Range search (EXTENSION; key/radius semantics per metric as
+        in :meth:`...build.Database.query_range`) with the same
+        overlapped lazy loads as :meth:`query`: centroids, codebooks and
+        all probed partitions load concurrently."""
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")
+        v = np.asarray(v, np.float32).reshape(-1)
+        if v.shape[0] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[0]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from ..metrics import normalize_rows
+            v = normalize_rows(v[None], "query")[0]
+
+        cb_task = self._codebooks()
+        rot_task = self._rotation()
+        centroids = await self._centroids()
+        if self.metric == "dot":
+            coarse = -(centroids @ v)
+        else:
+            coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
+        probed = topk_stable(coarse, nprobe)
+        part_tasks = [self._partition(int(pi)) for pi in probed]
+        if where is not None:
+            attr_tasks = [self._attrlog(int(pi)) for pi in probed]
+        codebooks = await cb_task
+        rotation = await rot_task
+        if self.metric == "dot":
+            from ..stored import adc_tables_dot
+            tables, qnorms = adc_tables_dot(
+                v, coarse[probed], codebooks, rotation, self._codebooks_t)
+        else:
+            tables, qnorms = adc_tables(
+                v[None] - centroids[probed], codebooks, rotation,
+                self._codebook_sq_norms, self._codebooks_t)
+
+        cand = []                      # (key, probe_order, part, vi)
+        for j, pi in enumerate(probed):
+            part = await part_tasks[j]
+            dists = adc_dists(tables[j], float(qnorms[j]), part.codes)
+            if where is not None:
+                from ..filters import ColumnCache, evaluate_mask
+                await attr_tasks[j]
+                mask = evaluate_mask(where, part.vector_ids,
+                                     self._attribute_table, ColumnCache())
+                dists = np.where(mask, dists, np.inf)
+            for vi in np.nonzero(dists <= radius)[0]:
+                cand.append((float(dists[vi]), j, part, int(vi)))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        if limit is not None:
+            cand = cand[:limit]
+        clamp = self.metric != "dot"
+        return [
+            AsyncQueryResult(
+                db=self,
+                partition_index=int(probed[j]),
+                vector_id=part.vector_id_at(vi),
+                vector_index=vi,
+                squared_distance=0.0 if (clamp and key < 0.0) else key,
+            )
+            for key, j, part, vi in cand
+        ]
+
     def _merge_async(self, per_partition, k: int,
                      events) -> List[AsyncQueryResult]:
         """Stable top-k over the probe-ordered concatenation == a stable

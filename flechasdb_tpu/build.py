@@ -563,6 +563,53 @@ class Database:
         dists, rows = np.asarray(dists), np.asarray(rows)
         return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
 
+    def query_range(self, v, radius: float, nprobe: int,
+                    limit: Optional[int] = None,
+                    where=None) -> List[QueryResult]:
+        """Range search (EXTENSION): every vector in the probed
+        partitions whose ranking key is ``<= radius``, ascending.
+
+        The key is the same quantity :class:`QueryResult`
+        ``squared_distance`` reports: squared L2 for ``l2``/``cosine``
+        (cosine: ``2 − 2·cos``, so a similarity floor ``s`` is radius
+        ``2 − 2s``), negated inner product for ``dot`` (an IP floor
+        ``t`` is radius ``−t``). ``limit`` caps the result count (the
+        nearest ``limit``); ``where`` filters on attributes. Like all
+        IVF queries, only the ``nprobe`` nearest partitions are
+        scanned.
+        """
+        self._validate_range(radius, nprobe)
+        v = np.asarray(v, dtype=np.float32).reshape(1, -1)
+        if v.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.vector_size}")
+        v = self._prep_queries(v)
+        mask = None if where is None else self._filter_mask(where)
+        (rows, keys), = self._device_state().query_range(
+            v, radius, nprobe, row_mask=mask)
+        if limit is not None:
+            rows, keys = rows[:limit], keys[:limit]
+        local = self.local_indices
+        return [
+            QueryResult(
+                partition_index=int(self.partition_indices[r]),
+                vector_id=self.vector_ids[r],
+                vector_index=int(local[r]),
+                squared_distance=float(k),
+            )
+            for r, k in zip(rows.tolist(), keys.tolist())
+        ]
+
+    def _validate_range(self, radius, nprobe: int) -> None:
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")
+
     def _device_originals(self):
         if self._dev_orig is None:
             self._dev_orig = jnp.asarray(

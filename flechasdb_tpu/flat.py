@@ -211,8 +211,65 @@ class FlatDatabase:
             out.append(results)
         return out
 
+    def query_range(self, v, radius: float, k_limit: Optional[int] = None,
+                    where=None) -> List[FlatQueryResult]:
+        """Exact range search (EXTENSION): every vector whose ranking
+        key is ``<= radius``, ascending (key semantics per metric as in
+        :meth:`..build.Database.query_range`). ``k_limit`` caps the
+        result count."""
+        import jax.numpy as jnp
+
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        if v.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v, "query")
+        if self._dev is None:
+            self._dev = jnp.asarray(self._x)
+        mask = None if where is None else self._filter_mask(where)
+        keys = np.asarray(_exact_keys(jnp.asarray(v), self._dev,
+                                      self.metric))[0]
+        if mask is not None:
+            keys = np.where(mask, keys, np.inf)
+        hit = np.nonzero(keys <= radius)[0]
+        order = hit[np.argsort(keys[hit], kind="stable")]
+        if k_limit is not None:
+            order = order[:k_limit]
+        return [
+            FlatQueryResult(
+                vector_id=self.vector_ids[r],
+                vector_index=int(r),
+                squared_distance=float(keys[r]),
+                _get_attr=self._get_attr_default_none,
+            )
+            for r in order.tolist()
+        ]
+
     def _get_attr_default_none(self, vid, key):
         return self.attribute_table.get(vid, {}).get(key)
+
+
+def _exact_keys(vs, xd, metric: str):
+    """Exact ranking keys ``[B, N]`` on device (see metrics.py)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("metric",))
+    def go(vs, xd, *, metric):
+        if metric == "dot":
+            return -jnp.matmul(vs, xd.T,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+        from .ops.distance import sqdist
+        return sqdist(vs, xd)
+
+    return go(vs, xd, metric="dot" if metric == "dot" else "l2")
 
 
 def _chunk_uuids(msg: PFlatChunk) -> List[_uuid.UUID]:
@@ -418,6 +475,47 @@ class StoredFlatDatabase:
                 ))
             out.append(results)
         return out
+
+    def query_range(self, v, radius: float, k_limit: Optional[int] = None,
+                    where=None) -> List[FlatQueryResult]:
+        """Exact range search over the stored chunks (EXTENSION; key
+        semantics per metric as in :meth:`FlatDatabase.query_range`)."""
+        import jax.numpy as jnp
+
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        if v.shape[1] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v, "query")
+        xd, ids = self._load_all()
+        mask = None
+        if where is not None:
+            from .filters import ColumnCache, evaluate_mask
+            self._ensure_attrs_loaded()
+            if self._filter_cache is None:
+                self._filter_cache = ColumnCache()
+            mask = evaluate_mask(where, ids, self._attribute_table,
+                                 self._filter_cache)
+        keys = np.asarray(_exact_keys(jnp.asarray(v), xd, self.metric))[0]
+        if mask is not None:
+            keys = np.where(mask, keys, np.inf)
+        hit = np.nonzero(keys <= radius)[0]
+        order = hit[np.argsort(keys[hit], kind="stable")]
+        if k_limit is not None:
+            order = order[:k_limit]
+        return [
+            FlatQueryResult(
+                vector_id=ids[r],
+                vector_index=int(r),
+                squared_distance=float(keys[r]),
+                _get_attr=self.get_attribute,
+            )
+            for r in order.tolist()
+        ]
 
     def _ensure_attrs_loaded(self) -> None:
         from .stored import replay_attributes_log

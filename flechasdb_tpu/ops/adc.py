@@ -172,3 +172,46 @@ def query_masked_scan(
         neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         rows = jnp.pad(rows, ((0, 0), (0, k - kk)))
     return -neg, rows.astype(jnp.int32), probed.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def range_masked_scan(
+    q: jax.Array,
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
+    pidx: jax.Array,
+    rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
+    *,
+    nprobe: int,
+    metric: str = "l2",
+) -> tuple[jax.Array, jax.Array]:
+    """Range-search candidates on the flat layout: ``(keys [B, N],
+    probed [B, nprobe])`` with non-candidates at ``+inf``.
+
+    The masked-scan analogue of :func:`..ops.bucketed.range_bucketed`
+    (rows are implicit: column ``i`` IS corpus row ``i``); the caller
+    thresholds host-side.
+    """
+    b, m = q.shape
+    p = centroids.shape[0]
+    d, c, _ = codebooks.shape
+    n = codes.shape[0]
+
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
+    _, probed = jax.lax.top_k(-coarse, nprobe)
+
+    flat = tables.reshape(b, p * d * c)
+    gidx = (pidx[:, None] * (d * c)
+            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
+            + codes)
+    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)
+    vdist = vdist.reshape(b, n, d).sum(axis=-1)
+
+    selected = jax.vmap(
+        lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
+    keep = selected[:, pidx]
+    if row_mask is not None:
+        keep &= row_mask[None, :]
+    return jnp.where(keep, vdist, jnp.inf), probed.astype(jnp.int32)

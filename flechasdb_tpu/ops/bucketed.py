@@ -182,6 +182,59 @@ def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array, *,
     return vals.reshape(g, d, l).sum(axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "impl", "metric"))
+def range_bucketed(
+    q: jax.Array,
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    buckets: Buckets,
+    rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
+    *,
+    nprobe: int,
+    impl: str | None = None,
+    metric: str = "l2",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Range-search candidates: every reachable vector's ADC key.
+
+    Same probe selection and bucket scan as :func:`query_bucketed`, but
+    instead of a top-k it returns ALL probed candidates —
+    ``(keys [B, nprobe·L], rows [B, nprobe·L] int32, probed
+    [B, nprobe])`` with non-candidates (pad slots, filtered rows) at
+    ``+inf`` / row ``-1``. The caller thresholds host-side (range
+    results are inherently ragged; the transfer is ``B·nprobe·L``
+    floats — callers chunk query batches). ``metric`` as in
+    :mod:`..metrics`.
+    """
+    b, m = q.shape
+    d, c, sub = codebooks.shape
+    l = buckets.codes.shape[2]
+
+    coarse = coarse_scores(q, centroids, metric)        # [B, P]
+    _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
+    tables = probed_tables(q, centroids, codebooks, probed, rotation,
+                           metric, coarse)
+
+    if impl is None:
+        impl = _default_impl()
+    vdist = bucket_scan(
+        buckets.codes, tables.reshape(b * nprobe, d * c),
+        probed.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
+    ).reshape(b, nprobe, l)
+
+    lens = jnp.take(buckets.lengths, probed, axis=0)    # [B, nprobe]
+    keep = (jnp.arange(l, dtype=jnp.int32)[None, None, :]
+            < lens[..., None])
+    rows_g = jnp.take(buckets.rows, probed, axis=0)     # [B, nprobe, L]
+    if row_mask is not None:
+        keep &= jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0)
+    vdist = jnp.where(keep, vdist, jnp.inf)
+    rows_g = jnp.where(keep, rows_g, -1)
+    return (vdist.reshape(b, nprobe * l),
+            rows_g.reshape(b, nprobe * l).astype(jnp.int32),
+            probed.astype(jnp.int32))
+
+
 def _platform() -> str:
     """Effective platform: honours ``jax_default_device`` (tests pin it to
     CPU while a TPU plugin still owns the default backend)."""

@@ -161,6 +161,44 @@ class DeviceIndex:
                 metric=self.metric),
             qd, self._masked_batch_limit())
 
+    def query_range(self, q: np.ndarray, radius: float, nprobe: int,
+                    row_mask=None) -> list:
+        """Range search: per query, ``(rows, keys)`` of every probed
+        vector whose ranking key is ``<= radius`` (squared distance for
+        L2/cosine; negated inner product for dot — pass ``-min_ip``),
+        ascending. Returns a list of ``(rows int64[], keys f32[])``
+        pairs. The device scans the probed buckets/rows; thresholding
+        and ragged extraction happen host-side, so the transfer is the
+        full candidate key array — chunk very large query batches.
+        """
+        import jax.numpy as jnp
+
+        from .ops.adc import range_masked_scan
+        from .ops.bucketed import range_bucketed
+
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        if row_mask is not None:
+            row_mask = jnp.asarray(row_mask, bool)
+        if self.layout == "bucketed":
+            keys, rows, _ = range_bucketed(
+                qd, self.centroids, self.codebooks, self.buckets,
+                self.rotation, row_mask, nprobe=nprobe, metric=self.metric)
+            keys, rows = np.asarray(keys), np.asarray(rows)
+        else:
+            keys, _ = range_masked_scan(
+                qd, self.centroids, self.codebooks, self.codes, self.pidx,
+                self.rotation, row_mask, nprobe=nprobe, metric=self.metric)
+            keys = np.asarray(keys)
+            rows = np.broadcast_to(
+                np.arange(keys.shape[1], dtype=np.int32), keys.shape)
+        out = []
+        for b in range(len(keys)):
+            hit = keys[b] <= radius
+            kb, rb = keys[b][hit], rows[b][hit]
+            order = np.argsort(kb, kind="stable")
+            out.append((rb[order].astype(np.int64), kb[order]))
+        return out
+
 
 class ShardedIndex:
     """IVF-PQ index sharded across a device mesh (SPMD serving).

@@ -738,6 +738,74 @@ class StoredDatabase:
         return self._merge_selected(sel_d, sel_vi, sel_pi, sel_part, k,
                                     events)
 
+    def query_range(self, v, radius: float, nprobe: int,
+                    limit: Optional[int] = None,
+                    where=None) -> List[StoredQueryResult]:
+        """Range search (EXTENSION — see :meth:`..build.Database
+        .query_range` for the key/radius semantics per metric).
+
+        Runs on the host path with the same lazy loads as a cold
+        :meth:`query` — only the ``nprobe`` probed partitions' files are
+        touched (and after :meth:`preload` every partition is already
+        cached), so range queries stay serverless-cheap.
+        """
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        if nprobe <= 0:
+            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+        if nprobe > self.num_partitions:
+            raise InvalidArgs(
+                f"nprobe {nprobe} exceeds the number of partitions"
+                f" {self.num_partitions}")
+        v = np.asarray(v, np.float32).reshape(-1)
+        if v.shape[0] != self.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[0]} != {self.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v[None], "query")[0]
+
+        centroids = self._load_partition_centroids()
+        codebooks = self._load_codebooks()
+        rotation = self._load_rotation()
+        if self.metric == "dot":
+            coarse = -(centroids @ v)
+        else:
+            coarse = self._centroid_sq_norms - 2.0 * (centroids @ v)
+        probed = topk_stable(coarse, nprobe)
+        if self.metric == "dot":
+            tables, qnorms = adc_tables_dot(
+                v, coarse[probed], codebooks, rotation, self._codebooks_t)
+        else:
+            tables, qnorms = adc_tables(
+                v[None] - centroids[probed], codebooks, rotation,
+                self._codebook_sq_norms, self._codebooks_t)
+
+        cand: List[tuple] = []      # (key, probe_order, part, vi)
+        for j, pi in enumerate(probed):
+            part = self.get_partition(int(pi))
+            dists = adc_dists(tables[j], float(qnorms[j]), part.codes)
+            if where is not None:
+                mask = self._partition_filter_mask(where, int(pi), part)
+                dists = np.where(mask, dists, np.inf)
+            hit = np.nonzero(dists <= radius)[0]
+            for vi in hit:
+                cand.append((float(dists[vi]), j, part, int(vi)))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        if limit is not None:
+            cand = cand[:limit]
+        clamp = self.metric != "dot"
+        return [
+            StoredQueryResult(
+                db=self,
+                partition_index=int(probed[j]),
+                vector_id=part.vector_id_at(vi),
+                vector_index=vi,
+                squared_distance=0.0 if (clamp and key < 0.0) else key,
+            )
+            for key, j, part, vi in cand
+        ]
+
     def _merge_selected(self, sel_d, sel_vi, sel_pi, sel_part, k: int,
                         events: EventHandler) -> List[StoredQueryResult]:
         """Stable top-k over the probe-ordered concatenation of the
