@@ -40,6 +40,7 @@ try:  # staged build-out: these land in later phases of the build plan
         load_flat_database_async,
         save_flat_database,
     )
+    from .catalog import load_labeled, publish_label, resolve_label
     from .io import FileSystem, LocalFileSystem
     from .metrics import VALID_METRICS
     from .objectstore import AsyncFsspecFileSystem, FsspecFileSystem
@@ -80,6 +81,9 @@ __all__ = [
     "VALID_METRICS",
     "VerificationFailure",
     "load_database",
+    "load_labeled",
+    "publish_label",
+    "resolve_label",
     "load_flat_database",
     "load_flat_database_async",
     "save_database",

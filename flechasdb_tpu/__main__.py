@@ -122,11 +122,18 @@ def load(path: str) -> None:
     p = pathlib.Path(path)
     if p.is_dir():  # convenience: a directory with exactly one root manifest
         roots = sorted(p.glob("*.binpb"))
-        if len(roots) != 1:
-            print(f"expected exactly one root manifest in {path}, "
-                  f"found {len(roots)}", file=sys.stderr)
+        if (p / "labels" / "latest").is_file():
+            # A published store: follow the "latest" label (catalog.py).
+            from .catalog import resolve_label
+            base = p
+            root_name = (resolve_label(LocalFileSystem(p)) + ".binpb")
+        elif len(roots) != 1:
+            print(f"expected exactly one root manifest in {path} "
+                  f"(found {len(roots)}) — or a labels/latest pointer",
+                  file=sys.stderr)
             raise SystemExit(1)
-        base, root_name = p, roots[0].name
+        else:
+            base, root_name = p, roots[0].name
     else:  # reference form: path to the root .binpb file (main.rs:151-161)
         base, root_name = p.parent, p.name
     print(f"loading database from {path!r}")
@@ -310,9 +317,35 @@ def gc(path: str, dry_run: bool = False) -> int:
               f"({size} B)")
         if not dry_run:
             (base / rel).unlink()
+    # Labels are never reaped, but a label whose root file was deleted
+    # dangles — surface it (catalog.py).
+    ldir = base / "labels"
+    if ldir.is_dir():
+        root_names = {rp.name for rp in roots}
+        for lp in sorted(ldir.iterdir()):
+            target = lp.read_text().strip()
+            if f"{target}.binpb" not in root_names:
+                print(f"warning: label {lp.name} dangles "
+                      f"(root {target} not in store)", file=sys.stderr)
     print(f"{len(victims)} orphaned artifact(s), {freed} bytes"
           f"{' (dry run)' if dry_run else ' freed'}; "
           f"{len(roots)} live root(s)")
+    return 0
+
+
+def publish(path: str, root: str, name: str = "latest") -> int:
+    """Points ``labels/<name>`` at a root hash (catalog.py)."""
+    from .catalog import publish_label
+
+    publish_label(LocalFileSystem(path), root, name)
+    print(f"{name} -> {root}")
+    return 0
+
+
+def resolve(path: str, name: str = "latest") -> int:
+    from .catalog import resolve_label
+
+    print(resolve_label(LocalFileSystem(path), name))
     return 0
 
 
@@ -327,9 +360,14 @@ def main(argv: list[str]) -> int:
         return verify(argv[1])
     if len(argv) >= 2 and argv[0] == "gc":
         return gc(argv[-1], dry_run="--dry-run" in argv[1:-1])
+    if len(argv) >= 3 and argv[0] == "publish":
+        return publish(argv[1], argv[2], *argv[3:4])
+    if len(argv) >= 2 and argv[0] == "resolve":
+        return resolve(argv[1], *argv[2:3])
     print("usage: python -m flechasdb_tpu "
           "[generate [path] | load <path> | verify <path> | "
-          "gc [--dry-run] <path>]",
+          "gc [--dry-run] <path> | publish <path> <root> [name] | "
+          "resolve <path> [name]]",
           file=sys.stderr)
     return 1
 

@@ -138,6 +138,25 @@ class FileSystem(ABC):
                          compressed: bool = False) -> HashedFileReader:
         """Opens a stored file for reading/verification."""
 
+    # -- named (mutable) files — the label seam (EXTENSION, catalog.py) ----
+    #
+    # Content addressing answers "are these the bytes?" but not "which
+    # root is current?"; labels are small mutable pointer files under
+    # ``labels/``. Backends that can write a named file atomically
+    # override these; the defaults reject (e.g. a read-only mirror).
+
+    def write_named(self, path: str, data: bytes) -> None:
+        """Atomically writes a small mutable named file (labels)."""
+        from .errors import InvalidContext
+        raise InvalidContext(
+            f"{type(self).__name__} does not support named (label) files")
+
+    def read_named(self, path: str) -> bytes:
+        """Reads a named file written by :meth:`write_named`."""
+        from .errors import InvalidContext
+        raise InvalidContext(
+            f"{type(self).__name__} does not support named (label) files")
+
 
 class LocalFileSystem(FileSystem):
     """Local directory store: tempfile + atomic rename (``io.rs:210-256``)."""
@@ -191,3 +210,27 @@ class LocalFileSystem(FileSystem):
         except OSError as e:
             raise IOError_(str(e)) from e
         return HashedFileReader(raw, path.rsplit("/", 1)[-1], compressed)
+
+    def write_named(self, path: str, data: bytes) -> None:
+        """Tempfile + atomic rename, like the content store's writes."""
+        target = self.base_path / path
+        try:
+            target.parent.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=target.parent)
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, target)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+        except OSError as e:
+            raise IOError_(str(e)) from e
+
+    def read_named(self, path: str) -> bytes:
+        try:
+            with open(os.path.join(self._base_str, path), "rb") as f:
+                return f.read()
+        except OSError as e:
+            raise IOError_(str(e)) from e

@@ -41,6 +41,15 @@ class MemoryFileSystem(FileSystem):
             raise IOError_(f"no such object: {path}") from None
         return HashedFileReader(raw, path.rsplit("/", 1)[-1], compressed)
 
+    def write_named(self, path: str, data: bytes) -> None:
+        self.objects[path] = data
+
+    def read_named(self, path: str) -> bytes:
+        try:
+            return self.objects[path]
+        except KeyError:
+            raise IOError_(f"no such object: {path}") from None
+
 
 class AsyncMemoryFileSystem(AsyncFileSystem):
     """Asyncio view over the same dict (read-only, like the reference's

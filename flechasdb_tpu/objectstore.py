@@ -94,6 +94,28 @@ class FsspecFileSystem(FileSystem):
             raise IOError_(str(e)) from e
         return HashedFileReader(raw, path.rsplit("/", 1)[-1], compressed)
 
+    def write_named(self, path: str, data: bytes) -> None:
+        """Label writes: atomic object PUT (rename-shuffle on local)."""
+        full = self._full(path)
+        try:
+            parent = full.rsplit("/", 1)[0]
+            if parent != full:
+                self.fs.makedirs(parent, exist_ok=True)
+            if self.fs.protocol in ("file", "local"):
+                tmp = f"{full}.tmp.{os.getpid()}"
+                self.fs.pipe_file(tmp, data)
+                self.fs.mv(tmp, full)
+            else:
+                self.fs.pipe_file(full, data)
+        except OSError as e:
+            raise IOError_(str(e)) from e
+
+    def read_named(self, path: str) -> bytes:
+        try:
+            return self.fs.cat_file(self._full(path))
+        except (OSError, FileNotFoundError) as e:
+            raise IOError_(str(e)) from e
+
 
 class AsyncFsspecFileSystem(AsyncFileSystem):
     """Asyncio view of the same store (read-only, like the reference's
