@@ -224,13 +224,15 @@ def test_stored_query_fuzz_matches_inmemory(tmp_path):
     from flechasdb_tpu.asyncdb import load_database as aload
 
     configs = [
-        # (n, m, p, d, c, k, nprobe, clusters_in_data, dup)
-        (400, 16, 8, 4, 8, 5, 3, None, True),     # heavy exact ties
-        (256, 24, 16, 4, 16, 40, 16, 2, False),   # near-empty partitions
-        (96, 8, 4, 2, 4, 96, 4, None, False),     # k == N (full pool)
-        (500, 32, 10, 8, 16, 10, 10, 3, True),    # nprobe=P + ties
+        # (n, m, p, d, c, k, nprobe, clusters_in_data, dup, metric)
+        (400, 16, 8, 4, 8, 5, 3, None, True, "l2"),    # heavy exact ties
+        (256, 24, 16, 4, 16, 40, 16, 2, False, "dot"),  # near-empty parts
+        (96, 8, 4, 2, 4, 96, 4, None, False, "cosine"),  # k == N
+        (500, 32, 10, 8, 16, 10, 10, 3, True, "dot"),  # nprobe=P + ties
+        (400, 16, 8, 4, 8, 5, 3, None, True, "cosine"),  # dup ties, cosine
     ]
-    for ci, (n, m, p, d, c, k, nprobe, nat, dup) in enumerate(configs):
+    for ci, (n, m, p, d, c, k, nprobe, nat, dup, metric) \
+            in enumerate(configs):
         rng = np.random.default_rng(100 + ci)
         if nat:
             centers = rng.standard_normal((nat, m)).astype(np.float32) * 4
@@ -241,7 +243,8 @@ def test_stored_query_fuzz_matches_inmemory(tmp_path):
         if dup:
             x[n // 2:] = x[: n - n // 2]        # exact duplicate rows
         db = (DatabaseBuilder(x).with_partitions(p).with_divisions(d)
-              .with_clusters(c).with_seed(1000 + ci).build())
+              .with_clusters(c).with_seed(1000 + ci)
+              .with_metric(metric).build())
         base = tmp_path / f"fuzz{ci}"
         base.mkdir()
         root = save_database(db, LocalFileSystem(base))
