@@ -584,11 +584,20 @@ async def load_flat_database_async(fs, path: str) -> "AsyncStoredFlatDatabase":
 @dataclass
 class AsyncStoredFlatDatabase:
     """Asyncio flat database: chunks load concurrently, queries run the
-    same exact device scan."""
+    same exact device scan. Attributes/filters mirror the sync tier:
+    ``where=`` on :meth:`query` / :meth:`query_range`, awaitable
+    :meth:`get_attribute` (logs load concurrently, once)."""
     fs: object
     root: PFlatDatabase
 
     _load_task: Optional[object] = field(default=None, repr=False)
+    _attrs_task: Optional[object] = field(default=None, repr=False)
+    _attribute_table: AttributeTable = field(default_factory=dict,
+                                             repr=False)
+
+    @property
+    def metric(self) -> str:
+        return getattr(self.root, "metric", "") or "l2"
 
     async def _load_all(self):
         import asyncio
@@ -622,24 +631,85 @@ class AsyncStoredFlatDatabase:
             self._load_task = asyncio.create_task(load())
         return await self._load_task
 
-    async def query(self, v, k: int) -> List[FlatQueryResult]:
+    async def _ensure_attrs(self) -> None:
+        """Loads + replays ALL attribute logs, concurrently, once."""
+        import asyncio
+
+        from .stored import replay_attributes_log
+
+        if self._attrs_task is None:
+            async def load():
+                _, all_ids = await self._load_all()
+
+                async def one(i: int):
+                    f = await self.fs.open_hashed_file(
+                        f"attributes/{self.root.attributes_log_ids[i]}"
+                        f".{PROTOBUF_EXTENSION}", compressed=True)
+                    payload = await f.read()
+                    f.verify()
+                    return payload
+
+                payloads = await asyncio.gather(
+                    *(one(i) for i in range(len(self.root.chunk_ids))))
+                pos = 0
+                for i, payload in enumerate(payloads):
+                    # Chunk i's id slice: CHUNK_ROWS-sized except the last
+                    # (the saver's layout, save_flat_database).
+                    lo, pos = pos, min(len(all_ids), pos + CHUNK_ROWS)
+
+                    class _P:  # adapter: replay helper wants .vector_ids
+                        vector_ids = all_ids[lo:pos]
+
+                    replay_attributes_log(
+                        payload, self.root.chunk_ids[i],
+                        self.root.attribute_names, _P,
+                        self._attribute_table, i)
+
+            self._attrs_task = asyncio.create_task(load())
+        await self._attrs_task
+
+    async def get_attribute(self, vector_id: _uuid.UUID,
+                            key: str) -> Optional[AttributeValue]:
+        await self._ensure_attrs()
+        try:
+            attrs = self._attribute_table[vector_id]
+        except KeyError:
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
+
+    async def _query_mask(self, where, ids):
+        if where is None:
+            return None
+        from .filters import ColumnCache, evaluate_mask
+        await self._ensure_attrs()
+        return evaluate_mask(where, ids, self._attribute_table,
+                             ColumnCache())
+
+    def _prep_query(self, v) -> np.ndarray:
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        if v.shape[1] != self.root.vector_size:
+            raise InvalidArgs(
+                f"query vector size {v.shape[1]} != {self.root.vector_size}")
+        if self.metric == "cosine":
+            from .metrics import normalize_rows
+            v = normalize_rows(v, "query")
+        return v
+
+    async def query(self, v, k: int, where=None) -> List[FlatQueryResult]:
         import jax.numpy as jnp
 
         from .ops.exact import exact_topk
 
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
-        v = np.asarray(v, np.float32).reshape(1, -1)
-        if v.shape[1] != self.root.vector_size:
-            raise InvalidArgs(
-                f"query vector size {v.shape[1]} != {self.root.vector_size}")
-        metric = getattr(self.root, "metric", "") or "l2"
-        if metric == "cosine":
-            from .metrics import normalize_rows
-            v = normalize_rows(v, "query")
+        v = self._prep_query(v)
         xd, ids = await self._load_all()
-        dists, rows = exact_topk(jnp.asarray(v), xd, k=k,
-                                 metric="dot" if metric == "dot" else "l2")
+        mask = await self._query_mask(where, ids)
+        if mask is not None:
+            mask = jnp.asarray(mask)
+        dists, rows = exact_topk(
+            jnp.asarray(v), xd, mask, k=k,
+            metric="dot" if self.metric == "dot" else "l2")
         dists, rows = np.asarray(dists)[0], np.asarray(rows)[0]
         out = []
         for dist, row in zip(dists, rows):
@@ -649,3 +719,28 @@ class AsyncStoredFlatDatabase:
                 vector_id=ids[row], vector_index=int(row),
                 squared_distance=float(dist)))
         return out
+
+    async def query_range(self, v, radius: float,
+                          k_limit: Optional[int] = None,
+                          where=None) -> List[FlatQueryResult]:
+        """Exact range search (EXTENSION; key semantics per metric as in
+        :meth:`FlatDatabase.query_range`)."""
+        import jax.numpy as jnp
+
+        if not np.isfinite(radius):
+            raise InvalidArgs(f"radius must be finite: {radius}")
+        v = self._prep_query(v)
+        xd, ids = await self._load_all()
+        mask = await self._query_mask(where, ids)
+        keys = np.asarray(_exact_keys(jnp.asarray(v), xd, self.metric))[0]
+        if mask is not None:
+            keys = np.where(mask, keys, np.inf)
+        hit = np.nonzero(keys <= radius)[0]
+        order = hit[np.argsort(keys[hit], kind="stable")]
+        if k_limit is not None:
+            order = order[:k_limit]
+        return [
+            FlatQueryResult(vector_id=ids[r], vector_index=int(r),
+                            squared_distance=float(keys[r]))
+            for r in order.tolist()
+        ]

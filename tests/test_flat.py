@@ -125,3 +125,47 @@ def test_async_flat_load_and_query(tmp_path, rng):
     res = asyncio.run(go())
     assert res[0].vector_id == db.vector_ids[33]
     assert res[0].squared_distance == pytest.approx(0.0, abs=1e-3)
+
+
+def test_async_flat_attrs_filters_range(tmp_path, rng):
+    """Async flat tier parity with the sync one: awaitable attribute
+    fetch (concurrent log loads), where= filters, query_range — across a
+    multi-chunk store (id slices per chunk must line up with the
+    saver's CHUNK_ROWS layout)."""
+    import asyncio
+
+    from flechasdb_tpu import flat
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem
+    from flechasdb_tpu.flat import load_flat_database_async
+
+    x = rng.standard_normal((250, 16)).astype(np.float32)
+    db = FlatDatabase(x, seed=5)
+    for i in range(0, 250, 2):
+        db.set_attribute_at(i, ("parity", 0))
+    db.set_attribute_at(249, ("tag", "last"))
+    old = flat.CHUNK_ROWS
+    flat.CHUNK_ROWS = 100          # 3 chunks
+    try:
+        root = save_flat_database(db, fdb.LocalFileSystem(tmp_path))
+    finally:
+        flat.CHUNK_ROWS = old
+
+    async def go():
+        adb = await load_flat_database_async(
+            AsyncLocalFileSystem(tmp_path), f"{root}.binpb")
+        # attribute in the LAST (short) chunk: slice alignment
+        assert await adb.get_attribute(db.vector_ids[249], "tag") == "last"
+        assert await adb.get_attribute(db.vector_ids[1], "parity") is None
+        filt = await adb.query(x[10], k=5, where=fdb.Eq("parity", 0))
+        assert filt and all(
+            db.vector_ids.index(r.vector_id) % 2 == 0 for r in filt)
+        assert filt[0].vector_id == db.vector_ids[10]
+        # range: exact keys <= radius, matches the sync tier
+        d2 = np.sum((x - x[10]) ** 2, axis=1)
+        radius = float(np.percentile(d2, 5))
+        rr = await adb.query_range(x[10], radius)
+        want = set(np.nonzero(d2 <= radius)[0].tolist())
+        assert {r.vector_index for r in rr} == want
+        return True
+
+    assert asyncio.run(go())
