@@ -323,7 +323,13 @@ def gc(path: str, dry_run: bool = False) -> int:
     if ldir.is_dir():
         root_names = {rp.name for rp in roots}
         for lp in sorted(ldir.iterdir()):
-            target = lp.read_text().strip()
+            try:
+                target = lp.read_bytes().decode("utf-8",
+                                                "replace").strip()
+            except OSError:     # e.g. a stray subdirectory under labels/
+                print(f"warning: unreadable label entry {lp.name}",
+                      file=sys.stderr)
+                continue
             if f"{target}.binpb" not in root_names:
                 print(f"warning: label {lp.name} dangles "
                       f"(root {target} not in store)", file=sys.stderr)

@@ -425,14 +425,8 @@ class AsyncStoredDatabase:
         in :meth:`...build.Database.query_range`) with the same
         overlapped lazy loads as :meth:`query`: centroids, codebooks and
         all probed partitions load concurrently."""
-        if not np.isfinite(radius):
-            raise InvalidArgs(f"radius must be finite: {radius}")
-        if nprobe <= 0:
-            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
-        if nprobe > self.num_partitions:
-            raise InvalidArgs(
-                f"nprobe {nprobe} exceeds the number of partitions"
-                f" {self.num_partitions}")
+        from ..stored import check_range_args
+        check_range_args(radius, nprobe, self.num_partitions)
         v = np.asarray(v, np.float32).reshape(-1)
         if v.shape[0] != self.vector_size:
             raise InvalidArgs(
@@ -475,20 +469,16 @@ class AsyncStoredDatabase:
                 dists = np.where(mask, dists, np.inf)
             for vi in np.nonzero(dists <= radius)[0]:
                 cand.append((float(dists[vi]), j, part, int(vi)))
-        cand.sort(key=lambda t: (t[0], t[1]))
-        if limit is not None:
-            cand = cand[:limit]
-        clamp = self.metric != "dot"
-        return [
-            AsyncQueryResult(
+        from ..stored import merge_range_candidates
+        return merge_range_candidates(
+            cand, limit, self.metric != "dot",
+            lambda key, j, part, vi: AsyncQueryResult(
                 db=self,
                 partition_index=int(probed[j]),
                 vector_id=part.vector_id_at(vi),
                 vector_index=vi,
-                squared_distance=0.0 if (clamp and key < 0.0) else key,
-            )
-            for key, j, part, vi in cand
-        ]
+                squared_distance=key,
+            ))
 
     def _merge_async(self, per_partition, k: int,
                      events) -> List[AsyncQueryResult]:

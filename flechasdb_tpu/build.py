@@ -601,14 +601,8 @@ class Database:
         ]
 
     def _validate_range(self, radius, nprobe: int) -> None:
-        if not np.isfinite(radius):
-            raise InvalidArgs(f"radius must be finite: {radius}")
-        if nprobe <= 0:
-            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
-        if nprobe > self.num_partitions:
-            raise InvalidArgs(
-                f"nprobe {nprobe} exceeds the number of partitions"
-                f" {self.num_partitions}")
+        from .stored import check_range_args
+        check_range_args(radius, nprobe, self.num_partitions)
 
     def _device_originals(self):
         if self._dev_orig is None:

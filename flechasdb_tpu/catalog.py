@@ -49,8 +49,10 @@ def publish_label(fs: FileSystem, root: str, name: str = "latest",
     root = root.strip()
     if not root or "/" in root or "." in root:
         raise InvalidArgs(f"not a root hash: {root!r}")
-    # Existence probe; raises IOError_ if the root was never persisted.
-    fs.open_hashed_file(f"{root}.{extension}", compressed=True)
+    # Existence probe (metadata stat, never a download); a label must
+    # not be published over a root that was never persisted.
+    if not fs.exists(f"{root}.{extension}"):
+        raise IOError_(f"root {root} is not in the store")
     fs.write_named(f"{LABEL_DIR}/{name}", f"{root}\n".encode())
 
 

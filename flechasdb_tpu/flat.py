@@ -211,11 +211,11 @@ class FlatDatabase:
             out.append(results)
         return out
 
-    def query_range(self, v, radius: float, k_limit: Optional[int] = None,
+    def query_range(self, v, radius: float, limit: Optional[int] = None,
                     where=None) -> List[FlatQueryResult]:
         """Exact range search (EXTENSION): every vector whose ranking
         key is ``<= radius``, ascending (key semantics per metric as in
-        :meth:`..build.Database.query_range`). ``k_limit`` caps the
+        :meth:`..build.Database.query_range`). ``limit`` caps the
         result count."""
         import jax.numpy as jnp
 
@@ -237,8 +237,8 @@ class FlatDatabase:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]
         order = hit[np.argsort(keys[hit], kind="stable")]
-        if k_limit is not None:
-            order = order[:k_limit]
+        if limit is not None:
+            order = order[:limit]
         return [
             FlatQueryResult(
                 vector_id=self.vector_ids[r],
@@ -253,23 +253,36 @@ class FlatDatabase:
         return self.attribute_table.get(vid, {}).get(key)
 
 
-def _exact_keys(vs, xd, metric: str):
-    """Exact ranking keys ``[B, N]`` on device (see metrics.py)."""
-    import functools
-
+def _exact_keys_impl(vs, xd, *, metric):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("metric",))
-    def go(vs, xd, *, metric):
-        if metric == "dot":
-            return -jnp.matmul(vs, xd.T,
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-        from .ops.distance import sqdist
-        return sqdist(vs, xd)
+    if metric == "dot":
+        return -jnp.matmul(vs, xd.T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    from .ops.distance import sqdist
+    return sqdist(vs, xd)
 
-    return go(vs, xd, metric="dot" if metric == "dot" else "l2")
+
+_exact_keys_jit = None
+
+
+def _exact_keys(vs, xd, metric: str):
+    """Exact ranking keys ``[B, N]`` on device (see metrics.py).
+
+    The jit wrapper is module-cached — a per-call closure would retrace
+    and recompile on EVERY query_range (measured 300× per-call overhead
+    on CPU; far worse through a TPU compile)."""
+    global _exact_keys_jit
+    if _exact_keys_jit is None:
+        import functools
+
+        import jax
+        _exact_keys_jit = functools.partial(
+            jax.jit, static_argnames=("metric",))(_exact_keys_impl)
+    return _exact_keys_jit(vs, xd, metric="dot" if metric == "dot"
+                           else "l2")
 
 
 def _chunk_uuids(msg: PFlatChunk) -> List[_uuid.UUID]:
@@ -476,7 +489,7 @@ class StoredFlatDatabase:
             out.append(results)
         return out
 
-    def query_range(self, v, radius: float, k_limit: Optional[int] = None,
+    def query_range(self, v, radius: float, limit: Optional[int] = None,
                     where=None) -> List[FlatQueryResult]:
         """Exact range search over the stored chunks (EXTENSION; key
         semantics per metric as in :meth:`FlatDatabase.query_range`)."""
@@ -505,8 +518,8 @@ class StoredFlatDatabase:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]
         order = hit[np.argsort(keys[hit], kind="stable")]
-        if k_limit is not None:
-            order = order[:k_limit]
+        if limit is not None:
+            order = order[:limit]
         return [
             FlatQueryResult(
                 vector_id=ids[r],
@@ -592,6 +605,7 @@ class AsyncStoredFlatDatabase:
 
     _load_task: Optional[object] = field(default=None, repr=False)
     _attrs_task: Optional[object] = field(default=None, repr=False)
+    _chunk_sizes: Optional[List[int]] = field(default=None, repr=False)
     _attribute_table: AttributeTable = field(default_factory=dict,
                                              repr=False)
 
@@ -626,6 +640,10 @@ class AsyncStoredFlatDatabase:
                 x = (np.concatenate([p[0] for p in parts]) if parts else
                      np.zeros((0, self.root.vector_size), np.float32))
                 ids = [vid for p in parts for vid in p[1]]
+                # Per-chunk id counts for attribute-log replay: the wire
+                # format does not pin a chunk size, so slices must come
+                # from the ACTUAL chunks, never a CHUNK_ROWS constant.
+                self._chunk_sizes = [len(p[0]) for p in parts]
                 return jnp.asarray(x), ids
 
             self._load_task = asyncio.create_task(load())
@@ -653,9 +671,9 @@ class AsyncStoredFlatDatabase:
                     *(one(i) for i in range(len(self.root.chunk_ids))))
                 pos = 0
                 for i, payload in enumerate(payloads):
-                    # Chunk i's id slice: CHUNK_ROWS-sized except the last
-                    # (the saver's layout, save_flat_database).
-                    lo, pos = pos, min(len(all_ids), pos + CHUNK_ROWS)
+                    # Chunk i's id slice, from the loaded chunks' actual
+                    # sizes (any writer's chunking is valid wire format).
+                    lo, pos = pos, pos + self._chunk_sizes[i]
 
                     class _P:  # adapter: replay helper wants .vector_ids
                         vector_ids = all_ids[lo:pos]
@@ -721,7 +739,7 @@ class AsyncStoredFlatDatabase:
         return out
 
     async def query_range(self, v, radius: float,
-                          k_limit: Optional[int] = None,
+                          limit: Optional[int] = None,
                           where=None) -> List[FlatQueryResult]:
         """Exact range search (EXTENSION; key semantics per metric as in
         :meth:`FlatDatabase.query_range`)."""
@@ -737,8 +755,8 @@ class AsyncStoredFlatDatabase:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]
         order = hit[np.argsort(keys[hit], kind="stable")]
-        if k_limit is not None:
-            order = order[:k_limit]
+        if limit is not None:
+            order = order[:limit]
         return [
             FlatQueryResult(vector_id=ids[r], vector_index=int(r),
                             squared_distance=float(keys[r]))

@@ -157,6 +157,16 @@ class FileSystem(ABC):
         raise InvalidContext(
             f"{type(self).__name__} does not support named (label) files")
 
+    def exists(self, path: str) -> bool:
+        """Cheap existence probe. The default downloads the object (all
+        the ABC guarantees is ``open_hashed_file``); backends override
+        with a metadata stat where they can."""
+        try:
+            self.open_hashed_file(path)
+            return True
+        except IOError_:
+            return False
+
 
 class LocalFileSystem(FileSystem):
     """Local directory store: tempfile + atomic rename (``io.rs:210-256``)."""
@@ -234,3 +244,6 @@ class LocalFileSystem(FileSystem):
                 return f.read()
         except OSError as e:
             raise IOError_(str(e)) from e
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(os.path.join(self._base_str, path))

@@ -50,6 +50,9 @@ class MemoryFileSystem(FileSystem):
         except KeyError:
             raise IOError_(f"no such object: {path}") from None
 
+    def exists(self, path: str) -> bool:
+        return path in self.objects
+
 
 class AsyncMemoryFileSystem(AsyncFileSystem):
     """Asyncio view over the same dict (read-only, like the reference's

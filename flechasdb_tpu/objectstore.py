@@ -45,6 +45,19 @@ def _split(url_or_fs, base_path: str):
     return url_or_fs, base_path
 
 
+def _is_local(fs) -> bool:
+    """True for fsspec's local filesystem (where rename is atomic).
+
+    ``fs.protocol`` may be a string OR a tuple (LocalFileSystem's is
+    ``("file", "local")``) — a bare ``in ("file", "local")`` test never
+    matches the tuple form.
+    """
+    proto = fs.protocol
+    if isinstance(proto, (tuple, list)):
+        return bool({"file", "local"} & set(proto))
+    return proto in ("file", "local")
+
+
 class FsspecFileSystem(FileSystem):
     """Sync content-addressed store on any fsspec filesystem."""
 
@@ -74,7 +87,7 @@ class FsspecFileSystem(FileSystem):
                 parent = full.rsplit("/", 1)[0]
                 if parent != full:
                     self.fs.makedirs(parent, exist_ok=True)
-                if self.fs.protocol in ("file", "local"):
+                if _is_local(self.fs):
                     tmp = f"{full}.tmp.{os.getpid()}"
                     self.fs.pipe_file(tmp, payload)
                     self.fs.mv(tmp, full)
@@ -101,7 +114,7 @@ class FsspecFileSystem(FileSystem):
             parent = full.rsplit("/", 1)[0]
             if parent != full:
                 self.fs.makedirs(parent, exist_ok=True)
-            if self.fs.protocol in ("file", "local"):
+            if _is_local(self.fs):
                 tmp = f"{full}.tmp.{os.getpid()}"
                 self.fs.pipe_file(tmp, data)
                 self.fs.mv(tmp, full)
@@ -115,6 +128,13 @@ class FsspecFileSystem(FileSystem):
             return self.fs.cat_file(self._full(path))
         except (OSError, FileNotFoundError) as e:
             raise IOError_(str(e)) from e
+
+    def exists(self, path: str) -> bool:
+        """Metadata probe (HEAD-equivalent), no object download."""
+        try:
+            return bool(self.fs.exists(self._full(path)))
+        except OSError:
+            return False
 
 
 class AsyncFsspecFileSystem(AsyncFileSystem):

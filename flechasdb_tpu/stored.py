@@ -265,6 +265,33 @@ def adc_tables(centroid_deltas: np.ndarray, codebooks: np.ndarray,
     return tables, qnorms
 
 
+def check_range_args(radius, nprobe: int, num_partitions: int) -> None:
+    """Shared ``query_range`` argument validation (in-memory, stored
+    sync, stored async all enforce the same rules)."""
+    if not np.isfinite(radius):
+        raise InvalidArgs(f"radius must be finite: {radius}")
+    if nprobe <= 0:
+        raise InvalidArgs(f"nprobe must be positive: {nprobe}")
+    if nprobe > num_partitions:
+        raise InvalidArgs(
+            f"nprobe {nprobe} exceeds the number of partitions"
+            f" {num_partitions}")
+
+
+def merge_range_candidates(cand, limit, clamp: bool, make_result) -> list:
+    """Shared ``query_range`` tail: ascending (key, probe-order) sort,
+    optional cap, f32-cancellation clamp (L2/cosine only — dot keys are
+    legitimately negative), result materialization via ``make_result(key,
+    j, part, vi)``. ``cand`` holds ``(key, probe_order, part, vi)``."""
+    cand.sort(key=lambda t: (t[0], t[1]))
+    if limit is not None:
+        cand = cand[:limit]
+    return [
+        make_result(0.0 if (clamp and key < 0.0) else key, j, part, vi)
+        for key, j, part, vi in cand
+    ]
+
+
 def adc_tables_dot(v: np.ndarray, cent_scores: np.ndarray,
                    codebooks: np.ndarray,
                    rotation: np.ndarray | None = None,
@@ -749,14 +776,7 @@ class StoredDatabase:
         touched (and after :meth:`preload` every partition is already
         cached), so range queries stay serverless-cheap.
         """
-        if not np.isfinite(radius):
-            raise InvalidArgs(f"radius must be finite: {radius}")
-        if nprobe <= 0:
-            raise InvalidArgs(f"nprobe must be positive: {nprobe}")
-        if nprobe > self.num_partitions:
-            raise InvalidArgs(
-                f"nprobe {nprobe} exceeds the number of partitions"
-                f" {self.num_partitions}")
+        check_range_args(radius, nprobe, self.num_partitions)
         v = np.asarray(v, np.float32).reshape(-1)
         if v.shape[0] != self.vector_size:
             raise InvalidArgs(
@@ -791,20 +811,15 @@ class StoredDatabase:
             hit = np.nonzero(dists <= radius)[0]
             for vi in hit:
                 cand.append((float(dists[vi]), j, part, int(vi)))
-        cand.sort(key=lambda t: (t[0], t[1]))
-        if limit is not None:
-            cand = cand[:limit]
-        clamp = self.metric != "dot"
-        return [
-            StoredQueryResult(
+        return merge_range_candidates(
+            cand, limit, self.metric != "dot",
+            lambda key, j, part, vi: StoredQueryResult(
                 db=self,
                 partition_index=int(probed[j]),
                 vector_id=part.vector_id_at(vi),
                 vector_index=vi,
-                squared_distance=0.0 if (clamp and key < 0.0) else key,
-            )
-            for key, j, part, vi in cand
-        ]
+                squared_distance=key,
+            ))
 
     def _merge_selected(self, sel_d, sel_vi, sel_pi, sel_part, k: int,
                         events: EventHandler) -> List[StoredQueryResult]:

@@ -169,3 +169,34 @@ def test_async_flat_attrs_filters_range(tmp_path, rng):
         return True
 
     assert asyncio.run(go())
+
+
+def test_async_flat_attrs_follow_actual_chunk_sizes(tmp_path, rng):
+    """The wire format does not pin a chunk size: a store written with a
+    DIFFERENT chunking (foreign writer, changed CHUNK_ROWS) must still
+    replay attribute logs against the right id slices — the replay must
+    derive slices from the loaded chunks, never the loader's constant."""
+    import asyncio
+
+    from flechasdb_tpu import flat
+    from flechasdb_tpu.asyncdb import AsyncLocalFileSystem
+    from flechasdb_tpu.flat import load_flat_database_async
+
+    x = rng.standard_normal((250, 16)).astype(np.float32)
+    db = FlatDatabase(x, seed=5)
+    db.set_attribute_at(249, ("tag", "last"))
+    old = flat.CHUNK_ROWS
+    flat.CHUNK_ROWS = 200          # foreign chunking: [200, 50]
+    try:
+        root = save_flat_database(db, fdb.LocalFileSystem(tmp_path))
+    finally:
+        flat.CHUNK_ROWS = old      # loader runs with the default (4096)
+
+    async def go():
+        adb = await load_flat_database_async(
+            AsyncLocalFileSystem(tmp_path), f"{root}.binpb")
+        assert await adb.get_attribute(db.vector_ids[249], "tag") == "last"
+        assert await adb.get_attribute(db.vector_ids[10], "tag") is None
+        return True
+
+    assert asyncio.run(go())
