@@ -116,6 +116,52 @@ def adc_tables(q: jax.Array, centroids: jax.Array,
     return coarse, tables
 
 
+def masked_scan_keys(q, centroids, codebooks, codes, pidx, rotation,
+                     metric, safe_pidx=None):
+    """Every row's ADC ranking key over the flat layout: ``(vdist [B, N],
+    coarse [B, P])`` — the scan core shared by the top-k and range entry
+    points (and the sharded local scan).
+
+    L2: per-partition residual tables ``[B, P, D, C]`` + a flat gather.
+    Dot: the key decomposes as ``coarse[pidx] − Σ_d ⟨q'_d, cb[d, code]⟩``,
+    so only a ``[B, D, C]`` query·codebook table exists — no P-sized
+    table is ever built and per-query transients shrink from
+    ``4·(P·D·C + P·M)`` to ``4·D·C`` bytes (the serving layer's batch
+    chunking accounts for this, ``serving._masked_limit``).
+
+    ``safe_pidx`` (optional) is a clamped copy for gathers when ``pidx``
+    carries ``-1`` padding (the sharded local scan); masking those rows
+    stays the CALLER's job.
+    """
+    b, m = q.shape
+    p = centroids.shape[0]
+    d, c, _ = codebooks.shape
+    n = codes.shape[0]
+    gp = pidx if safe_pidx is None else safe_pidx
+
+    if metric == "dot":
+        coarse = coarse_scores(q, centroids, metric)    # [B, P] = −q·cᵀ
+        qr = q if rotation is None else jnp.matmul(
+            q, rotation, precision=_PRECISION,
+            preferred_element_type=jnp.float32)
+        qc = jnp.einsum("bds,dcs->bdc", qr.reshape(b, d, -1), codebooks,
+                        precision=_PRECISION,
+                        preferred_element_type=jnp.float32)  # [B, D, C]
+        gidx = jnp.arange(d, dtype=jnp.int32)[None, :] * c + codes
+        vals = jnp.take(qc.reshape(b, d * c), gidx.reshape(-1), axis=1)
+        vdist = (jnp.take(coarse, gp, axis=1)
+                 - vals.reshape(b, n, d).sum(axis=-1))  # [B, N]
+        return vdist, coarse
+
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
+    flat = tables.reshape(b, p * d * c)
+    gidx = (gp[:, None] * (d * c)
+            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
+            + codes)                                    # [N, D]
+    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)    # [B, N*D]
+    return vdist.reshape(b, n, d).sum(axis=-1), coarse
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def query_masked_scan(
     q: jax.Array,
@@ -143,19 +189,11 @@ def query_masked_scan(
     """
     b, m = q.shape
     p = centroids.shape[0]
-    d, c, _ = codebooks.shape
     n = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
+    vdist, coarse = masked_scan_keys(q, centroids, codebooks, codes, pidx,
+                                     rotation, metric)
     _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe]
-
-    # Flat gather: vdist[b, i] = Σ_d tables[b, pidx[i], d, codes[i, d]]
-    flat = tables.reshape(b, p * d * c)
-    gidx = (pidx[:, None] * (d * c)
-            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
-            + codes)                                    # [N, D]
-    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)    # [B, N*D]
-    vdist = vdist.reshape(b, n, d).sum(axis=-1)         # [B, N]
 
     selected = jax.vmap(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)
@@ -196,18 +234,10 @@ def range_masked_scan(
     """
     b, m = q.shape
     p = centroids.shape[0]
-    d, c, _ = codebooks.shape
-    n = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
+    vdist, coarse = masked_scan_keys(q, centroids, codebooks, codes, pidx,
+                                     rotation, metric)
     _, probed = jax.lax.top_k(-coarse, nprobe)
-
-    flat = tables.reshape(b, p * d * c)
-    gidx = (pidx[:, None] * (d * c)
-            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
-            + codes)
-    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)
-    vdist = vdist.reshape(b, n, d).sum(axis=-1)
 
     selected = jax.vmap(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)

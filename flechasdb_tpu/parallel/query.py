@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.adc import adc_tables
+from ..ops.adc import masked_scan_keys
 from .mesh import AXIS, merge_topk
 
 
@@ -34,20 +34,13 @@ def _local_scan(q, centroids, codebooks, codes, pidx, rotation, row_mask,
     """Per-device body: scan local rows, return local top-k in global rows."""
     b = q.shape[0]
     p = centroids.shape[0]
-    d, c, _ = codebooks.shape
     nloc = codes.shape[0]
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
-    _, probed = jax.lax.top_k(-coarse, nprobe)            # [B, nprobe]
-
-    # Padding rows carry pidx == -1; clamp for the gather, mask below.
+    # Padding rows carry pidx == -1; clamp for the gathers, mask below.
     safe_pidx = jnp.maximum(pidx, 0)
-    flat = tables.reshape(b, p * d * c)
-    gidx = (safe_pidx[:, None] * (d * c)
-            + jnp.arange(d, dtype=jnp.int32)[None, :] * c
-            + codes)                                      # [nloc, D]
-    vdist = jnp.take(flat, gidx.reshape(-1), axis=1)
-    vdist = vdist.reshape(b, nloc, d).sum(axis=-1)        # [B, nloc]
+    vdist, coarse = masked_scan_keys(q, centroids, codebooks, codes, pidx,
+                                     rotation, metric, safe_pidx=safe_pidx)
+    _, probed = jax.lax.top_k(-coarse, nprobe)            # [B, nprobe]
 
     selected = jax.vmap(
         lambda pr: jnp.zeros((p,), bool).at[pr].set(True))(probed)

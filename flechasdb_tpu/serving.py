@@ -30,18 +30,24 @@ PAD_LIMIT = 4.0
 HBM_BUDGET_BYTES = 2 << 30
 
 
-def _masked_limit(cent_shape, cb_shape, n: int, budget: int) -> int:
+def _masked_limit(cent_shape, cb_shape, n: int, budget: int,
+                  metric: str = "l2") -> int:
     """Largest query batch whose masked-scan transients fit ``budget``.
 
-    Per query the masked path materializes the ADC tables ``[P, D, C]
+    Per query the L2 masked path materializes the ADC tables ``[P, D, C]
     f32``, the residual intermediate ``[P, M] f32`` and the gather-sum
     ``[n, D] f32`` (``ops/adc.py``; ``n`` = rows scanned by one device);
     the bucketed path never blows up this way (per-probed-partition
-    tables only).
+    tables only). The dot path decomposes away the P-sized tables
+    (``masked_scan_keys``): only a ``[D, C]`` table and the same
+    ``[n, D]`` gather remain, so its batches can be much larger.
     """
     p, m = cent_shape
     d, c, _ = cb_shape
-    per_query = 4 * (p * d * c + p * m + n * d)
+    if metric == "dot":
+        per_query = 4 * (d * c + p + n * d)
+    else:
+        per_query = 4 * (p * d * c + p * m + n * d)
     return max(1, budget // per_query)
 
 
@@ -125,7 +131,8 @@ class DeviceIndex:
         """Largest query batch whose masked-scan transients fit the budget
         (see :func:`_masked_limit`)."""
         return _masked_limit(self.centroids.shape, self.codebooks.shape,
-                             self.codes.shape[0], self.hbm_budget_bytes)
+                             self.codes.shape[0], self.hbm_budget_bytes,
+                             self.metric)
 
     def query(self, q: np.ndarray, k: int, nprobe: int,
               row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -276,7 +283,7 @@ class ShardedIndex:
         # single-chip masked path (per-device scanned rows = N / n_dev).
         n_local = self.codes.shape[0] // int(self.mesh.devices.size)
         limit = _masked_limit(self.centroids.shape, self.codebooks.shape,
-                              n_local, self.hbm_budget_bytes)
+                              n_local, self.hbm_budget_bytes, self.metric)
         return _run_chunked(
             lambda qc: query_sharded(
                 qc, self.centroids, self.codebooks, self.codes, self.pidx,
