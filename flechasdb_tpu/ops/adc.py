@@ -79,27 +79,25 @@ def _dot_tables(q: jax.Array, codebooks: jax.Array,
 def adc_tables(q: jax.Array, centroids: jax.Array,
                codebooks: jax.Array,
                rotation: jax.Array | None = None,
-               metric: str = "l2",
                ) -> tuple[jax.Array, jax.Array]:
-    """Coarse scores and ADC tables for every partition.
+    """Coarse distances and L2 ADC tables for every partition.
 
     ``q: [B, M]``, ``centroids: [P, M]``, ``codebooks: [D, C, m]`` →
-    ``(coarse [B, P], tables [B, P, D, C])`` where, for L2,
+    ``(coarse [B, P], tables [B, P, D, C])`` where
     ``tables[b, p, d, c] = ||(q_b - cent_p)_d - codebook[d, c]||²``
     (the reference builds these per selected partition at
     ``db/stored.rs:556-573``). With an OPQ ``rotation [M, M]`` the residual
     is rotated before division (codes live in the rotated space; coarse
-    distances are rotation-invariant). For ``metric="dot"`` the tables
-    hold the decomposed negated inner product (:func:`_dot_tables`) and
-    everything downstream ranks identically.
+    distances are rotation-invariant). L2-only by construction: the dot
+    metric never needs P-sized tables (its key decomposes —
+    :func:`masked_scan_keys` for the flat layout, :func:`_dot_tables`
+    via :func:`..bucketed.probed_tables` for the pruned one).
     """
     b, m = q.shape
     p = centroids.shape[0]
     d, c, sub = codebooks.shape
 
-    coarse = coarse_scores(q, centroids, metric)       # [B, P]
-    if metric == "dot":
-        return coarse, _dot_tables(q, codebooks, coarse, rotation)
+    coarse = sqdist(q, centroids)                      # [B, P]
 
     resid = q[:, None, :] - centroids[None, :, :]      # [B, P, M]
     if rotation is not None:
@@ -153,7 +151,7 @@ def masked_scan_keys(q, centroids, codebooks, codes, pidx, rotation,
                  - vals.reshape(b, n, d).sum(axis=-1))  # [B, N]
         return vdist, coarse
 
-    coarse, tables = adc_tables(q, centroids, codebooks, rotation, metric)
+    coarse, tables = adc_tables(q, centroids, codebooks, rotation)
     flat = tables.reshape(b, p * d * c)
     gidx = (gp[:, None] * (d * c)
             + jnp.arange(d, dtype=jnp.int32)[None, :] * c
