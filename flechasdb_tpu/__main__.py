@@ -355,6 +355,24 @@ def resolve(path: str, name: str = "latest") -> int:
     return 0
 
 
+def labels(path: str) -> int:
+    """Lists every label and its target (dangling ones are flagged)."""
+    import pathlib
+
+    base = pathlib.Path(path)
+    ldir = base / "labels"
+    entries = sorted(p for p in ldir.iterdir() if p.is_file()) \
+        if ldir.is_dir() else []
+    if not entries:
+        print("no labels", file=sys.stderr)
+        return 1
+    for lp in entries:
+        target = lp.read_bytes().decode("utf-8", "replace").strip()
+        live = (base / f"{target}.binpb").is_file()
+        print(f"{lp.name} -> {target}{'' if live else '  (dangling)'}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 1 and argv[0] == "generate":
         generate(*argv[1:2])
@@ -370,10 +388,12 @@ def main(argv: list[str]) -> int:
         return publish(argv[1], argv[2], *argv[3:4])
     if len(argv) >= 2 and argv[0] == "resolve":
         return resolve(argv[1], *argv[2:3])
+    if len(argv) >= 2 and argv[0] == "labels":
+        return labels(argv[1])
     print("usage: python -m flechasdb_tpu "
           "[generate [path] | load <path> | verify <path> | "
           "gc [--dry-run] <path> | publish <path> <root> [name] | "
-          "resolve <path> [name]]",
+          "resolve <path> [name] | labels <path>]",
           file=sys.stderr)
     return 1
 

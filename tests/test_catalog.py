@@ -109,11 +109,18 @@ def test_cli_publish_resolve_load_and_gc_warning(tmp_path, db):
     r = cli("load", str(tmp_path))
     assert r.returncode == 0, r.stderr
 
+    # labels listing shows name -> target
+    r = cli("labels", str(tmp_path))
+    assert r.returncode == 0 and f"latest -> {root2}" in r.stdout
+    assert "dangling" not in r.stdout
+
     # gc keeps labels; deleting the labeled root makes gc warn
     (tmp_path / f"{root2}.binpb").unlink()
     r = cli("gc", "--dry-run", str(tmp_path))
     assert r.returncode == 0
     assert "dangles" in r.stderr
+    r = cli("labels", str(tmp_path))
+    assert "(dangling)" in r.stdout
     assert (tmp_path / "labels" / "latest").is_file()
     # the v1-era root is still resolvable after pointing latest back
     fdb.publish_label(fs, root1)
