@@ -164,7 +164,7 @@ def _means_grad(sums: jax.Array, counts: jax.Array, old: jax.Array,
     return new, grad
 
 
-def _auto_impl(x: jax.Array) -> str:
+def _auto_impl(x: jax.Array, platform: str | None = None) -> str:
     """Kernel choice for :func:`_fused_round` when the caller passes None.
 
     Pallas on TPU. Vector widths below one lane tile would lane-pad the
@@ -176,9 +176,16 @@ def _auto_impl(x: jax.Array) -> str:
     nothing pads and one MXU pass serves all of them. Widths that don't
     divide the lane tile fall back to the XLA formulation when large
     (the layout assigner keeps un-padded arrays there).
+
+    ``platform`` overrides the default-device platform check — sharded
+    callers must pass the MESH's platform (a CPU mesh in a process whose
+    default backend is the TPU plugin would otherwise pick a kernel that
+    cannot lower; cf. ``parallel.bucketed.query_bucketed_sharded``).
     """
-    from .bucketed import _platform
-    if _platform() != "tpu":
+    if platform is None:
+        from .bucketed import _platform
+        platform = _platform()
+    if platform != "tpu":
         return "xla"
     b, n, m = x.shape
     if m < 128:

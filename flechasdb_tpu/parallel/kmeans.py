@@ -157,7 +157,8 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     if impl is None:
         local_shape = jax.ShapeDtypeStruct(
             (b, -(-np_ // mesh.devices.size), m), x.dtype)
-        impl = kmeans._auto_impl(local_shape)
+        impl = kmeans._auto_impl(local_shape,
+                                 platform=mesh.devices.flat[0].platform)
     xg = None
     if impl == "pallas_grouped":
         from ..ops.pallas_kmeans import regroup_divisions
