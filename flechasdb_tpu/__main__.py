@@ -266,6 +266,30 @@ def _referenced(root) -> "set[str]":
     return refs
 
 
+def _walk_labels(base) -> "list[tuple[str, str | None, bool]]":
+    """``(name, target, live)`` for every entry under ``labels/``.
+
+    ``target is None`` marks an unreadable entry (e.g. a stray
+    subdirectory); ``live`` says whether ``<target>.binpb`` exists at the
+    store's top level. Shared by ``gc`` and ``labels`` so the dangling
+    check cannot drift between them (catalog.LABEL_DIR is the one name).
+    """
+    from .catalog import LABEL_DIR
+
+    ldir = base / LABEL_DIR
+    if not ldir.is_dir():
+        return []
+    out = []
+    for lp in sorted(ldir.iterdir()):
+        try:
+            target = lp.read_bytes().decode("utf-8", "replace").strip()
+        except OSError:
+            out.append((lp.name, None, False))
+            continue
+        out.append((lp.name, target, (base / f"{target}.binpb").is_file()))
+    return out
+
+
 def gc(path: str, dry_run: bool = False) -> int:
     """Deletes artifacts no root manifest references.
 
@@ -319,20 +343,13 @@ def gc(path: str, dry_run: bool = False) -> int:
             (base / rel).unlink()
     # Labels are never reaped, but a label whose root file was deleted
     # dangles — surface it (catalog.py).
-    ldir = base / "labels"
-    if ldir.is_dir():
-        root_names = {rp.name for rp in roots}
-        for lp in sorted(ldir.iterdir()):
-            try:
-                target = lp.read_bytes().decode("utf-8",
-                                                "replace").strip()
-            except OSError:     # e.g. a stray subdirectory under labels/
-                print(f"warning: unreadable label entry {lp.name}",
-                      file=sys.stderr)
-                continue
-            if f"{target}.binpb" not in root_names:
-                print(f"warning: label {lp.name} dangles "
-                      f"(root {target} not in store)", file=sys.stderr)
+    for lname, target, lives in _walk_labels(base):
+        if target is None:      # e.g. a stray subdirectory under labels/
+            print(f"warning: unreadable label entry {lname}",
+                  file=sys.stderr)
+        elif not lives:
+            print(f"warning: label {lname} dangles "
+                  f"(root {target} not in store)", file=sys.stderr)
     print(f"{len(victims)} orphaned artifact(s), {freed} bytes"
           f"{' (dry run)' if dry_run else ' freed'}; "
           f"{len(roots)} live root(s)")
@@ -359,17 +376,16 @@ def labels(path: str) -> int:
     """Lists every label and its target (dangling ones are flagged)."""
     import pathlib
 
-    base = pathlib.Path(path)
-    ldir = base / "labels"
-    entries = sorted(p for p in ldir.iterdir() if p.is_file()) \
-        if ldir.is_dir() else []
+    entries = _walk_labels(pathlib.Path(path))
     if not entries:
         print("no labels", file=sys.stderr)
         return 1
-    for lp in entries:
-        target = lp.read_bytes().decode("utf-8", "replace").strip()
-        live = (base / f"{target}.binpb").is_file()
-        print(f"{lp.name} -> {target}{'' if live else '  (dangling)'}")
+    for lname, target, lives in entries:
+        if target is None:
+            print(f"warning: unreadable label entry {lname}",
+                  file=sys.stderr)
+        else:
+            print(f"{lname} -> {target}{'' if lives else '  (dangling)'}")
     return 0
 
 

@@ -132,6 +132,21 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32), (b, np_))
         return kmeans.KMeansResult(cents, idx, jnp.zeros((b,), jnp.int32),
                                    jnp.zeros((b,), jnp.float32))
+    # Resolve the kernel once against the LOCAL shard shape (auto picks by
+    # per-device bytes), so the grouped kernel's lane-fold layout can be
+    # computed one time outside the Lloyd loop — regroup_divisions is a
+    # full corpus-shard copy that must not run per round (it is N-axis-
+    # preserving plain XLA, so GSPMD shards it like the corpus itself).
+    # Resolved BEFORE the train_cap branch: its full-corpus assignment
+    # pass also runs inside shard_map, where an unresolved None would fall
+    # back to the DEFAULT device's platform — on a CPU mesh in a process
+    # whose default backend is the TPU plugin that picks a kernel that
+    # cannot lower (same hazard _auto_impl documents).
+    if impl is None:
+        local_shape = jax.ShapeDtypeStruct(
+            (b, -(-np_ // mesh.devices.size), m), x.dtype)
+        impl = kmeans._auto_impl(local_shape,
+                                 platform=mesh.devices.flat[0].platform)
     if train_cap is not None and train_cap > 0 and n > train_cap:
         if train_cap < k:
             raise ValueError(
@@ -148,17 +163,6 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         idx = _assign_sharded(x, sub.centroids, k, impl, mesh)
         return kmeans.KMeansResult(sub.centroids, idx, sub.rounds,
                                    sub.gradient)
-
-    # Resolve the kernel once against the LOCAL shard shape (auto picks by
-    # per-device bytes), so the grouped kernel's lane-fold layout can be
-    # computed one time outside the Lloyd loop — regroup_divisions is a
-    # full corpus-shard copy that must not run per round (it is N-axis-
-    # preserving plain XLA, so GSPMD shards it like the corpus itself).
-    if impl is None:
-        local_shape = jax.ShapeDtypeStruct(
-            (b, -(-np_ // mesh.devices.size), m), x.dtype)
-        impl = kmeans._auto_impl(local_shape,
-                                 platform=mesh.devices.flat[0].platform)
     xg = None
     if impl == "pallas_grouped":
         from ..ops.pallas_kmeans import regroup_divisions

@@ -218,6 +218,38 @@ def test_sharded_build_coarse_cap_engaged(rng, mesh):
         np.asarray(sharded.codes), np.asarray(single.codes))
 
 
+def test_sharded_cap_path_resolves_kernel_from_mesh(rng, mesh, monkeypatch):
+    """fit_sharded's train_cap branch must resolve the Lloyd/assign kernel
+    against the MESH platform before any shard_map body runs — an
+    unresolved None inside `_assign_only` falls back to the DEFAULT
+    device's platform, which picks a Mosaic kernel that cannot lower when
+    the default backend is the TPU plugin but the mesh is host-CPU
+    (regression: round-3 review finding on parallel/kmeans.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from flechasdb_tpu.ops import kmeans as okm
+    from flechasdb_tpu.parallel.kmeans import fit_sharded
+    from flechasdb_tpu.parallel.mesh import AXIS
+
+    real = okm._auto_impl
+
+    def strict(x, platform=None):
+        assert platform is not None, (
+            "_auto_impl reached with the default-device platform fallback "
+            "inside the sharded fit")
+        return real(x, platform)
+
+    monkeypatch.setattr(okm, "_auto_impl", strict)
+    n, m, k = 256, 16, 4
+    x = rng.standard_normal((1, n, m)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P(None, AXIS, None)))
+    res = fit_sharded(xs, k, jax.random.key(3), mesh=mesh, n_valid=n,
+                      train_cap=64)
+    assert res.centroids.shape == (1, k, m)
+    assert int(jnp.max(res.indices)) < k
+
+
 def test_sharded_exact_matches_single_device(rng, mesh):
     from flechasdb_tpu.ops.exact import exact_topk
     from flechasdb_tpu.parallel import exact_sharded, shard_flat
