@@ -17,16 +17,18 @@ first-class device-mesh component set:
 """
 
 from .build import build_sharded, build_step_donating
-from .exact import exact_sharded, shard_flat
+from .exact import exact_sharded, rerank_sharded, shard_flat
 from .kmeans import fit_sharded
 from .mesh import corpus_mesh, shard_corpus
-from .query import query_sharded
+from .query import query_sharded, range_sharded
 
 __all__ = [
     "build_sharded",
     "build_step_donating",
     "exact_sharded",
     "fit_sharded",
+    "range_sharded",
+    "rerank_sharded",
     "shard_flat",
     "corpus_mesh",
     "query_sharded",

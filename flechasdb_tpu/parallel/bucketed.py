@@ -107,6 +107,105 @@ def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
     return mdist, mrows, probed.astype(jnp.int32)
 
 
+def _local_range_scan(q, centroids, codebooks, bcodes, brows, lens,
+                      rotation, row_mask, *, nprobe, impl, metric):
+    """Per-device body for the sharded range scan.
+
+    Same owned-bucket scan as :func:`_local_bucket_scan`, but instead of a
+    local top-k + k-best merge it combines the FULL candidate arrays: each
+    ``(query, probe)`` slot is owned by exactly one device (probes landing
+    on another device's partitions are ``+inf``-masked locally), so the
+    global keys are an elementwise ``pmin`` and the global rows a ``psum``
+    of the single owner's contribution. The collective moves
+    ``B·nprobe·L`` floats — inherent to range search, whose result IS the
+    candidate set (the host thresholds it), not a k-best.
+    """
+    from ..ops.adc import coarse_scores
+
+    b = q.shape[0]
+    d, c, _ = codebooks.shape
+    ploc, _, l = bcodes.shape
+    p0 = jax.lax.axis_index(AXIS) * ploc
+
+    coarse = coarse_scores(q, centroids, metric)        # [B, P] replicated
+    _, probed = jax.lax.top_k(-coarse, nprobe)          # [B, nprobe] global
+    tables = probed_tables(q, centroids, codebooks, probed, rotation,
+                           metric, coarse)
+
+    lidx = probed - p0
+    owned = (lidx >= 0) & (lidx < ploc)
+    slot = jnp.where(owned, lidx, 0).astype(jnp.int32)
+
+    vdist = bucket_scan(
+        bcodes, tables.reshape(b * nprobe, d * c),
+        slot.reshape(b * nprobe), d=d, impl=impl,
+    ).reshape(b, nprobe, l)
+
+    lens_g = jnp.take(lens, slot, axis=0)               # [B, nprobe]
+    keep = (owned[..., None]
+            & (jnp.arange(l, dtype=jnp.int32)[None, None, :]
+               < lens_g[..., None]))
+    rows_g = jnp.take(brows, slot, axis=0)              # [B, nprobe, L]
+    if row_mask is not None:  # replicated [N] over GLOBAL corpus rows
+        keep &= jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0)
+
+    keys = jax.lax.pmin(jnp.where(keep, vdist, jnp.inf), AXIS)
+    rows = jax.lax.psum(
+        jnp.where(keep, rows_g + 1, 0).astype(jnp.int32), AXIS) - 1
+    return (keys.reshape(b, nprobe * l),
+            rows.reshape(b, nprobe * l),
+            probed.astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "nprobe", "impl", "metric"))
+def range_bucketed_sharded(
+    q: jax.Array,
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    buckets: Buckets,
+    rotation: jax.Array | None = None,
+    row_mask: jax.Array | None = None,
+    *,
+    mesh: Mesh,
+    nprobe: int,
+    impl: str | None = None,
+    metric: str = "l2",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sharded range-search candidates — the mesh analogue of
+    :func:`..ops.bucketed.range_bucketed`, same
+    ``(keys [B, nprobe·L], rows [B, nprobe·L], probed)`` contract
+    (non-candidates ``+inf`` / row ``-1``), outputs replicated.
+    """
+    if impl is None:
+        impl = ("pallas" if mesh.devices.flat[0].platform == "tpu"
+                else "gather")
+    has_rot, has_mask = rotation is not None, row_mask is not None
+    extras, especs = [], []
+    if has_rot:
+        extras.append(rotation)
+        especs.append(P())
+    if has_mask:
+        extras.append(row_mask)
+        especs.append(P())
+
+    def local(q, cents, cbs, bc, br, ln, *ex):
+        rot = ex[0] if has_rot else None
+        rm = ex[-1] if has_mask else None
+        return _local_range_scan(q, cents, cbs, bc, br, ln, rot, rm,
+                                 nprobe=nprobe, impl=impl, metric=metric)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS, None, None), P(AXIS, None),
+                  P(AXIS), *especs),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(q, centroids, codebooks, buckets.codes, buckets.rows,
+              buckets.lengths, *extras)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "k", "nprobe", "impl", "metric"))
 def query_bucketed_sharded(

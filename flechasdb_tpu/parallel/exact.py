@@ -43,6 +43,56 @@ def _local(q, x, *, k, kk, n, metric):
     return merge_topk(-d, rows, k)
 
 
+def _local_rerank(q, rows, valid, x, *, k, metric):
+    """Per-device body: re-score the candidate rows THIS shard owns
+    exactly, ``psum`` the keys (each valid row has exactly one owner;
+    non-owners contribute 0), then a replicated top-k — the sharded
+    analogue of :func:`...build._rerank_exact`, same inf-for-invalid and
+    tie-break semantics."""
+    nloc = x.shape[0]
+    base = jax.lax.axis_index(AXIS) * nloc
+    lrows = rows - base
+    owned = valid & (lrows >= 0) & (lrows < nloc)
+    cand = jnp.take(x, jnp.where(owned, lrows, 0), axis=0)  # [B, R, M]
+    if metric == "dot":
+        exact = -jnp.einsum("bm,brm->br", q, cand,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    else:
+        diff = cand - q[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)
+    exact = jax.lax.psum(jnp.where(owned, exact, 0.0), AXIS)  # [B, R]
+    exact = jnp.where(valid, exact, jnp.inf)
+    neg, sel = jax.lax.top_k(-exact, k)
+    return -neg, jnp.take_along_axis(rows, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "metric"))
+def rerank_sharded(q: jax.Array, rows: jax.Array, valid: jax.Array,
+                   x: jax.Array, *, mesh: Mesh, k: int,
+                   metric: str = "l2") -> tuple[jax.Array, jax.Array]:
+    """Exact re-scoring of ADC candidates against a SHARDED raw corpus —
+    the mesh analogue of the in-memory rerank (IVFPQ+refine, the recall
+    knob single-chip serving gets from ``query(..., rerank=R)``).
+
+    ``q [B, M]``, ``rows [B, R]`` candidate global corpus rows (e.g. the
+    top-R of :func:`..parallel.query.query_sharded` /
+    ``query_bucketed_sharded``), ``valid [B, R]`` bool (False where the
+    ADC pass ran dry), ``x [N_pad, M]`` row-sharded originals
+    (:func:`shard_flat`). Only the ``[B, R]`` candidate keys cross ICI
+    (one ``psum``) — never the gathered ``[B, R, M]`` vectors. Returns
+    replicated ``(exact_keys [B, k], rows [B, k])``.
+    """
+    fn = jax.shard_map(
+        functools.partial(_local_rerank, k=k, metric=metric),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q, rows, valid, x)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "n", "metric"))
 def exact_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, k: int,
                   n: int, metric: str = "l2") -> tuple[jax.Array, jax.Array]:

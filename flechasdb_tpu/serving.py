@@ -76,6 +76,20 @@ def _run_chunked(run, qd, limit: int):
     return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
 
 
+def _range_host_tail(keys: np.ndarray, rows: np.ndarray,
+                     radius: float) -> list:
+    """Thresholds device range-scan candidates (``+inf`` = non-candidate)
+    into per-query ``(rows int64[], keys f32[])`` pairs, key-ascending —
+    shared by the single-chip and sharded serving tiers."""
+    out = []
+    for b in range(len(keys)):
+        hit = keys[b] <= radius
+        kb, rb = keys[b][hit], rows[b][hit]
+        order = np.argsort(kb, kind="stable")
+        out.append((rb[order].astype(np.int64), kb[order]))
+    return out
+
+
 def _choose_layout(p: int, pidx: np.ndarray, n: int) -> str:
     """Bucketed (pruned) unless partition skew makes the ``[P, L_pad]``
     bucket padding blow past ``PAD_LIMIT``× the flat corpus — the one
@@ -198,13 +212,7 @@ class DeviceIndex:
             keys = np.asarray(keys)
             rows = np.broadcast_to(
                 np.arange(keys.shape[1], dtype=np.int32), keys.shape)
-        out = []
-        for b in range(len(keys)):
-            hit = keys[b] <= radius
-            kb, rb = keys[b][hit], rows[b][hit]
-            order = np.argsort(kb, kind="stable")
-            out.append((rb[order].astype(np.int64), kb[order]))
-        return out
+        return _range_host_tail(keys, rows, radius)
 
 
 class ShardedIndex:
@@ -290,3 +298,39 @@ class ShardedIndex:
                 self.rotation, row_mask, mesh=self.mesh, k=k,
                 nprobe=nprobe, metric=self.metric),
             qd, limit)
+
+    def query_range(self, q: np.ndarray, radius: float, nprobe: int,
+                    row_mask=None) -> list:
+        """Range search over the sharded index — same contract as
+        :meth:`DeviceIndex.query_range` (per-query ``(rows, keys)`` pairs,
+        ascending). Each device scans the probed buckets/rows it owns;
+        the candidate arrays combine over ICI (``pmin``/``all_gather`` —
+        range results ARE the candidate set, so the full array crosses,
+        unlike the k-best query merge) and the host thresholds once.
+        """
+        import jax.numpy as jnp
+
+        from .parallel.bucketed import range_bucketed_sharded
+        from .parallel.mesh import shard_mask
+        from .parallel.query import range_sharded
+
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        if self.layout == "sharded-bucketed":
+            if row_mask is not None:
+                row_mask = jnp.asarray(row_mask, bool)  # replicated, global
+            keys, rows, _ = range_bucketed_sharded(
+                qd, self.centroids, self.codebooks, self.buckets,
+                self.rotation, row_mask, mesh=self.mesh, nprobe=nprobe,
+                metric=self.metric)
+            keys, rows = np.asarray(keys), np.asarray(rows)
+        else:
+            if row_mask is not None:
+                row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
+            keys, _ = range_sharded(
+                qd, self.centroids, self.codebooks, self.codes, self.pidx,
+                self.rotation, row_mask, mesh=self.mesh, nprobe=nprobe,
+                metric=self.metric)
+            keys = np.asarray(keys)
+            rows = np.broadcast_to(
+                np.arange(keys.shape[1], dtype=np.int32), keys.shape)
+        return _range_host_tail(keys, rows, radius)

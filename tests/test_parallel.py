@@ -386,6 +386,63 @@ def test_sharded_index_bucketed_layout(rng, mesh):
                                    rtol=1e-6)
 
 
+def test_sharded_range_matches_single_device(rng, mesh):
+    """ShardedIndex.query_range == DeviceIndex.query_range on both
+    layouts, with and without a row mask (the sharded candidate combine
+    — pmin/psum of owned probe slots, all_gather of local key columns —
+    must reproduce the single-chip candidate set exactly)."""
+    from flechasdb_tpu.serving import DeviceIndex, ShardedIndex
+
+    centroids, codebooks, codes, pidx = _random_index(
+        rng, n=700, m=32, p=8, d=4, c=16)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    mask = rng.random(700) < 0.6
+
+    for layout in ("bucketed", "masked"):
+        single = DeviceIndex(centroids, codebooks, codes, pidx,
+                             layout=layout)
+        sharded = ShardedIndex(centroids, codebooks, codes, pidx,
+                               layout=layout, mesh=mesh)
+        probe = single.query(q, k=5, nprobe=8)[0]
+        radius = float(np.median(probe[np.isfinite(probe)]))
+        for rm in (None, mask):
+            ref = single.query_range(q, radius, nprobe=8, row_mask=rm)
+            got = sharded.query_range(q, radius, nprobe=8, row_mask=rm)
+            assert len(ref) == len(got)
+            for (rr, rk), (gr, gk) in zip(ref, got):
+                np.testing.assert_array_equal(np.sort(gr), np.sort(rr))
+                np.testing.assert_allclose(np.sort(gk), np.sort(rk),
+                                           rtol=1e-5, atol=1e-5)
+                if rm is not None:
+                    assert mask[gr].all()
+
+
+def test_rerank_sharded_matches_exact(rng, mesh):
+    """rerank_sharded == the in-memory _rerank_exact for both metrics
+    (same candidates, same inf-for-invalid semantics, corpus sharded)."""
+    from flechasdb_tpu.build import _rerank_exact
+    from flechasdb_tpu.parallel import rerank_sharded, shard_flat
+
+    n, m, b, r, k = 500, 24, 4, 16, 6
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    q = rng.standard_normal((b, m)).astype(np.float32)
+    rows = np.stack([rng.choice(n, r, replace=False) for _ in range(b)])
+    valid = rng.random((b, r)) < 0.8
+    valid[:, :k] = True            # keep >= k live candidates per query
+
+    xs, _ = shard_flat(mesh, x)
+    for metric in ("l2", "dot"):
+        ref_d, ref_r = _rerank_exact(
+            jnp.asarray(q), jnp.asarray(rows), jnp.asarray(valid),
+            jnp.asarray(x), k=k, metric=metric)
+        got_d, got_r = rerank_sharded(
+            jnp.asarray(q), jnp.asarray(rows), jnp.asarray(valid), xs,
+            mesh=mesh, k=k, metric=metric)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
+
+
 def test_sharded_fit_grouped_kernel_matches(rng, mesh):
     """fit_sharded with the GROUPED kernel (sub-lane vector widths,
     interpret mode on the CPU mesh): the hoisted per-shard regroup —
