@@ -78,8 +78,25 @@ class FlatDatabase:
         self.vector_ids = list(vector_ids)
         self.attribute_table: AttributeTable = {}
         self._dev = None
+        self._mesh = None
         self._rng = rng
         self._filter_cache = None
+
+    def preload(self, mesh=None) -> None:
+        """Pushes the corpus to the device — or, with a
+        ``jax.sharding.Mesh``, row-shards it across the mesh so queries
+        run the SPMD exact scan (:func:`..parallel.exact.exact_sharded`;
+        local top-k per device, ``all_gather`` k-best merge). Corpora
+        larger than one chip's HBM serve this way. Queries preload
+        lazily on first use; call this explicitly to choose a mesh."""
+        import jax.numpy as jnp
+
+        self._mesh = mesh
+        if mesh is None:
+            self._dev = jnp.asarray(self._x)
+        else:
+            from .parallel.exact import shard_flat
+            self._dev = shard_flat(mesh, self._x)[0]
 
     # -- accessors -----------------------------------------------------------
 
@@ -189,12 +206,23 @@ class FlatDatabase:
             from .metrics import normalize_rows
             vs = normalize_rows(vs, "query")
         if self._dev is None:
-            self._dev = jnp.asarray(self._x)
-        mask = None if where is None else \
-            jnp.asarray(self._filter_mask(where))
-        dists, rows = exact_topk(
-            jnp.asarray(vs), self._dev, mask, k=k,
-            metric="dot" if self.metric == "dot" else "l2")
+            self.preload(self._mesh)
+        mask = None if where is None else self._filter_mask(where)
+        kernel_metric = "dot" if self.metric == "dot" else "l2"
+        if self._mesh is not None:
+            from .parallel.exact import exact_sharded
+            from .parallel.mesh import shard_mask
+            if mask is not None:
+                mask = shard_mask(self._mesh, mask)
+            dists, rows = exact_sharded(
+                jnp.asarray(vs), self._dev, mask, mesh=self._mesh, k=k,
+                n=self.num_vectors, metric=kernel_metric)
+        else:
+            if mask is not None:
+                mask = jnp.asarray(mask)
+            dists, rows = exact_topk(
+                jnp.asarray(vs), self._dev, mask, k=k,
+                metric=kernel_metric)
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -229,10 +257,18 @@ class FlatDatabase:
             from .metrics import normalize_rows
             v = normalize_rows(v, "query")
         if self._dev is None:
-            self._dev = jnp.asarray(self._x)
+            self.preload(self._mesh)
         mask = None if where is None else self._filter_mask(where)
-        keys = np.asarray(_exact_keys(jnp.asarray(v), self._dev,
-                                      self.metric))[0]
+        if self._mesh is not None:
+            from .parallel.exact import exact_keys_sharded
+            keys = np.asarray(exact_keys_sharded(
+                jnp.asarray(v), self._dev, mesh=self._mesh,
+                n=self.num_vectors,
+                metric="dot" if self.metric == "dot" else "l2",
+            ))[0][:self.num_vectors]
+        else:
+            keys = np.asarray(_exact_keys(jnp.asarray(v), self._dev,
+                                          self.metric))[0]
         if mask is not None:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]
@@ -382,6 +418,7 @@ class StoredFlatDatabase:
     _attr_loaded: List[bool] = field(default=None, repr=False)
     _attribute_table: AttributeTable = field(default_factory=dict, repr=False)
     _dev: Optional[tuple] = field(default=None, repr=False)
+    _mesh: Optional[object] = field(default=None, repr=False)
     _filter_cache: Optional[object] = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
@@ -442,8 +479,21 @@ class StoredFlatDatabase:
 
         if self._dev is None:
             x, ids = self._load_all_host()
-            self._dev = (jnp.asarray(x), ids)
+            if self._mesh is None:
+                self._dev = (jnp.asarray(x), ids)
+            else:
+                from .parallel.exact import shard_flat
+                self._dev = (shard_flat(self._mesh, x)[0], ids)
         return self._dev
+
+    def preload(self, mesh=None) -> None:
+        """Loads every chunk and pushes the corpus to the device — or,
+        with a ``jax.sharding.Mesh``, row-shards it so queries run the
+        SPMD exact scan (the flat analogue of
+        :meth:`..stored.StoredDatabase.preload`)."""
+        self._mesh = mesh
+        self._dev = None
+        self._load_all()
 
     def query(self, v, k: int, where=None) -> List[FlatQueryResult]:
         return self.query_batch(np.asarray(v, np.float32)[None], k,
@@ -468,11 +518,22 @@ class StoredFlatDatabase:
             self._ensure_attrs_loaded()
             if self._filter_cache is None:
                 self._filter_cache = ColumnCache()
-            mask = jnp.asarray(evaluate_mask(
-                where, ids, self._attribute_table, self._filter_cache))
-        dists, rows = exact_topk(
-            jnp.asarray(vs), xd, mask, k=k,
-            metric="dot" if self.metric == "dot" else "l2")
+            mask = evaluate_mask(
+                where, ids, self._attribute_table, self._filter_cache)
+        kernel_metric = "dot" if self.metric == "dot" else "l2"
+        if self._mesh is not None:
+            from .parallel.exact import exact_sharded
+            from .parallel.mesh import shard_mask
+            if mask is not None:
+                mask = shard_mask(self._mesh, mask)
+            dists, rows = exact_sharded(
+                jnp.asarray(vs), xd, mask, mesh=self._mesh, k=k,
+                n=self.num_vectors, metric=kernel_metric)
+        else:
+            if mask is not None:
+                mask = jnp.asarray(mask)
+            dists, rows = exact_topk(
+                jnp.asarray(vs), xd, mask, k=k, metric=kernel_metric)
         dists, rows = np.asarray(dists), np.asarray(rows)
         out = []
         for b in range(len(vs)):
@@ -513,7 +574,15 @@ class StoredFlatDatabase:
                 self._filter_cache = ColumnCache()
             mask = evaluate_mask(where, ids, self._attribute_table,
                                  self._filter_cache)
-        keys = np.asarray(_exact_keys(jnp.asarray(v), xd, self.metric))[0]
+        if self._mesh is not None:
+            from .parallel.exact import exact_keys_sharded
+            keys = np.asarray(exact_keys_sharded(
+                jnp.asarray(v), xd, mesh=self._mesh, n=self.num_vectors,
+                metric="dot" if self.metric == "dot" else "l2",
+            ))[0][:self.num_vectors]
+        else:
+            keys = np.asarray(
+                _exact_keys(jnp.asarray(v), xd, self.metric))[0]
         if mask is not None:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]

@@ -27,13 +27,13 @@ def shard_flat(mesh: Mesh, x: np.ndarray) -> tuple[jax.Array, int]:
     return xs, n
 
 
-def _local(q, x, *, k, kk, n, metric):
+def _local(q, x, row_mask=None, *, k, kk, n, metric):
     nloc = x.shape[0]
     base = jax.lax.axis_index(AXIS) * nloc
     # Select kk = min(k + n_pad, nloc) candidates so that even if every pad
     # row (zero vector, global id >= n) wins a slot, k true neighbours still
     # survive the mask below — pad rows must never displace real rows.
-    d, rows = exact_topk(q, x, k=kk, metric=metric)
+    d, rows = exact_topk(q, x, row_mask, k=kk, metric=metric)
     rows = rows + base
     d = jnp.where(rows < n, d, jnp.inf)                 # mask pad rows
     if d.shape[1] < k:
@@ -94,12 +94,15 @@ def rerank_sharded(q: jax.Array, rows: jax.Array, valid: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "n", "metric"))
-def exact_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, k: int,
+def exact_sharded(q: jax.Array, x: jax.Array,
+                  row_mask: jax.Array | None = None, *, mesh: Mesh, k: int,
                   n: int, metric: str = "l2") -> tuple[jax.Array, jax.Array]:
     """Exact k-NN with the corpus sharded across ``mesh``.
 
     ``x`` must be row-sharded (see :func:`shard_flat`); ``n`` is the true
-    (unpadded) corpus size. Returns ``(sq_distances [B, k], rows [B, k])``.
+    (unpadded) corpus size; ``row_mask [N_pad] bool`` (optional, attribute
+    filtering) shards like the rows (:func:`..parallel.mesh.shard_mask`).
+    Returns ``(sq_distances [B, k], rows [B, k])``.
     ``metric`` as in :mod:`..metrics` ("dot" keys are negated inner
     products — pad rows are zero vectors whose inner product is 0, which
     could outrank real negative-IP rows, hence the same ``rows < n`` mask).
@@ -107,11 +110,47 @@ def exact_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, k: int,
     nloc = x.shape[0] // mesh.devices.size
     n_pad = x.shape[0] - n
     kk = min(k + n_pad, nloc)
+    has_mask = row_mask is not None
+    extras = (row_mask,) if has_mask else ()
+    especs = (P(AXIS),) if has_mask else ()
     fn = jax.shard_map(
         functools.partial(_local, k=k, kk=kk, n=n, metric=metric),
         mesh=mesh,
-        in_specs=(P(), P(AXIS, None)),
+        in_specs=(P(), P(AXIS, None), *especs),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q, x, *extras)
+
+
+def _local_keys(q, x, *, n, metric):
+    """Per-device exact keys for the local rows, gathered back to global
+    column order (column ``j`` IS corpus row ``j``; pads ``+inf``)."""
+    nloc = x.shape[0]
+    base = jax.lax.axis_index(AXIS) * nloc
+    if metric == "dot":
+        keys = -jnp.matmul(q, x.T, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    else:
+        from ..ops.distance import sqdist
+        keys = sqdist(q, x)                                # [B, nloc]
+    rows = base + jnp.arange(nloc, dtype=jnp.int32)
+    keys = jnp.where((rows < n)[None, :], keys, jnp.inf)
+    return jax.lax.all_gather(keys, AXIS, axis=1, tiled=True)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n", "metric"))
+def exact_keys_sharded(q: jax.Array, x: jax.Array, *, mesh: Mesh, n: int,
+                       metric: str = "l2") -> jax.Array:
+    """Exact ranking keys of every corpus row, corpus sharded — the mesh
+    analogue of the flat tier's full key scan (range search). Returns
+    replicated ``[B, N_pad]`` (pad columns ``+inf``); the full key array
+    crosses ICI, inherent to range search."""
+    fn = jax.shard_map(
+        functools.partial(_local_keys, n=n, metric=metric),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None)),
+        out_specs=P(),
         check_vma=False,
     )
     return fn(q, x)

@@ -200,3 +200,44 @@ def test_async_flat_attrs_follow_actual_chunk_sizes(tmp_path, rng):
         return True
 
     assert asyncio.run(go())
+
+
+def test_flat_mesh_preload_matches_single(db, rng, tmp_path):
+    """FlatDatabase/StoredFlatDatabase with preload(mesh=) answer
+    query/query_batch/query_range (incl. filters) identically to the
+    single-device exact scan — the flat tier's SPMD serving mode."""
+    import jax
+
+    from flechasdb_tpu.io import LocalFileSystem
+    from flechasdb_tpu.parallel import corpus_mesh
+
+    db, x = db
+    mesh = corpus_mesh(jax.devices("cpu"))
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+
+    ref = db.query_batch(q, k=5, where=fdb.Eq("datum_id", 42))
+    ref_plain = db.query_batch(q, k=5)
+    radius = float(np.median([r.squared_distance
+                              for rs in ref_plain for r in rs]))
+    ref_range = db.query_range(q[0], radius)
+
+    db.preload(mesh=mesh)
+    got = db.query_batch(q, k=5, where=fdb.Eq("datum_id", 42))
+    got_plain = db.query_batch(q, k=5)
+    got_range = db.query_range(q[0], radius)
+    for a, b in ((ref, got), (ref_plain, got_plain)):
+        for ra, rb in zip(a, b):
+            assert [r.vector_id for r in ra] == [r.vector_id for r in rb]
+    assert ([r.vector_index for r in ref_range]
+            == [r.vector_index for r in got_range])
+
+    # Stored tier: same mesh mode after save/load.
+    root = save_flat_database(db, LocalFileSystem(tmp_path))
+    sdb = load_flat_database(LocalFileSystem(tmp_path), f"{root}.binpb")
+    sdb.preload(mesh=mesh)
+    sgot = sdb.query_batch(q, k=5, where=fdb.Eq("datum_id", 42))
+    for ra, rb in zip(ref, sgot):
+        assert [r.vector_id for r in ra] == [r.vector_id for r in rb]
+    srange = sdb.query_range(q[0], radius)
+    assert ([r.vector_index for r in ref_range]
+            == [r.vector_index for r in srange])
