@@ -392,6 +392,16 @@ def lloyd_round(x: jax.Array, centroids: jax.Array, *,
         avail = max(
             (27 << 19) - 8 * kp * mp - 4 * kcp * mp, 1 << 20)
         tile = max(128, min(2048, avail // (19 * kcp + 12 * mp) // 128 * 128))
+        if kc < k:
+            # Chunked-K regime: measured T-INSENSITIVE (2M×96, K=4096:
+            # 96.0/96.4/98.4/101.6 ms per fenced round at T=512/256/384/
+            # 768 — the running-argmin carry already amortizes the grid
+            # step), while the scoped-VMEM fit at the same shape ran
+            # 17.77M at T=768 in one compile-helper session and passed in
+            # another (transient AOT OOM, Deep10M assign, round 3). Large
+            # tiles buy nothing here and sit in the OOM-risk zone — cap
+            # at 256 (≈14.4M by the measured line 12.8M + 6.5KB·T).
+            tile = min(tile, 256)
     t = min(tile, max(128, -(-n // 128) * 128))
     steps = -(-n // t)
     if interpret is None:  # Mosaic needs a real TPU; interpret elsewhere
