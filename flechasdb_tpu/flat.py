@@ -58,6 +58,44 @@ class FlatQueryResult:
         return self._get_attr(self.vector_id, key)
 
 
+def _exact_query_dispatch(vs, dev, mask, mesh, *, k, n, metric):
+    """Single-device vs SPMD exact top-k — the one dispatch both flat
+    tiers share (a fix applied to the mesh path lands everywhere).
+    ``metric`` is the DB metric; cosine ranks by the L2 key over unit
+    vectors. Returns host ``(dists [B, k], rows [B, k])``."""
+    import jax.numpy as jnp
+
+    from .ops.exact import exact_topk
+
+    kernel_metric = "dot" if metric == "dot" else "l2"
+    if mesh is not None:
+        from .parallel.exact import exact_sharded
+        from .parallel.mesh import shard_mask
+        if mask is not None:
+            mask = shard_mask(mesh, mask)
+        dists, rows = exact_sharded(jnp.asarray(vs), dev, mask, mesh=mesh,
+                                    k=k, n=n, metric=kernel_metric)
+    else:
+        if mask is not None:
+            mask = jnp.asarray(mask)
+        dists, rows = exact_topk(jnp.asarray(vs), dev, mask, k=k,
+                                 metric=kernel_metric)
+    return np.asarray(dists), np.asarray(rows)
+
+
+def _exact_keys_dispatch(v, dev, mesh, *, n, metric):
+    """Single-device vs SPMD exact ranking keys (range search): host
+    ``[B, n]`` (pads sliced off)."""
+    import jax.numpy as jnp
+
+    if mesh is not None:
+        from .parallel.exact import exact_keys_sharded
+        return np.asarray(exact_keys_sharded(
+            jnp.asarray(v), dev, mesh=mesh, n=n,
+            metric="dot" if metric == "dot" else "l2"))[:, :n]
+    return np.asarray(_exact_keys(jnp.asarray(v), dev, metric))
+
+
 class FlatDatabase:
     """In-memory exact-search database."""
 
@@ -88,9 +126,12 @@ class FlatDatabase:
         run the SPMD exact scan (:func:`..parallel.exact.exact_sharded`;
         local top-k per device, ``all_gather`` k-best merge). Corpora
         larger than one chip's HBM serve this way. Queries preload
-        lazily on first use; call this explicitly to choose a mesh."""
+        lazily on first use; call this explicitly to choose a mesh.
+        A no-op when already resident under the same mesh."""
         import jax.numpy as jnp
 
+        if self._dev is not None and mesh is self._mesh:
+            return
         self._mesh = mesh
         if mesh is None:
             self._dev = jnp.asarray(self._x)
@@ -195,10 +236,6 @@ class FlatDatabase:
 
     def query_batch(self, vs, k: int,
                     where=None) -> List[List[FlatQueryResult]]:
-        import jax.numpy as jnp
-
-        from .ops.exact import exact_topk
-
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
         vs = as_vector_set(vs, self.vector_size)
@@ -208,22 +245,9 @@ class FlatDatabase:
         if self._dev is None:
             self.preload(self._mesh)
         mask = None if where is None else self._filter_mask(where)
-        kernel_metric = "dot" if self.metric == "dot" else "l2"
-        if self._mesh is not None:
-            from .parallel.exact import exact_sharded
-            from .parallel.mesh import shard_mask
-            if mask is not None:
-                mask = shard_mask(self._mesh, mask)
-            dists, rows = exact_sharded(
-                jnp.asarray(vs), self._dev, mask, mesh=self._mesh, k=k,
-                n=self.num_vectors, metric=kernel_metric)
-        else:
-            if mask is not None:
-                mask = jnp.asarray(mask)
-            dists, rows = exact_topk(
-                jnp.asarray(vs), self._dev, mask, k=k,
-                metric=kernel_metric)
-        dists, rows = np.asarray(dists), np.asarray(rows)
+        dists, rows = _exact_query_dispatch(
+            vs, self._dev, mask, self._mesh, k=k, n=self.num_vectors,
+            metric=self.metric)
         out = []
         for b in range(len(vs)):
             results = []
@@ -259,16 +283,9 @@ class FlatDatabase:
         if self._dev is None:
             self.preload(self._mesh)
         mask = None if where is None else self._filter_mask(where)
-        if self._mesh is not None:
-            from .parallel.exact import exact_keys_sharded
-            keys = np.asarray(exact_keys_sharded(
-                jnp.asarray(v), self._dev, mesh=self._mesh,
-                n=self.num_vectors,
-                metric="dot" if self.metric == "dot" else "l2",
-            ))[0][:self.num_vectors]
-        else:
-            keys = np.asarray(_exact_keys(jnp.asarray(v), self._dev,
-                                          self.metric))[0]
+        keys = _exact_keys_dispatch(v, self._dev, self._mesh,
+                                    n=self.num_vectors,
+                                    metric=self.metric)[0]
         if mask is not None:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]
@@ -490,7 +507,11 @@ class StoredFlatDatabase:
         """Loads every chunk and pushes the corpus to the device — or,
         with a ``jax.sharding.Mesh``, row-shards it so queries run the
         SPMD exact scan (the flat analogue of
-        :meth:`..stored.StoredDatabase.preload`)."""
+        :meth:`..stored.StoredDatabase.preload`). A no-op when already
+        resident under the same mesh (no host re-concatenate or device
+        re-transfer of a multi-GB corpus)."""
+        if self._dev is not None and mesh is self._mesh:
+            return
         self._mesh = mesh
         self._dev = None
         self._load_all()
@@ -501,10 +522,6 @@ class StoredFlatDatabase:
 
     def query_batch(self, vs, k: int,
                     where=None) -> List[List[FlatQueryResult]]:
-        import jax.numpy as jnp
-
-        from .ops.exact import exact_topk
-
         if k <= 0:
             raise InvalidArgs(f"k must be positive: {k}")
         vs = as_vector_set(vs, self.vector_size)
@@ -520,21 +537,9 @@ class StoredFlatDatabase:
                 self._filter_cache = ColumnCache()
             mask = evaluate_mask(
                 where, ids, self._attribute_table, self._filter_cache)
-        kernel_metric = "dot" if self.metric == "dot" else "l2"
-        if self._mesh is not None:
-            from .parallel.exact import exact_sharded
-            from .parallel.mesh import shard_mask
-            if mask is not None:
-                mask = shard_mask(self._mesh, mask)
-            dists, rows = exact_sharded(
-                jnp.asarray(vs), xd, mask, mesh=self._mesh, k=k,
-                n=self.num_vectors, metric=kernel_metric)
-        else:
-            if mask is not None:
-                mask = jnp.asarray(mask)
-            dists, rows = exact_topk(
-                jnp.asarray(vs), xd, mask, k=k, metric=kernel_metric)
-        dists, rows = np.asarray(dists), np.asarray(rows)
+        dists, rows = _exact_query_dispatch(
+            vs, xd, mask, self._mesh, k=k, n=self.num_vectors,
+            metric=self.metric)
         out = []
         for b in range(len(vs)):
             results = []
@@ -574,15 +579,9 @@ class StoredFlatDatabase:
                 self._filter_cache = ColumnCache()
             mask = evaluate_mask(where, ids, self._attribute_table,
                                  self._filter_cache)
-        if self._mesh is not None:
-            from .parallel.exact import exact_keys_sharded
-            keys = np.asarray(exact_keys_sharded(
-                jnp.asarray(v), xd, mesh=self._mesh, n=self.num_vectors,
-                metric="dot" if self.metric == "dot" else "l2",
-            ))[0][:self.num_vectors]
-        else:
-            keys = np.asarray(
-                _exact_keys(jnp.asarray(v), xd, self.metric))[0]
+        keys = _exact_keys_dispatch(v, xd, self._mesh,
+                                    n=self.num_vectors,
+                                    metric=self.metric)[0]
         if mask is not None:
             keys = np.where(mask, keys, np.inf)
         hit = np.nonzero(keys <= radius)[0]

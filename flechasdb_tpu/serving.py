@@ -53,7 +53,7 @@ def _masked_limit(cent_shape, cb_shape, n: int, budget: int,
 
 def _run_chunked(run, qd, limit: int):
     """Runs ``run(q_chunk)`` over fixed-size query chunks and concatenates
-    the three outputs on the host.
+    the outputs (any arity) on the host.
 
     The tail chunk is zero-padded up to ``limit`` (pad results sliced off)
     so every iteration reuses ONE compiled program — a distinct tail shape
@@ -73,7 +73,18 @@ def _run_chunked(run, qd, limit: int):
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
         outs.append(tuple(
             np.asarray(x)[:limit - pad] for x in run(chunk)))
-    return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
+    return tuple(np.concatenate([o[j] for o in outs])
+                 for j in range(len(outs[0])))
+
+
+def _range_limit(nprobe: int, l: int, cb_shape, budget: int) -> int:
+    """Largest query batch whose bucketed range-scan transients fit
+    ``budget``: per query the probed tables ``[nprobe, D, C] f32`` plus
+    the gathered keys+rows ``[nprobe, L] f32+i32`` (×2 for the combine's
+    second live copy)."""
+    d, c, _ = cb_shape
+    per_query = 4 * nprobe * (d * c + 4 * l)
+    return max(1, budget // per_query)
 
 
 def _range_host_tail(keys: np.ndarray, rows: np.ndarray,
@@ -190,7 +201,9 @@ class DeviceIndex:
         ascending. Returns a list of ``(rows int64[], keys f32[])``
         pairs. The device scans the probed buckets/rows; thresholding
         and ragged extraction happen host-side, so the transfer is the
-        full candidate key array — chunk very large query batches.
+        full candidate key array. Query batches are chunked so device
+        transients stay under ``hbm_budget_bytes`` (same policy as
+        :meth:`query`'s masked path).
         """
         import jax.numpy as jnp
 
@@ -201,15 +214,21 @@ class DeviceIndex:
         if row_mask is not None:
             row_mask = jnp.asarray(row_mask, bool)
         if self.layout == "bucketed":
-            keys, rows, _ = range_bucketed(
-                qd, self.centroids, self.codebooks, self.buckets,
-                self.rotation, row_mask, nprobe=nprobe, metric=self.metric)
-            keys, rows = np.asarray(keys), np.asarray(rows)
+            keys, rows = _run_chunked(
+                lambda qc: range_bucketed(
+                    qc, self.centroids, self.codebooks, self.buckets,
+                    self.rotation, row_mask, nprobe=nprobe,
+                    metric=self.metric)[:2],
+                qd, _range_limit(nprobe, self.buckets.codes.shape[2],
+                                 self.codebooks.shape,
+                                 self.hbm_budget_bytes))
         else:
-            keys, _ = range_masked_scan(
-                qd, self.centroids, self.codebooks, self.codes, self.pidx,
-                self.rotation, row_mask, nprobe=nprobe, metric=self.metric)
-            keys = np.asarray(keys)
+            keys, = _run_chunked(
+                lambda qc: range_masked_scan(
+                    qc, self.centroids, self.codebooks, self.codes,
+                    self.pidx, self.rotation, row_mask, nprobe=nprobe,
+                    metric=self.metric)[:1],
+                qd, self._masked_batch_limit())
             rows = np.broadcast_to(
                 np.arange(keys.shape[1], dtype=np.int32), keys.shape)
         return _range_host_tail(keys, rows, radius)
@@ -318,19 +337,26 @@ class ShardedIndex:
         if self.layout == "sharded-bucketed":
             if row_mask is not None:
                 row_mask = jnp.asarray(row_mask, bool)  # replicated, global
-            keys, rows, _ = range_bucketed_sharded(
-                qd, self.centroids, self.codebooks, self.buckets,
-                self.rotation, row_mask, mesh=self.mesh, nprobe=nprobe,
-                metric=self.metric)
-            keys, rows = np.asarray(keys), np.asarray(rows)
+            keys, rows = _run_chunked(
+                lambda qc: range_bucketed_sharded(
+                    qc, self.centroids, self.codebooks, self.buckets,
+                    self.rotation, row_mask, mesh=self.mesh, nprobe=nprobe,
+                    metric=self.metric)[:2],
+                qd, _range_limit(nprobe, self.buckets.codes.shape[2],
+                                 self.codebooks.shape,
+                                 self.hbm_budget_bytes))
         else:
             if row_mask is not None:
                 row_mask = shard_mask(self.mesh, np.asarray(row_mask, bool))
-            keys, _ = range_sharded(
-                qd, self.centroids, self.codebooks, self.codes, self.pidx,
-                self.rotation, row_mask, mesh=self.mesh, nprobe=nprobe,
-                metric=self.metric)
-            keys = np.asarray(keys)
+            n_local = self.codes.shape[0] // int(self.mesh.devices.size)
+            keys, = _run_chunked(
+                lambda qc: range_sharded(
+                    qc, self.centroids, self.codebooks, self.codes,
+                    self.pidx, self.rotation, row_mask, mesh=self.mesh,
+                    nprobe=nprobe, metric=self.metric)[:1],
+                qd, _masked_limit(self.centroids.shape,
+                                  self.codebooks.shape, n_local,
+                                  self.hbm_budget_bytes, self.metric))
             rows = np.broadcast_to(
                 np.arange(keys.shape[1], dtype=np.int32), keys.shape)
         return _range_host_tail(keys, rows, radius)
