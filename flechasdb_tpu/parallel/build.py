@@ -55,13 +55,29 @@ class ShardedBuild(NamedTuple):
     """Device-resident build output.
 
     ``partition_centroids: [P, M]`` replicated; ``partition_indices: [N]``
-    sharded; ``codebooks: [D, C, M/D]`` replicated; ``codes: [N, D]``
-    sharded.
+    sharded (``uint16`` when ``P <= 65536``, else ``int32``); ``codebooks: [D, C, M/D]`` replicated; ``codes: [N, D]``
+    sharded (``uint8`` when ``C <= 256`` — code values always fit, and the
+    narrow dtype quarters both the device→host fetch (320 → 80 MB at
+    Deep10M, 14–62 s of tunnel wall measured for the int32 fetch) and the
+    lane-padded HBM residency; else ``int32``). Host consumers widen on
+    arrival (`build.py` → uint32, `..parallel.mesh.shard_corpus` → int32
+    for the serving kernels).
     """
     partition_centroids: jax.Array
     partition_indices: jax.Array
     codebooks: jax.Array
     codes: jax.Array
+
+
+def _code_dtype(c: int):
+    """Narrowest dtype that holds PQ code values ``0..c-1``."""
+    return jnp.uint8 if c <= 256 else jnp.int32
+
+
+def _pidx_dtype(p: int):
+    """Narrowest dtype that holds partition indices ``0..p-1`` (same
+    fetch-width rationale as :func:`_code_dtype`: 40 → 20 MB at Deep10M)."""
+    return jnp.uint16 if p <= (1 << 16) else jnp.int32
 
 
 def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
@@ -90,11 +106,11 @@ def _encode_chunked(x: jax.Array, cents: jax.Array, idx: jax.Array,
         rc = jnp.einsum("nds,dcs->ndc", r, codebooks,
                         precision=kmeans._PRECISION,
                         preferred_element_type=jnp.float32)
-        ci = jnp.argmin(cc[None] - 2.0 * rc, axis=-1).astype(jnp.int32)
+        ci = jnp.argmin(cc[None] - 2.0 * rc, axis=-1).astype(_code_dtype(c))
         return jax.lax.dynamic_update_slice_in_dim(codes, ci, start,
                                                    axis=0)
 
-    codes0 = jnp.zeros((n, d), jnp.int32)
+    codes0 = jnp.zeros((n, d), _code_dtype(c))
     return jax.lax.fori_loop(0, steps, body, codes0)
 
 
@@ -140,8 +156,9 @@ def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,
         residues = x - jnp.take(cents, idx, axis=0)
         divided = residues.reshape(n, d, m // d).transpose(1, 0, 2)
         pq = kmeans.fit(divided, c, k_pq, impl=_pq_impl(impl, m // d))
-        codes = pq.indices.T.astype(jnp.int32)            # [N, D]
-    return ShardedBuild(cents, idx, pq.centroids, codes)
+        codes = pq.indices.T.astype(_code_dtype(c))      # [N, D]
+    return ShardedBuild(cents, idx.astype(_pidx_dtype(p)),
+                        pq.centroids, codes)
 
 
 _build_step = jax.jit(_build_fn,
@@ -213,8 +230,9 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
         # divided held ALL residuals, so the fit's own assignments ARE the
         # codes (exactly _build_fn's small branch) — re-encoding would
         # waste a full-corpus pass and could flip float ties.
-        codes = pq.indices.T.astype(jnp.int32)
-    return ShardedBuild(cents, idx, pq.centroids, codes)
+        codes = pq.indices.T.astype(_code_dtype(c))
+    return ShardedBuild(cents, idx.astype(_pidx_dtype(p)),
+                        pq.centroids, codes)
 
 
 @jax.jit
@@ -291,8 +309,9 @@ def _build_sharded_fn(x: jax.Array, key: jax.Array, *, mesh: Mesh, n: int,
             residues.reshape(np_total, d, m // d).transpose(1, 0, 2), dspec)
         pq = fit_sharded(divided, c, k_pq, mesh=mesh, n_valid=n,
                          impl=_pq_impl(impl, m // d))
-        codes = pq.indices.T.astype(jnp.int32)
-    return ShardedBuild(cents, idx[:n], pq.centroids, codes[:n])
+        codes = pq.indices.T.astype(_code_dtype(c))
+    return ShardedBuild(cents, idx[:n].astype(_pidx_dtype(p)),
+                        pq.centroids, codes[:n])
 
 
 def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,

@@ -44,7 +44,9 @@ def shard_corpus(mesh: Mesh, codes: np.ndarray, pidx: np.ndarray,
     ``+inf`` distance) and sharded row-wise.
     """
     n_dev = mesh.devices.size
-    codes = pad_rows(np.asarray(codes), n_dev, 0)
+    # Builds may hand back narrow (uint8) codes to cheapen the fetch; the
+    # serving kernels gather with int32 indices, so widen here.
+    codes = pad_rows(np.asarray(codes, np.int32), n_dev, 0)
     pidx = pad_rows(np.asarray(pidx, np.int32), n_dev, -1)
     codes_s = jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
     pidx_s = jax.device_put(pidx, NamedSharding(mesh, P(AXIS)))

@@ -495,3 +495,30 @@ def test_build_staged_matches_one_shot(rng):
                                       np.asarray(single.codes))
         assert any(isinstance(e, evmod.StartingSubvectorDivision)
                    for e in seen)
+
+
+def test_build_codes_dtype_contract(rng):
+    """Builds hand back the narrowest code dtype: uint8 when C <= 256
+    (quarters the Deep10M device->host fetch and HBM residency), int32
+    otherwise. Both the cap-engaged (chunked-encode) and small branches
+    honor it, and shard_corpus widens back to int32 for the serving
+    kernels (parallel/build.ShardedBuild docstring)."""
+    from flechasdb_tpu.parallel.build import _build_step
+    from flechasdb_tpu.parallel.mesh import shard_corpus
+
+    n, m, p, d = 300, 16, 4, 2
+    x = jnp.asarray(rng.standard_normal((n, m)).astype(np.float32))
+
+    for caps in [dict(), dict(pq_cap=128, coarse_cap=128)]:
+        built = _build_step(x, jax.random.key(5), p=p, d=d, c=8, **caps)
+        assert built.codes.dtype == jnp.uint8, (caps, built.codes.dtype)
+        assert built.partition_indices.dtype == jnp.uint16
+        assert int(jnp.max(built.codes)) < 8
+
+    wide = _build_step(x, jax.random.key(5), p=p, d=d, c=257)
+    assert wide.codes.dtype == jnp.int32
+
+    from flechasdb_tpu.parallel.mesh import corpus_mesh
+    codes_s, _ = shard_corpus(corpus_mesh(), np.asarray(built.codes),
+                              np.asarray(built.partition_indices))
+    assert codes_s.dtype == jnp.int32
