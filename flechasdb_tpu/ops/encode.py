@@ -22,7 +22,13 @@ def encode(x: jax.Array, centroids: jax.Array,
            codebooks: jax.Array,
            rotation: jax.Array | None = None,
            ) -> tuple[jax.Array, jax.Array]:
-    """``x: [N, M]`` → ``(pidx [N] int32, codes [N, D] int32)``.
+    """``x: [N, M]`` → ``(pidx [N], codes [N, D])``.
+
+    Outputs use the narrowest dtype that holds the index range (``uint16``
+    pidx when ``P <= 65536``, ``uint8`` codes when ``C <= 256``, else
+    ``int32``) — the streamed out-of-core build fetches every chunk's
+    outputs to the host, so the narrow dtypes quarter that transfer
+    (same contract as ``..parallel.build.ShardedBuild``).
 
     With an OPQ ``rotation`` the residuals are rotated before codebook
     assignment (codes live in the rotated space).
@@ -38,4 +44,6 @@ def encode(x: jax.Array, centroids: jax.Array,
                               preferred_element_type=jnp.float32)
     divided = residues.reshape(n, d, sub).transpose(1, 0, 2)
     codes, _ = assign_chunked(divided, codebooks, k=c)
-    return pidx, codes.T
+    pdt = jnp.uint16 if p <= (1 << 16) else jnp.int32
+    cdt = jnp.uint8 if c <= 256 else jnp.int32
+    return pidx.astype(pdt), codes.T.astype(cdt)
