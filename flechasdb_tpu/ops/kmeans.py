@@ -196,6 +196,30 @@ def _auto_impl(x: jax.Array, platform: str | None = None) -> str:
     return "pallas"
 
 
+def _impl_parts(impl: str | None) -> "tuple[str | None, bool]":
+    """Splits the ``_fast`` suffix off an ``impl`` string.
+
+    ``fast_math`` numerics (single bf16 passes, ~0.995 assignment
+    agreement, ~2× round throughput — :func:`.pallas_kmeans.lloyd_round`)
+    ride the existing static ``impl`` channel as a suffix —
+    ``"pallas_fast"``, ``"pallas_grouped_fast"``, ``"xla_fast"``, or bare
+    ``"_fast"`` (auto kernel choice, fast numerics). Every jit cache in
+    the stack is already keyed on ``impl``, so the numerics choice can
+    never alias a cached program compiled for the other mode.
+    """
+    if impl is not None and impl.endswith("_fast"):
+        return (impl[:-len("_fast")] or None), True
+    return impl, False
+
+
+def _resolve_impl(impl: str | None, x: jax.Array) -> str:
+    """Auto-resolves the kernel while preserving a ``_fast`` suffix."""
+    base, fast = _impl_parts(impl)
+    if base is None:
+        base = _auto_impl(x)
+    return base + "_fast" if fast else base
+
+
 def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
                  impl: str | None, xg: jax.Array | None = None,
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -207,21 +231,26 @@ def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
     ``"pallas_grouped"`` (division-folded variant for sub-lane vector
     widths; ``xg`` may carry the pre-grouped corpus so loops regroup
     once) or ``"xla"`` (two chunked passes, default off-TPU and for
-    remaining lane-pad-heavy shapes, :func:`_auto_impl`).
+    remaining lane-pad-heavy shapes, :func:`_auto_impl`). Any of them
+    takes a ``_fast`` suffix (:func:`_impl_parts`): single bf16 passes
+    instead of the HIGH-equivalent compensated ones — on the XLA
+    formulation that is ``Precision.DEFAULT`` on the distance matmul.
     """
+    impl, fast = _impl_parts(impl)
     if impl is None:
         impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
-        return lloyd_round(x, centroids)
+        return lloyd_round(x, centroids, fast_math=fast)
     if impl == "pallas_grouped":
         from .pallas_kmeans import lloyd_round_grouped, regroup_divisions
         if xg is None:
             xg = regroup_divisions(x)
-        return lloyd_round_grouped(xg, centroids)
+        return lloyd_round_grouped(xg, centroids, fast_math=fast)
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
-    indices, _ = assign_chunked(x, centroids, k=k, precision=_PRECISION)
+    prec = jax.lax.Precision.DEFAULT if fast else _PRECISION
+    indices, _ = assign_chunked(x, centroids, k=k, precision=prec)
     sums, counts = _cluster_sums(x, indices, k)
     return indices, sums, counts
 
@@ -229,17 +258,19 @@ def _fused_round(x: jax.Array, centroids: jax.Array, k: int,
 def _assign_only(x: jax.Array, centroids: jax.Array, k: int,
                  impl: str | None, xg: jax.Array | None = None) -> jax.Array:
     """Assignment with the same tie-breaking as :func:`_fused_round`."""
+    impl, fast = _impl_parts(impl)
     if impl is None:
         impl = _auto_impl(x)
     if impl == "pallas":
         from .pallas_kmeans import lloyd_round
-        return lloyd_round(x, centroids)[0]
+        return lloyd_round(x, centroids, fast_math=fast)[0]
     if impl == "pallas_grouped":
         from .pallas_kmeans import lloyd_round_grouped, regroup_divisions
         if xg is None:
             xg = regroup_divisions(x)
-        return lloyd_round_grouped(xg, centroids)[0]
-    return assign_chunked(x, centroids, k=k, precision=_PRECISION)[0]
+        return lloyd_round_grouped(xg, centroids, fast_math=fast)[0]
+    prec = jax.lax.Precision.DEFAULT if fast else _PRECISION
+    return assign_chunked(x, centroids, k=k, precision=prec)[0]
 
 
 def _seed_cap(k: int) -> int:
@@ -330,10 +361,9 @@ def fit(x: jax.Array, k: int, key: jax.Array, *,
         return KMeansResult(centroids, indices, jnp.zeros((b,), jnp.int32),
                             jnp.full((b,), jnp.inf, jnp.float32))
 
-    if impl is None:
-        impl = _auto_impl(x)
+    impl = _resolve_impl(impl, x)
     xg = None
-    if impl == "pallas_grouped":
+    if impl.startswith("pallas_grouped"):
         from .pallas_kmeans import regroup_divisions
         xg = regroup_divisions(x)  # once, outside the Lloyd loop
 
@@ -464,10 +494,9 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         return KMeansResult(centroids, indices, jnp.zeros((b,), jnp.int32),
                             jnp.full((b,), jnp.inf, jnp.float32))
 
-    if impl is None:
-        impl = _auto_impl(x)
+    impl = _resolve_impl(impl, x)
     xg = None
-    if impl == "pallas_grouped":
+    if impl.startswith("pallas_grouped"):
         from .pallas_kmeans import regroup_divisions
         # Hoisted once per fit: recomputing the [B,N,m]→[G,N,128] regroup
         # copy inside every rounds_per_step program costs a multi-GB HBM
@@ -538,9 +567,8 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, xg=None,
     (a batch that converged in an earlier program reports its frozen
     sub-epsilon gradient, matching ``KMeansResult.gradient``, not a raw
     recomputation)."""
-    if impl is None:
-        impl = _auto_impl(x)
-    if impl == "pallas_grouped" and xg is None:
+    impl = _resolve_impl(impl, x)
+    if impl.startswith("pallas_grouped") and xg is None:
         from .pallas_kmeans import regroup_divisions
         xg = regroup_divisions(x)  # once per program, outside the scan
 

@@ -49,36 +49,38 @@ def _gram(x, yhat):
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("d", "c", "rounds"))
-def _pq_on_rotated(x, r, key, *, d, c, rounds):
+@functools.partial(jax.jit, static_argnames=("d", "c", "rounds", "impl"))
+def _pq_on_rotated(x, r, key, *, d, c, rounds, impl=None):
     n, m = x.shape
     y = jnp.matmul(x, r, precision=_PRECISION,
                    preferred_element_type=jnp.float32)
     divided = y.reshape(n, d, m // d).transpose(1, 0, 2)
-    return kmeans.fit(divided, c, key, max_rounds=rounds)
+    return kmeans.fit(divided, c, key, max_rounds=rounds, impl=impl)
 
 
 def fit_opq(x: jax.Array, d: int, c: int, key: jax.Array, *,
             iters: int = 8, inner_rounds: int = 20,
-            final_rounds: int = kmeans.MAX_ROUNDS) -> OPQResult:
+            final_rounds: int = kmeans.MAX_ROUNDS,
+            impl: str | None = None) -> OPQResult:
     """Alternating OPQ training on ``x: [N, M]`` (typically IVF residuals).
 
     ``iters`` alternations with ``inner_rounds``-capped Lloyd fits, then a
     full PQ fit at the final rotation. The ``[M, M]`` SVD runs on host
-    (microseconds next to the matmuls).
+    (microseconds next to the matmuls). ``impl`` as in
+    :func:`..kmeans._fused_round` (e.g. ``"_fast"`` numerics).
     """
     n, m = x.shape
     x = jnp.asarray(x, jnp.float32)
     r = jnp.eye(m, dtype=jnp.float32)
     for it in range(iters):
         pq = _pq_on_rotated(x, r, jax.random.fold_in(key, it),
-                            d=d, c=c, rounds=inner_rounds)
+                            d=d, c=c, rounds=inner_rounds, impl=impl)
         yhat = _reconstruct(pq.centroids, pq.indices, d=d)
         g = np.asarray(_gram(x, yhat))
         u, _, vt = np.linalg.svd(g, full_matrices=False)
         r = jnp.asarray((u @ vt).astype(np.float32))
     pq = _pq_on_rotated(x, r, jax.random.fold_in(key, iters),
-                        d=d, c=c, rounds=final_rounds)
+                        d=d, c=c, rounds=final_rounds, impl=impl)
     return OPQResult(r, pq)
 
 

@@ -121,9 +121,12 @@ def _pq_impl(impl: "str | None", sub: int) -> "str | None":
     the subvector width is sub-lane: the plain pallas kernel pins a layout
     that lane-pads the minor dim to 128 IN HBM (``[60, 1M, 16]`` → 30 GB,
     ``ops.kmeans._auto_impl``). Re-resolve (None → auto) for that case;
-    explicit "xla"/"pallas_grouped" pass through unchanged.
+    explicit "xla"/"pallas_grouped" pass through unchanged. A ``_fast``
+    numerics suffix (``ops.kmeans._impl_parts``) survives re-resolution.
     """
-    return None if (impl == "pallas" and sub < 128) else impl
+    base, fast = kmeans._impl_parts(impl)
+    base = None if (base == "pallas" and sub < 128) else base
+    return (base or "") + "_fast" if fast else base
 
 
 def _build_fn(x: jax.Array, key: jax.Array, *, p: int, d: int, c: int,

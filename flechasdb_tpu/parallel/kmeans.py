@@ -142,11 +142,13 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
     # back to the DEFAULT device's platform — on a CPU mesh in a process
     # whose default backend is the TPU plugin that picks a kernel that
     # cannot lower (same hazard _auto_impl documents).
-    if impl is None:
+    base, fast = kmeans._impl_parts(impl)
+    if base is None:
         local_shape = jax.ShapeDtypeStruct(
             (b, -(-np_ // mesh.devices.size), m), x.dtype)
-        impl = kmeans._auto_impl(local_shape,
+        base = kmeans._auto_impl(local_shape,
                                  platform=mesh.devices.flat[0].platform)
+    impl = base + "_fast" if fast else base
     if train_cap is not None and train_cap > 0 and n > train_cap:
         if train_cap < k:
             raise ValueError(
@@ -164,7 +166,7 @@ def fit_sharded(x: jax.Array, k: int, key: jax.Array, *, mesh: Mesh,
         return kmeans.KMeansResult(sub.centroids, idx, sub.rounds,
                                    sub.gradient)
     xg = None
-    if impl == "pallas_grouped":
+    if impl.startswith("pallas_grouped"):
         from ..ops.pallas_kmeans import regroup_divisions
         xg = jax.lax.with_sharding_constraint(
             regroup_divisions(x),

@@ -36,12 +36,18 @@ class Partitions(NamedTuple):
 
 def partition(x: jax.Array, p: int, key: jax.Array,
               events: EventHandler = _noop,
-              epsilon: float = kmeans.DEFAULT_EPSILON) -> Partitions:
-    """Clusters ``x [N, M]`` into ``p`` partitions and computes residues."""
+              epsilon: float = kmeans.DEFAULT_EPSILON,
+              impl: str | None = None) -> Partitions:
+    """Clusters ``x [N, M]`` into ``p`` partitions and computes residues.
+
+    ``impl`` selects the Lloyd-round kernel / numerics
+    (:func:`.ops.kmeans._fused_round`; e.g. ``"_fast"`` = auto kernel
+    with single-bf16-pass numerics)."""
     if events is _noop:
-        res = kmeans.fit(x[None], p, key, epsilon=epsilon)
+        res = kmeans.fit(x[None], p, key, epsilon=epsilon, impl=impl)
     else:
-        res = kmeans.fit_with_events(x[None], p, key, events, epsilon=epsilon)
+        res = kmeans.fit_with_events(x[None], p, key, events,
+                                     epsilon=epsilon, impl=impl)
     centroids, indices = res.centroids[0], res.indices[0]
     residues = _residues(x, centroids, indices)
     return Partitions(centroids, indices, residues)

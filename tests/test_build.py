@@ -200,3 +200,22 @@ def test_query_k_exceeds_corpus(rng):
     # pruned path with k exceeding one partition's bucket too
     res1 = db.query(x[0], k=100, nprobe=1)
     assert 0 < len(res1) <= 40
+
+
+def test_with_fast_math_builds_working_db():
+    """with_fast_math() must produce a serveable database of normal
+    quality (self-neighbor recovered) and refuse the f64 oracle path."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    fdb = (DatabaseBuilder(x).with_partitions(8).with_divisions(4)
+           .with_clusters(8).with_seed(5).with_fast_math().build())
+    hits = 0
+    for i in range(10):
+        res = fdb.query(x[i], k=1, nprobe=8)
+        hits += res[0].vector_id == fdb.vector_ids[i]
+    assert hits >= 9, hits
+
+    with pytest.raises(InvalidArgs, match="fast_math"):
+        (DatabaseBuilder(x.astype(np.float64), dtype=np.float64)
+         .with_partitions(4).with_divisions(4).with_clusters(4)
+         .with_fast_math().build())

@@ -400,3 +400,39 @@ def test_fit_grouped_impl_quality_parity(rng):
                                 impl="pallas_grouped")
     assert np.array_equal(np.asarray(ev.centroids), np.asarray(got.centroids))
     assert np.array_equal(np.asarray(ev.indices), np.asarray(got.indices))
+
+
+def test_fast_math_suffix_quality_and_routing(rng):
+    """The ``_fast`` impl suffix (single-bf16-pass numerics) must parse on
+    every kernel name, reach the kernels, and land clustering of the same
+    quality — on CPU the interpreted pallas kernels take the fast_math
+    branch, the XLA path drops the assignment matmul to
+    ``Precision.DEFAULT``."""
+    assert kmeans._impl_parts(None) == (None, False)
+    assert kmeans._impl_parts("_fast") == (None, True)
+    assert kmeans._impl_parts("pallas_fast") == ("pallas", True)
+    assert kmeans._impl_parts("pallas_grouped_fast") == (
+        "pallas_grouped", True)
+    assert kmeans._impl_parts("xla") == ("xla", False)
+
+    x, _ = _blobs(rng, 50, 8, 6)
+    xj = jnp.asarray(x)[None]
+    key = jax.random.key(3)
+    ref = kmeans.fit(xj, 8, key, impl="xla")
+    i_ref = _inertia(x, ref.centroids[0], ref.indices[0])
+    for impl in ["xla_fast", "pallas_fast", "_fast"]:
+        got = kmeans.fit(xj, 8, key, impl=impl)
+        i_got = _inertia(x, got.centroids[0], got.indices[0])
+        assert abs(i_ref - i_got) <= 0.05 * max(i_ref, 1e-9), (impl, i_got)
+
+    # grouped kernel shape (sub-lane width, 128 % m == 0)
+    xg, _ = _blobs(rng, 200, 16, 4)
+    xgj = jnp.asarray(xg)[None]
+    refg = kmeans.fit(xgj, 4, key, impl="pallas_grouped")
+    gotg = kmeans.fit(xgj, 4, key, impl="pallas_grouped_fast")
+    ig_ref = _inertia(xg, refg.centroids[0], refg.indices[0])
+    ig_got = _inertia(xg, gotg.centroids[0], gotg.indices[0])
+    assert abs(ig_ref - ig_got) <= 0.05 * max(ig_ref, 1e-9)
+
+    with pytest.raises(ValueError, match="unknown impl"):
+        kmeans.fit(xj, 8, key, impl="bogus_fast")
