@@ -127,7 +127,9 @@ def main():
     log({"phase": "encode 10M codes", "s": round(time.time() - t0, 2)})
 
     t0 = time.time()
-    pidx = np.asarray(idx)
+    # Fetch what build_staged hands back: narrow dtypes (uint16 pidx,
+    # uint8 codes — parallel/build.ShardedBuild), not fit's raw int32.
+    pidx = np.asarray(idx.astype(pbuild._pidx_dtype(p)))
     codes_h = np.asarray(codes)
     log({"phase": "fetch idx+codes to host",
          "s": round(time.time() - t0, 2),
