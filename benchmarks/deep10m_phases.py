@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--c", type=int, default=256)
     ap.add_argument("--pq-cap", type=int, default=None,
                     help="PQ training-row cap (default PQ_TRAIN_CAP)")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast_math numerics (impl='_fast') on both fits")
     ap.add_argument("--rps", type=int, default=8,
                     help="rounds_per_step (build_staged default 8)")
     args = ap.parse_args()
@@ -87,6 +89,7 @@ def main():
         t0 = time.time()
         res = kmeans.fit_with_events(x, k, key, handler,
                                      rounds_per_step=args.rps,
+                                     impl="_fast" if args.fast else None,
                                      train_cap=train_cap)
         fence(res.indices)      # final assign (train_cap path) fences here
         total = time.time() - t0

@@ -518,6 +518,11 @@ def test_build_codes_dtype_contract(rng):
     wide = _build_step(x, jax.random.key(5), p=p, d=d, c=257)
     assert wide.codes.dtype == jnp.int32
 
+    from flechasdb_tpu.parallel.build import _code_dtype, _pidx_dtype
+    assert _code_dtype(256) == jnp.uint8 and _code_dtype(257) == jnp.int32
+    assert _pidx_dtype(1 << 16) == jnp.uint16
+    assert _pidx_dtype((1 << 16) + 1) == jnp.int32
+
     from flechasdb_tpu.parallel.mesh import corpus_mesh
     codes_s, _ = shard_corpus(corpus_mesh(), np.asarray(built.codes),
                               np.asarray(built.partition_indices))
