@@ -527,3 +527,26 @@ def test_build_codes_dtype_contract(rng):
     codes_s, _ = shard_corpus(corpus_mesh(), np.asarray(built.codes),
                               np.asarray(built.partition_indices))
     assert codes_s.dtype == jnp.int32
+
+
+def test_sharded_build_fast_suffix(rng, mesh):
+    """A ``_fast`` impl suffix must survive the sharded fit's kernel
+    re-resolution (parallel/kmeans.fit_sharded splits and re-attaches it)
+    and still produce a sane build — same quality bar as the fused-kernel
+    parity test."""
+    from flechasdb_tpu.parallel.build import _build_step
+
+    n, m, p, d, c = 256, 128, 4, 2, 8
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    key = jax.random.key(11)
+
+    sharded = build_sharded(x, p, d, c, key, mesh=mesh, impl="pallas_fast")
+    single = _build_step(jnp.asarray(x), key, p=p, d=d, c=c)
+    agree = (np.asarray(sharded.partition_indices)
+             == np.asarray(single.partition_indices)).mean()
+    assert agree >= 0.98, agree
+    assert sharded.codes.dtype == jnp.uint8
+    # bare "_fast" = auto kernel + fast numerics, through the mesh resolver
+    sharded2 = build_sharded(x, p, d, c, key, mesh=mesh, impl="_fast")
+    assert (np.asarray(sharded2.partition_indices)
+            == np.asarray(sharded.partition_indices)).mean() >= 0.98
