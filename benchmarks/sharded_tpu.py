@@ -33,7 +33,7 @@ def fence(x) -> None:
     """Host-fetch a tiny slice — block_until_ready does not block on axon."""
     arr = x
     while getattr(arr, "ndim", 0) > 1:
-        arr = arr[:1]
+        arr = arr[0]                      # drop one axis per step
     np.asarray(arr[:1] if getattr(arr, "ndim", 0) else arr)
 
 
