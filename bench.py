@@ -129,12 +129,20 @@ def main() -> None:
     log(f"compile+first build: {compile_s:.2f}s "
         f"(persistent cache at {CACHE_DIR})")
 
-    t0 = time.time()
-    built = _build_step(xd, jax.random.key(42), p=P, d=D, c=C)
-    pops = np.unique(np.asarray(built.partition_indices)).size
-    build_s = time.time() - t0
-    log(f"build: {build_s:.3f}s  ({pops}/{P} partitions populated; "
-        f"reference 906.5s)")
+    # Median of 3 warm builds (VERDICT round-3 #2): a single sample cannot
+    # distinguish tunnel variance from a real regression; the median of
+    # three is robust to one bad dispatch while keeping the run short.
+    samples = []
+    for i in range(3):
+        t0 = time.time()
+        built = _build_step(xd, jax.random.key(42), p=P, d=D, c=C)
+        pops = np.unique(np.asarray(built.partition_indices)).size
+        samples.append(time.time() - t0)
+        log(f"build[{i}]: {samples[-1]:.3f}s  ({pops}/{P} partitions "
+            f"populated; reference 906.5s)")
+    build_s = sorted(samples)[1]
+    log(f"build median-of-3: {build_s:.3f}s  (samples: "
+        + ", ".join(f"{s:.3f}" for s in samples) + ")")
 
     # Secondary diagnostics: warm batched query latency (k=10, nprobe=5)
     # through the production serving path (bucketed + Pallas lookup).
