@@ -44,6 +44,9 @@ def main():
                     help="fast_math numerics (impl='_fast') on both fits")
     ap.add_argument("--rps", type=int, default=8,
                     help="rounds_per_step (build_staged default 8)")
+    ap.add_argument("--rps-max", type=int, default=32,
+                    help="adaptive per-program round cap (build_staged "
+                         "default 32; 0 = fixed rps, the round-3 behavior)")
     args = ap.parse_args()
 
     import jax
@@ -87,8 +90,10 @@ def main():
                           getattr(e, "round", None)))
 
         t0 = time.time()
+        rps_max = args.rps_max if args.rps_max > 0 else None
         res = kmeans.fit_with_events(x, k, key, handler,
                                      rounds_per_step=args.rps,
+                                     rounds_per_step_max=rps_max,
                                      impl="_fast" if args.fast else None,
                                      train_cap=train_cap)
         fence(res.indices)      # final assign (train_cap path) fences here
@@ -97,12 +102,19 @@ def main():
                      if name == "FinishedCentroidInitialization"), t0) - t0
         last_ev = marks[-1][0] if marks else t0
         rounds = int(np.max(np.asarray(res.rounds)))
+        # Programs dispatched under the doubling schedule (8, 16, 32, ...)
+        covered, cur, programs = 0, args.rps, 0
+        while covered < rounds:
+            covered += cur
+            programs += 1
+            if rps_max:
+                cur = min(cur * 2, rps_max)
         log({"phase": tag, "s": round(total, 2),
              "seed_s": round(seed, 2),
              "rounds_s": round(last_ev - t0 - seed, 2),
              "tail_s": round(t0 + total - last_ev, 2),
              "rounds": rounds,
-             "step_programs": -(-rounds // args.rps)})
+             "step_programs": programs})
         return res
 
     k_coarse, k_pq, k_sub = jax.random.split(jax.random.key(0), 3)

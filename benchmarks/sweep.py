@@ -260,7 +260,11 @@ def run_mips(scale, rng):
         log(row)
 
 
-def run_gist(scale, rng):
+def run_gist(scale, rng, impl=None):
+    """``impl`` forwards to the Lloyd-round kernel selection
+    (``ops.kmeans._fused_round``): ``--impl _fast`` runs the whole build
+    with fast_math numerics (single bf16 passes) for the end-to-end row
+    VERDICT round-3 #8 asks for."""
     import jax
     import jax.numpy as jnp
     from flechasdb_tpu.parallel.build import build_step_donating
@@ -280,16 +284,18 @@ def run_gist(scale, rng):
 
     xd = gen()
     t0 = time.time()
-    built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c)
+    built = build_step_donating(xd, jax.random.key(0), p=p, d=d, c=c,
+                                impl=impl)
     _ = np.asarray(built.partition_indices)
     cold = time.time() - t0
     xd = gen()
     t0 = time.time()
-    built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c)
+    built = build_step_donating(xd, jax.random.key(1), p=p, d=d, c=c,
+                                impl=impl)
     _ = np.asarray(built.partition_indices)
     build_s = time.time() - t0
     log({"config": "gist", "metric": f"build {n}x{m} P={p} D={d} C={c}",
-         "value": round(build_s, 3), "unit": "s",
+         "value": round(build_s, 3), "unit": "s", "impl": impl,
          "compile_s": round(cold - build_s, 1)})
 
 
@@ -345,6 +351,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="small", choices=("small", "full"))
     ap.add_argument("--configs", default="sift,gist,async")
+    ap.add_argument("--impl", default=None,
+                    help="Lloyd kernel/numerics override (e.g. '_fast'); "
+                         "gist config only")
     args = ap.parse_args()
     from flechasdb_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -353,8 +362,11 @@ def main():
         if cfg == "sift-opq":
             run_sift(args.scale, rng, opq=True)
         else:
-            {"sift": run_sift, "gist": run_gist, "async": run_async,
-             "mips": run_mips}[cfg](args.scale, rng)
+            if cfg == "gist":
+                run_gist(args.scale, rng, impl=args.impl)
+            else:
+                {"sift": run_sift, "async": run_async,
+                 "mips": run_mips}[cfg](args.scale, rng)
 
 
 if __name__ == "__main__":

@@ -435,6 +435,7 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
                     epsilon: float = DEFAULT_EPSILON,
                     max_rounds: int = MAX_ROUNDS,
                     rounds_per_step: int = 1,
+                    rounds_per_step_max: int | None = None,
                     impl: str | None = None,
                     train_cap: int | None = None) -> KMeansResult:
     """Observable variant of :func:`fit` (``kmeans.rs:104-139``).
@@ -448,10 +449,20 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     (``lax.scan``; per-batch ``done`` masks freeze converged entries, so
     results are identical to stepping one round at a time). Raising it
     amortizes the per-program host round-trip — on a tunnel-attached chip
-    that round-trip can rival the compute itself at 10M-row scale — at the
-    cost of up to ``rounds_per_step - 1`` wasted (frozen) rounds after
-    convergence. Per-round events still fire, replayed from the returned
-    gradient history.
+    that round-trip can rival the compute itself at 10M-row scale. Rounds
+    dispatched past all-batches-converged cost ~nothing: the scanned
+    round body skips its corpus pass under a ``lax.cond`` once every
+    batch entry is done (:func:`_scan_rounds_jit`). Per-round events
+    still fire, replayed from the returned gradient history.
+
+    ``rounds_per_step_max``: when set, the per-program round count DOUBLES
+    after each program (``rounds_per_step``, ``2·rounds_per_step``, … up
+    to this cap). Early programs stay short — most fits converge in tens
+    of rounds, and short programs bound the all-done skip-round waste —
+    while a slow-converging fit amortizes toward one round-trip per
+    ``rounds_per_step_max`` rounds instead of one per ``rounds_per_step``
+    (the Deep10M staged build spent ~2/3 of its wall on these
+    round-trips, VERDICT round-3 #3).
 
     ``train_cap`` as in :func:`fit`: train on a subsample, one final
     full-corpus assignment pass.
@@ -476,7 +487,9 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         xs = _gather_training_rows(x, k_rows, cap=train_cap)
         res = fit_with_events(xs, k, k_sub, handler, epsilon=epsilon,
                               max_rounds=max_rounds,
-                              rounds_per_step=rounds_per_step, impl=impl)
+                              rounds_per_step=rounds_per_step,
+                              rounds_per_step_max=rounds_per_step_max,
+                              impl=impl)
         idx = _assign_jit(x, res.centroids, k=k, impl=impl)
         return KMeansResult(res.centroids, idx, res.rounds, res.gradient)
 
@@ -507,13 +520,19 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     rounds = jnp.zeros((b,), jnp.int32)
     gradient = jnp.full((b,), jnp.inf, jnp.float32)
     r = 0
+    cur_steps = rounds_per_step
+    all_done = False
     while r < max_rounds:
-        steps = min(rounds_per_step, max_rounds - r)
+        steps = min(cur_steps, max_rounds - r)
         centroids, indices, done, rounds, gradient, grads = _scan_rounds_jit(
             x, centroids, indices, done, rounds, gradient, xg, k=k,
             epsilon=epsilon, steps=steps, impl=impl)
         grads_host = jax.device_get(grads)          # [steps, B]
-        all_done = bool(jax.device_get(jnp.all(done)))
+        # A batch entry is done iff its FROZEN gradient is sub-epsilon
+        # (gradient freezes at the converging round's value; unconverged
+        # entries carry their last raw grad >= epsilon) — so the grads
+        # fetch already answers all-done, with no extra device program.
+        all_done = bool((grads_host[-1] < epsilon).all())
         for i in range(steps):
             gh = grads_host[i]
             handler(ev.StartingCentroidUpdate(r + i))
@@ -528,11 +547,13 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
         if all_done:
             break
         r += steps
+        if rounds_per_step_max is not None:
+            cur_steps = min(cur_steps * 2, rounds_per_step_max)
     else:
         # max_rounds exhausted with unconverged batches: their carried
         # assignment predates the final centroid update; reassign, as in
         # :func:`fit`'s epilogue.
-        if not bool(jax.device_get(jnp.all(done))):
+        if not all_done:
             fresh = _assign_jit(x, centroids, k=k, impl=impl)
             indices = jnp.where(done[:, None], indices, fresh)
     return KMeansResult(centroids, indices, rounds, gradient)
@@ -566,17 +587,26 @@ def _scan_rounds_jit(x, centroids, indices, done, rounds, gradient, xg=None,
     the per-round FROZEN gradient history ``[steps, B]`` for event replay
     (a batch that converged in an earlier program reports its frozen
     sub-epsilon gradient, matching ``KMeansResult.gradient``, not a raw
-    recomputation)."""
+    recomputation). Rounds after EVERY batch entry converged skip their
+    corpus pass under a ``lax.cond`` (the frozen state is returned
+    unchanged either way — the skip only avoids computing results that
+    the ``done`` masks would discard), so callers may over-provision
+    ``steps`` cheaply (``rounds_per_step_max`` doubling)."""
     impl = _resolve_impl(impl, x)
     if impl.startswith("pallas_grouped") and xg is None:
         from .pallas_kmeans import regroup_divisions
         xg = regroup_divisions(x)  # once per program, outside the scan
 
-    def body(state, _):
+    def run_round(state):
         c, i, d, r, g = state
         c, i, d, r, g, _raw = _round_body(x, c, i, d, r, g, k, epsilon,
                                           impl, xg)
-        return (c, i, d, r, g), g
+        return (c, i, d, r, g)
+
+    def body(state, _):
+        state = jax.lax.cond(jnp.all(state[2]),      # state[2] = done [B]
+                             lambda s: s, run_round, state)
+        return state, state[4]                       # state[4] = gradient
 
     (centroids, indices, done, rounds, gradient), grads = jax.lax.scan(
         body, (centroids, indices, done, rounds, gradient), None,

@@ -182,7 +182,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
                  events=None, *,
                  pq_cap: int = PQ_TRAIN_CAP,
                  coarse_cap: int = COARSE_TRAIN_CAP,
-                 rounds_per_step: int = 8) -> ShardedBuild:
+                 rounds_per_step: int = 8,
+                 rounds_per_step_max: int = 32) -> ShardedBuild:
     """Host-stepped build for very large corpora (Deep10M-class).
 
     Identical math to :func:`_build_fn`, but each Lloyd round / stage runs
@@ -201,7 +202,14 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     so the per-program host round-trip — which rivals the compute itself
     on a tunnel-attached chip — amortizes, while each program stays well
     under the remote-execution deadline (~8 rounds ≈ a few seconds at
-    Deep10M scale vs minutes for the monolithic 100-round program).
+    Deep10M scale vs minutes for the monolithic 100-round program). The
+    per-program round count then DOUBLES up to ``rounds_per_step_max``
+    (``ops.kmeans.fit_with_events``): a 100-round coarse fit dispatches
+    4 programs (8+16+32+32+...) instead of 13, and rounds dispatched past
+    convergence skip their corpus pass on device — at Deep10M the ~26
+    per-fit round-trips were ~2/3 of the 63 s round-3 build wall
+    (VERDICT round-3 #3; the 906 s path this replaces:
+    ``db/build.rs:78-129``).
     """
     from .. import events as ev
 
@@ -212,6 +220,7 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
 
     coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler,
                                     rounds_per_step=rounds_per_step,
+                                    rounds_per_step_max=rounds_per_step_max,
                                     train_cap=coarse_cap)
     cents, idx = coarse.centroids[0], coarse.indices[0]
 
@@ -226,7 +235,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     handler(ev.FinishedSubvectorDivision())
 
     pq = kmeans.fit_with_events(divided, c, k_pq, handler,
-                                rounds_per_step=rounds_per_step)
+                                rounds_per_step=rounds_per_step,
+                                rounds_per_step_max=rounds_per_step_max)
     if n > pq_cap:
         codes = _encode_jit(x, cents, idx, pq.centroids)
     else:
