@@ -37,6 +37,18 @@ _LANE = 128
 #: single block per gather, so the measured fast path is unchanged.
 _L_TILE = 2048
 
+#: Gather cells processed per grid step (round 4). One cell per step
+#: left the kernels LATENCY-bound, not bandwidth-bound: the roofline
+#: measured ~0.8–1.4 µs per grid step moving only 16–54 KB of blocks
+#: (≈38 GB/s, 4.6 % of v5e HBM peak, `benchmarks/roofline.py`). Packing
+#: 8 cells into each step cuts the step count 8× so the per-step DMAs
+#: overlap inside the step instead of serializing across the double
+#: buffer. Measured win (canary-gated interleaved A/B, min-of-3, v5e):
+#: SIFT indexed 0.766 → 0.627 ms, Deep10M packed 8.28 → 6.84 ms,
+#: pre-gathered 0.72 → 0.665 ms — ~15–18 %; the residual floor is the
+#: per-bucket DMA itself, which blocking cannot amortize further.
+_CELLS_PER_STEP = 8
+
 
 def _gather_sum(codes, tab, nsub):
     """``Σ_rows tab[row, codes[row, :]]`` for one 128-lane chunk.
@@ -55,38 +67,41 @@ def _gather_sum(codes, tab, nsub):
     return jnp.sum(vals, axis=0)
 
 
-def _lookup_kernel(codes_ref, tab_ref, out_ref, *, t: int, cp: int):
-    """One ``[D, T]`` code tile against one ``[D, Cp]`` table.
+def _cell_chunks(codes, tab, *, t: int, cp: int, packed: bool):
+    """Yields ``(lane_slice, values[128])`` for one cell's ``[rows, T]``
+    codes against its ``[tab_rows, Cp]`` table.
 
     Rows live on the lane axis (minor), codewords on sublanes — both the
     codes array and the accumulator tile without padding waste. ``T`` is
     one L-tile (:data:`_L_TILE`), not the whole bucket: tiling L bounds
     the VMEM block and the unrolled chunk loop regardless of bucket size.
+
+    Packed codes (``rows = ceil(D/4)`` words of four byte codes) unpack
+    vreg-shaped: four shift/mask byte planes ``[DP, 128]`` concatenated
+    along sublanes give ``[4·DP, 128]`` codes whose row ``b·DP + w`` is
+    division ``4w + b`` — the caller hands the table with its rows
+    permuted to that order (pad rows zeroed, so the pad bytes' code 0
+    contributes nothing).
     """
-    codes = codes_ref[0]                          # [D, T] int32
-    tab = tab_ref[0]                              # [D, Cp] f32
     for j in range(t // _LANE):
-        out_ref[0, 0, j * _LANE:(j + 1) * _LANE] = _gather_sum(
-            codes[:, j * _LANE:(j + 1) * _LANE], tab, cp // _LANE)
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        wc = codes[:, sl]
+        if packed:
+            wc = jnp.concatenate(
+                [(wc >> (8 * bb)) & 0xFF for bb in range(4)], axis=0)
+        yield sl, _gather_sum(wc, tab, cp // _LANE)
 
 
-def _lookup_kernel_packed(codes_ref, tab_ref, out_ref, *, t: int, cp: int):
-    """Packed variant: ``[DP, T]`` words, four byte codes each.
-
-    Unpacking stays vreg-shaped: four shift/mask byte planes ``[DP, 128]``
-    concatenated along sublanes give ``[4·DP, 128]`` codes whose row
-    ``b·DP + w`` is division ``4w + b`` — the caller hands the table with
-    its rows permuted to that order (pad rows zeroed, so the pad bytes'
-    code 0 contributes nothing).
-    """
-    words = codes_ref[0]                          # [DP, T] int32
-    tab = tab_ref[0]                              # [4·DP, Cp] f32, permuted
-    for j in range(t // _LANE):
-        wc = words[:, j * _LANE:(j + 1) * _LANE]          # [DP, 128]
-        codes = jnp.concatenate(
-            [(wc >> (8 * bb)) & 0xFF for bb in range(4)], axis=0)
-        out_ref[0, 0, j * _LANE:(j + 1) * _LANE] = _gather_sum(
-            codes, tab, cp // _LANE)
+def _lookup_kernel(codes_ref, tab_ref, out_ref, *, t: int, cp: int,
+                   gb: int, packed: bool):
+    """``gb`` pre-gathered cells per grid step: ``codes_ref [gb, rows,
+    T]``, ``tab_ref [gb, tab_rows, Cp]`` → ``out_ref [gb, 1, T]``.
+    Multi-cell steps exist because single-cell steps were latency-bound
+    (see :data:`_CELLS_PER_STEP`)."""
+    for tt in range(gb):
+        for sl, vals in _cell_chunks(codes_ref[tt], tab_ref[tt],
+                                     t=t, cp=cp, packed=packed):
+            out_ref[tt, 0, sl] = vals
 
 
 def _prep_table(ftab: jax.Array, d: int, rows: int, packed: bool,
@@ -112,10 +127,23 @@ def _prep_table(ftab: jax.Array, d: int, rows: int, packed: bool,
     return tab, 4 * rows, cp
 
 
-@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def _pick_gb(g: int, rows: int, tab_rows: int, cp: int, lt: int,
+             cells: int | None) -> int:
+    """Cells per step: ``cells`` (or :data:`_CELLS_PER_STEP`) halved
+    until the step's blocks (gb buckets + gb tables + gb out tiles) fit
+    ~6 MB of VMEM."""
+    gb = min(cells if cells is not None else _CELLS_PER_STEP, max(g, 1))
+    while gb > 1 and gb * (rows * lt + tab_rows * cp + lt) * 4 > 6 << 20:
+        gb //= 2
+    return gb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d", "interpret", "cells_per_step"))
 def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
                d: int | None = None,
-               interpret: bool | None = None) -> jax.Array:
+               interpret: bool | None = None,
+               cells_per_step: int | None = None) -> jax.Array:
     """Batched ADC lookup-sum.
 
     ``codes: [G, D, L] int32`` (values in ``[0, C)``) — or packed
@@ -141,27 +169,34 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
 
     tab, tab_rows, cp = _prep_table(ftab, d, rows, packed)
 
-    # Grid tiles L: the table block index is constant across the (fast)
-    # L dimension, so it stays VMEM-resident while code tiles stream.
-    # Final-tile overhang reads garbage codes whose clipped gathers land
-    # in discarded output lanes — harmless by construction.
+    # Grid tiles (cell-groups, L): gb cells per step (see
+    # _CELLS_PER_STEP); the table block index is constant across the
+    # (fast) L dimension, so it stays VMEM-resident while code tiles
+    # stream. Final-tile overhang reads garbage codes whose clipped
+    # gathers land in discarded output lanes — harmless by construction.
     lt = min(l, _L_TILE)
     l_steps = -(-l // lt)
-    kern = _lookup_kernel_packed if packed else _lookup_kernel
-    kernel = functools.partial(kern, t=lt, cp=cp)
+    gb = _pick_gb(g, rows, tab_rows, cp, lt, cells_per_step)
+    gp = -(-g // gb)
+    if gp * gb != g:
+        pad = gp * gb - g
+        codes = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
+        tab = jnp.pad(tab, ((0, pad), (0, 0), (0, 0)))
+    kernel = functools.partial(_lookup_kernel, t=lt, cp=cp, gb=gb,
+                               packed=packed)
 
     out = pl.pallas_call(
         kernel,
-        grid=(g, l_steps),
+        grid=(gp, l_steps),
         in_specs=[
-            pl.BlockSpec((1, rows, lt), lambda i, j: (i, 0, j),
+            pl.BlockSpec((gb, rows, lt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tab_rows, cp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((gb, tab_rows, cp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, lt), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((gb, 1, lt), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 1, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gp * gb, 1, l), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * g * l * d * (cp // _LANE),
             bytes_accessed=codes.size * 4 + ftab.size * 4 + g * l * 4,
@@ -169,24 +204,31 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
         ),
         interpret=interpret,
     )(codes, tab)
-    return out.reshape(g, l)
+    return out.reshape(gp * gb, l)[:g]
 
 
-def _indexed_kernel(bidx_ref, codes_ref, tab_ref, out_ref, *,
-                    t: int, cp: int, packed: bool):
-    """Same math as the plain kernels; the codes block was selected by the
-    scalar-prefetched bucket index (see :func:`adc_lookup_indexed`)."""
-    if packed:
-        _lookup_kernel_packed(codes_ref, tab_ref, out_ref, t=t, cp=cp)
-    else:
-        _lookup_kernel(codes_ref, tab_ref, out_ref, t=t, cp=cp)
+def _indexed_kernel(bidx_ref, *refs, t: int, cp: int, gb: int,
+                    packed: bool):
+    """Same math as :func:`_lookup_kernel`, but each of the ``gb`` cells'
+    code blocks was DMA-selected by the scalar-prefetched bucket index
+    through its OWN operand (one ``BlockSpec`` per cell — a single block
+    index map cannot select ``gb`` non-contiguous buckets, so the array
+    is passed ``gb`` times with maps ``bref[i·gb + t]``; see
+    :func:`adc_lookup_indexed`)."""
+    code_refs, tab_ref, out_ref = refs[:gb], refs[gb], refs[gb + 1]
+    for tt in range(gb):
+        for sl, vals in _cell_chunks(code_refs[tt][0], tab_ref[0, tt],
+                                     t=t, cp=cp, packed=packed):
+            out_ref[0, tt, sl] = vals
 
 
-@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("d", "interpret", "cells_per_step"))
 def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
                        bidx: jax.Array, *,
                        d: int | None = None,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       cells_per_step: int | None = None) -> jax.Array:
     """ADC lookup-sum reading buckets IN PLACE from the resident layout.
 
     ``bcodes: [P, D, L] int32`` (or packed ``[P, ceil(D/4), L]``, then
@@ -196,12 +238,16 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
     ``[G, L]`` with ``out[g, l] = Σ_d ftab[g, d, bcodes[bidx[g], d, l]]``.
 
     The bucket index rides Pallas **scalar prefetch**: the grid's block
-    index map reads ``bidx`` and DMA-streams each selected bucket block
+    index maps read ``bidx`` and DMA-stream each selected bucket block
     HBM→VMEM directly — the ``[G, D, L]`` gathered copy the plain
     :func:`adc_lookup` path materializes in HBM (written once, read once)
-    never exists, halving hot-path HBM traffic for the scan. Duplicate
-    consecutive indices (e.g. a sharded device's unowned probe slots
-    clamped to one bucket) skip the re-fetch entirely.
+    never exists, halving hot-path HBM traffic for the scan. Since round
+    4 each grid step scans :data:`_CELLS_PER_STEP` cells (one code
+    operand per cell, maps ``bref[i·gb + t]``): single-cell steps moved
+    only ~50 KB each and were latency-bound at ~38 GB/s (4.6 % of HBM
+    peak, `benchmarks/roofline.py`). A bucket repeated at the SAME cell
+    position ``t`` in consecutive steps still skips its re-fetch (e.g. a
+    sharded device's unowned probe slots clamped to one bucket).
     """
     p, rows, l = bcodes.shape
     g = ftab.shape[0]
@@ -238,28 +284,43 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
 
     lt = min(l, _L_TILE)
     l_steps = -(-l // lt)
-    kernel = functools.partial(_indexed_kernel, t=lt, cp=cp, packed=packed)
+    gb = _pick_gb(g, rows, tab_rows, cp, lt, cells_per_step)
+    gp = -(-g // gb)
+    bidx = jnp.asarray(bidx, jnp.int32)
+    if gp * gb != g:
+        pad = gp * gb - g
+        # Pad cells re-scan the last cell's bucket (consecutive duplicate
+        # indices skip the re-fetch) against zero tables; their out rows
+        # are sliced off below.
+        bidx = jnp.concatenate([bidx, jnp.broadcast_to(bidx[-1:], (pad,))])
+        tab = jnp.pad(tab, ((0, pad), (0, 0), (0, 0)))
+    tab4 = tab.reshape(gp, gb, tab_rows, cp)
+    kernel = functools.partial(_indexed_kernel, t=lt, cp=cp, gb=gb,
+                               packed=packed)
+
+    def _code_spec(tt):
+        return pl.BlockSpec((1, rows, lt),
+                            lambda i, j, bref: (bref[i * gb + tt], 0, j))
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(g, l_steps),
+            grid=(gp, l_steps),
             in_specs=[
-                pl.BlockSpec((1, rows, lt),
-                             lambda i, j, bref: (bref[i], 0, j)),
-                pl.BlockSpec((1, tab_rows, cp),
-                             lambda i, j, bref: (i, 0, 0)),
+                *[_code_spec(tt) for tt in range(gb)],
+                pl.BlockSpec((1, gb, tab_rows, cp),
+                             lambda i, j, bref: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, lt),
+            out_specs=pl.BlockSpec((1, gb, lt),
                                    lambda i, j, bref: (i, 0, j)),
         ),
-        out_shape=jax.ShapeDtypeStruct((g, 1, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gp, gb, l), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * g * l * d * (cp // _LANE),
             bytes_accessed=g * rows * l * 4 + ftab.size * 4 + g * l * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(bidx, jnp.int32), bcodes, tab)
-    return out.reshape(g, l)
+    )(bidx, *([bcodes] * gb), tab4)
+    return out.reshape(gp * gb, l)[:g]

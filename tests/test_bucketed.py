@@ -152,6 +152,24 @@ def test_adc_lookup_l_tiled(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_adc_lookup_multi_block_padding(rng):
+    """G spanning several cell-group blocks with a ragged tail (round-4
+    multi-cell grid steps, ``pallas_scan._CELLS_PER_STEP``): the pad
+    cells' garbage rows must be sliced off and every real cell must
+    match the per-cell reference."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup
+
+    g, d, c, l = 21, 4, 64, 256          # gp=3 blocks of 8, pad 3
+    codes = rng.integers(0, c, (g, d, l)).astype(np.int32)
+    tab = rng.standard_normal((g, d, c)).astype(np.float32)
+    out = np.asarray(adc_lookup(jnp.asarray(codes),
+                                jnp.asarray(tab.reshape(g, d * c))))
+    assert out.shape == (g, l)
+    ref = tab[np.arange(g)[:, None, None],
+              np.arange(d)[None, :, None], codes].sum(1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("pack", [False, True])
 def test_adc_lookup_indexed_matches_direct(rng, pack):
     """The scalar-prefetch (in-place bucket) lookup must equal gathering
