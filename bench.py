@@ -40,43 +40,12 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-#: Host-canary threshold. The bench container shares a physical host;
-#: round 4 observed windows where EVERY phase — host paths, device
-#: dispatch, even byte-identical device programs — ran 3–50× slow for
-#: tens of minutes (the dispatch loop is host-driven, so host contention
-#: poisons device timings too), invisible to in-container load average.
-#: A 1500² f32 numpy matmul takes ~45–60 ms on this host class when
-#: quiet; well above that, measurements are not comparable run to run.
-QUIET_CANARY_MS = 90.0
-
-
-def host_canary_ms() -> float:
-    """Min-of-5 wall time of a fixed host matmul, in ms."""
-    a = np.random.default_rng(0).standard_normal((1500, 1500))
-    a = a.astype(np.float32)
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        _ = a @ a
-        best = min(best, time.time() - t0)
-    return best * 1e3
-
-
-def wait_for_quiet_host(budget_s: float = 1200.0) -> float:
-    """Waits (bounded) for host contention to clear; returns the last
-    canary reading. Proceeds regardless when the budget runs out — a
-    logged degraded number beats no number."""
-    t0 = time.time()
-    while True:
-        c = host_canary_ms()
-        if c <= QUIET_CANARY_MS or time.time() - t0 > budget_s:
-            state = ("quiet" if c <= QUIET_CANARY_MS else
-                     "DEGRADED — numbers below are not comparable")
-            log(f"host canary: {c:.0f} ms ({state})")
-            return c
-        log(f"host canary {c:.0f} ms > {QUIET_CANARY_MS:.0f} ms "
-            "(shared-host contention); waiting 120 s")
-        time.sleep(120)
+def wait_for_quiet_host() -> float:
+    """Shared-host contention gate (see ``utils/quiet.py``): bounded
+    wait until a fixed host matmul canary reads quiet, then proceed —
+    a logged degraded number beats no number."""
+    from flechasdb_tpu.utils.quiet import wait_for_quiet_host as go
+    return go(log=log)
 
 
 def enable_compilation_cache() -> None:

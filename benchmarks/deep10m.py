@@ -59,6 +59,11 @@ def main():
     _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     log({"config": "deep10m", "metric": "backend warm-up (tiny op)",
          "value": round(time.time() - t0, 1), "unit": "s"})
+    from flechasdb_tpu.utils.quiet import wait_for_quiet_host
+    canary_ms = wait_for_quiet_host(log=lambda m: print(m, file=sys.stderr,
+                                                       flush=True))
+    log({"config": "deep10m", "metric": "host canary (quiet < 90)", "value": round(canary_ms),
+         "unit": "ms"})
     # Generate ON DEVICE: the host generator took 96 s of CPU (19 min on a
     # 1-vCPU host) + a 3.84 GB device_put; the chunked device program
     # fills HBM directly. First pass pays trace+compile (dominant on a

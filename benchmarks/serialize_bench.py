@@ -52,6 +52,11 @@ def main():
     _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     log({"metric": "backend warm-up (tiny op)",
          "value": round(time.time() - t0, 1), "unit": "s"})
+    from flechasdb_tpu.utils.quiet import wait_for_quiet_host
+    canary_ms = wait_for_quiet_host(log=lambda m: print(m, file=sys.stderr,
+                                                       flush=True))
+    log({"metric": "host canary (quiet < 90)", "value": round(canary_ms),
+         "unit": "ms"})
 
     @jax.jit
     def _prepare(key):

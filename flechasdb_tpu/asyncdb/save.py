@@ -30,6 +30,7 @@ from ..protos import PDatabase
 from ..serialize import (
     PROTOBUF_EXTENSION,
     _attr_log_payload,
+    _attributed_by_partition,
     _partition_payload,
     _sorted_attribute_names,
     _uuid_raw,
@@ -104,10 +105,12 @@ async def save_database(db: Database, fs: FileSystem, *,
     # Phase 2: attribute logs (each names its partition file).
     attribute_names = _sorted_attribute_names(db)
     name_index = {n: i for i, n in enumerate(attribute_names)}
+    by_part = _attributed_by_partition(db)
     attributes_log_ids = list(await asyncio.gather(*[
         put("attributes",
             lambda pi=pi: _attr_log_payload(db, pi, partition_ids[pi],
-                                            attribute_names, name_index),
+                                            attribute_names, name_index,
+                                            by_part),
             True)
         for pi in range(db.num_partitions)
     ]))

@@ -127,6 +127,7 @@ class DatabaseBuilder:
         self._opq_iters: int = 0
         self._metric = "l2"
         self._impl: Optional[str] = None
+        self._keep_residues = True
 
     def with_partitions(self, p: int) -> "DatabaseBuilder":
         if p <= 0:
@@ -192,6 +193,24 @@ class DatabaseBuilder:
         ``thread_rng`` (SURVEY.md §7).
         """
         self._seed = seed
+        return self
+
+    def with_residues(self, keep: bool = True) -> "DatabaseBuilder":
+        """Whether the built database retains per-vector residues.
+
+        Residues back the beyond-reference conveniences — exact
+        :meth:`Database.rerank` and :meth:`Database.get_vector`
+        reconstruction — at ``N·M·4`` bytes of host RAM and, when the
+        corpus lives on an accelerator, a full-corpus device→host fetch
+        inside :meth:`build` (614 MB at the reference's headline shape;
+        tens of seconds through a remote-attached chip — measured as the
+        whole difference between the 0.5 s device build and a ~50 s
+        ``build()`` call). ``with_residues(False)`` skips retention;
+        those two methods then raise :class:`InvalidArgs`, exactly like
+        a reference database, which stores only codes (db/build.rs
+        builds encoded partitions; raw vectors are dropped).
+        """
+        self._keep_residues = keep
         return self
 
     def build_with_events(self, events: EventHandler) -> "Database":
@@ -260,6 +279,16 @@ class DatabaseBuilder:
         for i in range(d):
             events(ev.FinishedQuantization(i))
 
+        # Overlap the device→host fetches: start every copy before the
+        # first blocking np.asarray (through a remote-attached chip the
+        # residual fetch alone is hundreds of MB; async launch lets the
+        # transfers stream while the host materializes the small arrays).
+        outs = [parts.centroids, parts.indices, pq.centroids, pq.indices]
+        if self._keep_residues:
+            outs.append(parts.residues)
+        for a in outs:
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         pidx = np.asarray(parts.indices, dtype=np.int32)
         return Database(
             vector_size=m,
@@ -271,7 +300,8 @@ class DatabaseBuilder:
             partition_indices=pidx,
             codebooks=np.asarray(pq.centroids),
             codes=np.asarray(pq.indices, dtype=np.uint32).T.copy(),
-            residues=np.asarray(parts.residues),
+            residues=(np.asarray(parts.residues)
+                      if self._keep_residues else None),
             rotation=rotation,
             metric=self._metric,
         )
@@ -324,7 +354,8 @@ class DatabaseBuilder:
             partition_indices=np.asarray(ob.partition_indices, np.int32),
             codebooks=cast32(ob.codebooks, "codebooks"),
             codes=np.asarray(ob.codes, np.uint32),
-            residues=cast32(residues64, "residues"),
+            residues=(cast32(residues64, "residues")
+                      if self._keep_residues else None),
             rotation=None,
             metric=self._metric,
         )

@@ -148,20 +148,47 @@ def _sorted_attribute_names(db: Database) -> List[str]:
     return sorted(names)
 
 
-def _attr_log_payload(db: Database, pi: int, partition_id: str,
-                      attribute_names: List[str],
-                      name_index: dict | None = None) -> bytes:
-    """Encoded set-op log for partition ``pi``
-    (``db/build/proto.rs:163-205``). Callers looping over partitions pass
-    a precomputed ``name_index`` so it isn't rebuilt P times."""
-    if name_index is None:
-        name_index = {n: i for i, n in enumerate(attribute_names)}
-    log = PAttributesLog(partition_id=partition_id)
-    for vi in np.nonzero(db.partition_indices == pi)[0]:
-        vid = db.vector_ids[vi]
-        attrs = db.attribute_table.get(vid)
+def _attributed_by_partition(db: Database) -> dict:
+    """``{pi: [(vi, vid, attrs), ...]}`` for vectors that HAVE attributes,
+    member-order (ascending ``vi``) within each partition.
+
+    Built once per save: the per-partition log writer previously walked
+    every corpus vector per partition (N dict probes + N uuid hashes —
+    ~0.2 s of the headline-shape save for 1 000 attributed vectors out of
+    100 000); attributes are sparse, so index the attributed side
+    instead. Entry order — and therefore bytes — is unchanged:
+    ascending member index within each partition, all of a vector's
+    attributes in insertion order (``db/build/proto.rs:163-205``).
+    """
+    if not db.attribute_table:
+        return {}
+    vid_to_vi = {vid: i for i, vid in enumerate(db.vector_ids)}
+    by_part: dict = {}
+    for vid, attrs in db.attribute_table.items():
         if not attrs:
             continue
+        vi = vid_to_vi[vid]
+        by_part.setdefault(int(db.partition_indices[vi]), []).append(
+            (vi, vid, attrs))
+    for members in by_part.values():
+        members.sort(key=lambda t: t[0])
+    return by_part
+
+
+def _attr_log_payload(db: Database, pi: int, partition_id: str,
+                      attribute_names: List[str],
+                      name_index: dict | None = None,
+                      by_part: dict | None = None) -> bytes:
+    """Encoded set-op log for partition ``pi``
+    (``db/build/proto.rs:163-205``). Callers looping over partitions pass
+    a precomputed ``name_index`` / ``by_part`` so they aren't rebuilt P
+    times."""
+    if name_index is None:
+        name_index = {n: i for i, n in enumerate(attribute_names)}
+    if by_part is None:
+        by_part = _attributed_by_partition(db)
+    log = PAttributesLog(partition_id=partition_id)
+    for _vi, vid, attrs in by_part.get(pi, ()):
         for name, value in attrs.items():
             log.entries.append(POperationSetAttribute(
                 vector_id=PUuid.from_uuid(vid),
@@ -178,9 +205,10 @@ def _save_attribute_logs(db: Database, partition_ids: List[str],
     (``db/build/proto.rs:163-205``)."""
     ids: List[str] = []
     name_index = {n: i for i, n in enumerate(attribute_names)}
+    by_part = _attributed_by_partition(db)
     for pi in range(db.num_partitions):
         f = fs.create_hashed_file("attributes", compress=True)
         f.write(_attr_log_payload(db, pi, partition_ids[pi],
-                                  attribute_names, name_index))
+                                  attribute_names, name_index, by_part))
         ids.append(f.persist(PROTOBUF_EXTENSION))
     return ids

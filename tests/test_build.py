@@ -219,3 +219,37 @@ def test_with_fast_math_builds_working_db():
         (DatabaseBuilder(x.astype(np.float64), dtype=np.float64)
          .with_partitions(4).with_divisions(4).with_clusters(4)
          .with_fast_math().build())
+
+
+def test_with_residues_false_skips_retention(rng):
+    """`.with_residues(False)` drops the N×M residual retention (and the
+    full-corpus device→host fetch behind it, build.py round 4); queries
+    and save/load still work, while the two residue-backed conveniences
+    raise like any reference database (which stores only codes)."""
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    db = (DatabaseBuilder(x).with_partitions(4).with_divisions(4)
+          .with_clusters(8).with_seed(3).with_residues(False).build())
+    assert db.residues is None
+    res = db.query(x[5], k=3, nprobe=2)
+    assert len(res) == 3
+    with pytest.raises(InvalidArgs, match="residues"):
+        db.reconstruct(0)
+    with pytest.raises(InvalidArgs, match="residues"):
+        db.query_batch(x[5:6], k=3, nprobe=2, rerank=10)
+
+    import tempfile
+
+    import flechasdb_tpu as fdb
+
+    with tempfile.TemporaryDirectory() as td:
+        root = fdb.save_database(db, fdb.LocalFileSystem(td))
+        db2 = fdb.load_database(fdb.LocalFileSystem(td), f"{root}.binpb")
+        res2 = db2.query(x[5], k=3, nprobe=2)
+        assert [r.vector_id for r in res] == [r.vector_id for r in res2]
+
+    # default (and explicit True) keeps round-3 behavior
+    db3 = (DatabaseBuilder(x).with_partitions(4).with_divisions(4)
+           .with_clusters(8).with_seed(3).with_residues(True).build())
+    assert db3.residues is not None and db3.residues.shape == x.shape
+    np.testing.assert_allclose(db3.reconstruct(0), x[0], rtol=1e-4,
+                               atol=1e-4)
