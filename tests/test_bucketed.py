@@ -152,6 +152,23 @@ def test_adc_lookup_l_tiled(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("cells", [1, 3, 8])
+def test_adc_lookup_cells_per_step_parity(rng, cells):
+    """Every cells_per_step grouping must produce identical results —
+    the knob only re-blocks the grid (round 4)."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup
+
+    g, d, c, l = 13, 4, 64, 256
+    codes = rng.integers(0, c, (g, d, l)).astype(np.int32)
+    tab = rng.standard_normal((g, d, c)).astype(np.float32)
+    out = np.asarray(adc_lookup(jnp.asarray(codes),
+                                jnp.asarray(tab.reshape(g, d * c)),
+                                cells_per_step=cells))
+    ref = tab[np.arange(g)[:, None, None],
+              np.arange(d)[None, :, None], codes].sum(1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_adc_lookup_multi_block_padding(rng):
     """G spanning several cell-group blocks with a ragged tail (round-4
     multi-cell grid steps, ``pallas_scan._CELLS_PER_STEP``): the pad
