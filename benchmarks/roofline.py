@@ -1,28 +1,47 @@
-"""HBM roofline for the SERVING kernels (VERDICT round-3 #4).
+"""HBM roofline for the SERVING kernels (VERDICT round-3 #4, round-4 #1/#4).
 
 The training kernels have an MFU table (`RESULTS.md`); the serving scan
 kernels are memory-bound, so the honest utilization anchor is achieved
 HBM bandwidth — compulsory bytes (each input read once + output written
 once, the `pl.CostEstimate.bytes_accessed` convention) divided by
-measured time — against the v5e HBM peak (~819 GB/s). A relative number
-("40× over XLA gather") cannot catch an absolute regression; GB/s can.
+measured time.
 
-Kernels measured (reference analogue: the per-member scalar scan,
+Round-5 methodology corrections (both matter a lot):
+
+* **Chained, not dispatched.** Round ≤4 timed warm pipelined dispatch
+  of single invocations; through the axon tunnel that has a ~0.6 ms
+  PER-CALL floor, which *was* the entire "kernel time" at SIFT shape
+  (diagnostic: a no-op variant of the kernel measured the same 0.59 ms
+  as the real one). Each kernel is now invoked CH times inside ONE jit
+  program with a serializing scalar dependency between invocations, so
+  the per-invocation time is dispatch-free.
+* **Measured ceiling, not paper peak.** This chip tops out far below
+  the v5e spec sheet's 819 GB/s on ANY access pattern we can write:
+  an XLA donated in-place scale (pure r+w stream) reaches ~213 GB/s and
+  a full sum-reduce ~171 GB/s. Both are measured here every run and
+  reported as rows; `pct_ceiling` is against the donated-scale number,
+  `pct_spec` against 819 so older tables remain comparable.
+
+Kernel rows (reference analogue: the per-member scalar scan,
 db/stored.rs:549-598):
-  * `adc_lookup_indexed` at SIFT serving shape (P=1024, D=8 unpacked,
-    L=1280) — scalar-prefetched in-place bucket scan;
-  * `adc_lookup_indexed` at Deep10M serving shape (P=4096, D=8 PACKED
-    → 2 words/row, L=8960);
-  * `adc_lookup` (pre-gathered codes) at the SIFT shape, for the copy
-    cost comparison;
-  * `exact_topk` brute-force rerank scan over 1M × 128 (reads the whole
-    corpus per query batch).
+  * `adc_lookup_indexed` at SIFT serving shape — in-place bucket scan
+    (round-5 manual-DMA pipeline), plus one UNCHAINED row so the
+    dispatch floor stays visible;
+  * `adc_lookup` (pre-gathered codes) at the SIFT shape;
+  * `adc_lookup_indexed` at Deep10M serving shape (PACKED codes);
+  * `flat exact scan` — `exact_topk` brute force over the whole 1M×128
+    corpus (the FLAT tier's full scan; renamed from the round-4
+    mislabel "rerank scan");
+  * `rerank gather+rescore` — the PRODUCTION rerank
+    (`build._rerank_exact`: gather `[B, R]` candidate rows + HIGHEST
+    re-score + top-k), which the round-4 table lacked entirely.
 
-Usage: python benchmarks/roofline.py [--reps 50]
-Emits one JSON line per kernel: {..., "gbps": N, "pct_peak": N}.
+Usage: python benchmarks/roofline.py [--reps 3] [--chain 16]
+Emits one JSON line per row: {..., "gbps": N, "pct_ceiling": N, ...}.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -31,7 +50,9 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-#: v5e HBM peak bandwidth, GB/s (public spec: 819 GB/s).
+#: v5e HBM peak bandwidth, GB/s (public spec: 819 GB/s). Kept for
+#: cross-round comparability; see module docstring for the measured
+#: ceiling this chip actually reaches.
 HBM_PEAK_GBPS = 819.0
 
 
@@ -40,13 +61,20 @@ def log(obj):
 
 
 def fence(x):
-    np.asarray(x[:1, :1])
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per chain (min is kept)")
+    ap.add_argument("--chain", type=int, default=16,
+                    help="in-program invocations per chain")
     args = ap.parse_args()
+
+    from flechasdb_tpu.utils.quiet import wait_for_quiet_host
+    canary = wait_for_quiet_host(budget_s=900)
 
     import jax
     import jax.numpy as jnp
@@ -54,46 +82,105 @@ def main():
     from flechasdb_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from flechasdb_tpu.ops.pallas_scan import adc_lookup, adc_lookup_indexed
+    from flechasdb_tpu.build import _rerank_exact
     from flechasdb_tpu.ops.exact import exact_topk
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup, adc_lookup_indexed
 
     t0 = time.time()
     _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     log({"metric": "backend warm-up (tiny op)",
          "value": round(time.time() - t0, 1), "unit": "s",
-         "backend": jax.default_backend()})
+         "backend": jax.default_backend(),
+         "host_canary_ms": round(canary, 1)})
 
-    key = jax.random.key(0)
+    # ---- measured ceilings (every run, so drift is visible) ------------
+    N = 64 * 1024 * 1024
+    x = jnp.arange(N, dtype=jnp.float32).reshape(2048, 32768)
 
-    def bench(name, fn, in_arrays, bytes_touched, reps):
-        out = fn(*in_arrays)                     # compile + warm
-        fence(out)
+    red = jax.jit(lambda x: jnp.sum(x))
+    out = red(x); fence(out)
+    best = 1e9
+    for _ in range(3):
         t0 = time.time()
-        for _ in range(reps):
-            out = fn(*in_arrays)                 # pipelined dispatch
-        fence(out)                               # one fence at the end
-        dt = (time.time() - t0) / reps
-        gbps = bytes_touched / dt / 1e9
-        log({"metric": name, "ms": round(dt * 1e3, 3),
+        for _ in range(10):
+            out = red(x)
+        fence(out)
+        best = min(best, (time.time() - t0) / 10)
+    read_gbps = N * 4 / best / 1e9
+    log({"metric": "CEILING XLA sum-reduce (pure read, 256MB)",
+         "ms": round(best * 1e3, 3), "gbps": round(read_gbps, 1)})
+
+    mul = jax.jit(lambda x: x * 1.0000001, donate_argnums=0)
+    y = jnp.array(x, copy=True)
+    out = mul(y); fence(out)
+    t0 = time.time()
+    for _ in range(20):
+        out = mul(out)
+    fence(out)
+    best = (time.time() - t0) / 20
+    ceiling_gbps = max(2 * N * 4 / best / 1e9, read_gbps)
+    log({"metric": "CEILING XLA donated scale (r+w stream, 256MB)",
+         "ms": round(best * 1e3, 3),
+         "gbps": round(2 * N * 4 / best / 1e9, 1)})
+    del x, y, out
+
+    # ---- chained kernel rows -------------------------------------------
+    CH = args.chain
+
+    def bench(name, call, arrs, perturb, bytes_touched, reps,
+              chain=True):
+        """``call(*arrs)`` CH times inside one program; ``perturb`` is
+        the index of a float operand given a serializing ``+ acc*0``."""
+        if chain:
+            @jax.jit
+            def fn(*arrs):
+                acc = jnp.float32(0)
+                a = list(arrs)
+                base = a[perturb]
+                for _ in range(CH):
+                    a[perturb] = base + acc * 0
+                    out = call(*a)
+                    first = jax.tree_util.tree_leaves(out)[0]
+                    acc = first.ravel()[0].astype(jnp.float32)
+                return out
+            inner = CH
+        else:
+            fn, inner = call, 1
+        out = fn(*arrs)
+        fence(out)
+        best = 1e9
+        for _ in range(max(args.reps, reps)):
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(*arrs)
+            fence(out)
+            best = min(best, (time.time() - t0) / reps / inner)
+        gbps = bytes_touched / best / 1e9
+        log({"metric": name, "ms": round(best * 1e3, 3),
              "bytes_mb": round(bytes_touched / 1e6, 1),
              "gbps": round(gbps, 1),
-             "pct_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)})
+             "pct_ceiling": round(100 * gbps / ceiling_gbps, 1),
+             "pct_spec": round(100 * gbps / HBM_PEAK_GBPS, 1)})
 
     # --- adc_lookup_indexed, SIFT shape: B=64 queries x nprobe=10 --------
     p, d, c, l, g = 1024, 8, 256, 1280, 640
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     bcodes = jax.random.randint(k1, (p, d, l), 0, c, dtype=jnp.int32)
     ftab = jax.random.normal(k2, (g, d * c), dtype=jnp.float32)
     bidx = jax.random.randint(k3, (g,), 0, p, dtype=jnp.int32)
     nbytes = g * d * l * 4 + ftab.size * 4 + g * l * 4
     bench(f"adc_lookup_indexed SIFT (P={p} D={d} L={l} G={g})",
-          adc_lookup_indexed, (bcodes, ftab, bidx), nbytes, args.reps)
+          adc_lookup_indexed, (bcodes, ftab, bidx), 1, nbytes, 6)
+    bench("adc_lookup_indexed SIFT (unchained, incl. dispatch floor)",
+          adc_lookup_indexed, (bcodes, ftab, bidx), 1, nbytes, 30,
+          chain=False)
 
     # --- adc_lookup (pre-gathered codes), same shape ---------------------
     codes_g = jnp.take(bcodes, bidx, axis=0)     # the HBM copy the indexed
-    fence(codes_g[0])                            # kernel avoids (untimed)
+    fence(codes_g)                               # kernel avoids (untimed)
     bench(f"adc_lookup pre-gathered SIFT (G={g} D={d} L={l})",
-          adc_lookup, (codes_g, ftab), nbytes, args.reps)
+          adc_lookup, (codes_g, ftab), 1, nbytes, 6)
+    del bcodes, codes_g, ftab, bidx
 
     # --- adc_lookup_indexed, Deep10M shape: PACKED codes -----------------
     p, d, c, l = 4096, 8, 256, 8960
@@ -104,14 +191,14 @@ def main():
         k1, (p, words, l), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32)
     ftab = jax.random.normal(k2, (g, d * c), dtype=jnp.float32)
     bidx = jax.random.randint(k3, (g,), 0, p, dtype=jnp.int32)
-    import functools
     nbytes = g * words * l * 4 + ftab.size * 4 + g * l * 4
     bench(f"adc_lookup_indexed Deep10M packed (P={p} words={words} "
           f"L={l} G={g})",
           functools.partial(adc_lookup_indexed, d=d),
-          (bcodes_p, ftab, bidx), nbytes, max(args.reps // 5, 5))
+          (bcodes_p, ftab, bidx), 1, nbytes, 2)
+    del bcodes_p, ftab, bidx
 
-    # --- exact rerank scan: brute-force top-k over 1M x 128 --------------
+    # --- flat exact scan: brute-force top-k over the whole corpus --------
     n, m, b, kk = 1_000_000, 128, 64, 10
     k1, k2 = jax.random.split(jax.random.key(2))
     x = jax.random.normal(k1, (n, m), dtype=jnp.float32)
@@ -122,8 +209,27 @@ def main():
         dists, rows = exact_topk(qq, xx, k=kk)
         return dists
 
-    bench(f"exact_topk rerank scan ({n // 1000}k x {m}, B={b})",
-          exact_fn, (q, x), nbytes, max(args.reps // 5, 5))
+    bench(f"flat exact scan ({n // 1000}k x {m}, B={b})",
+          exact_fn, (q, x), 0, nbytes, 2, chain=True)
+
+    # --- PRODUCTION rerank: candidate gather + HIGHEST re-score ----------
+    # (round-4 table lacked this row entirely; the row above was
+    # mislabeled as the rerank. B=64 queries x R=100 candidates against
+    # the resident 1M x 128 corpus — build._rerank_exact.)
+    r = 100
+    k3, k4 = jax.random.split(jax.random.key(3))
+    rows = jax.random.randint(k3, (b, r), 0, n, dtype=jnp.int32)
+    valid = jnp.ones((b, r), bool)
+    nbytes = b * r * m * 4 + b * m * 4 + b * r * 4 + b * kk * 8
+
+    def rerank_fn(qq, rows, valid, xx):
+        # every operand a real argument — a closed-over corpus would be
+        # inlined into the chained program as a 512 MB constant
+        dists, rr = _rerank_exact(qq, rows, valid, xx, k=kk)
+        return dists
+
+    bench(f"rerank gather+rescore (B={b} R={r} vs {n // 1000}k x {m})",
+          rerank_fn, (q, rows, valid, x), 0, nbytes, 6)
 
 
 if __name__ == "__main__":

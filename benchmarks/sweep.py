@@ -123,7 +123,7 @@ def run_sift(scale, rng, opq=False):
     qd = jnp.asarray(q)
 
     for nprobe in (1, 5, 10, 50):
-        dists, rows, _ = query_bucketed(
+        dists, rows, probed = query_bucketed(
             qd, built.partition_centroids, built.codebooks
             if not opq else res.pq.centroids, buckets, rotation,
             k=k, nprobe=nprobe)
@@ -131,6 +131,14 @@ def run_sift(scale, rng, opq=False):
         recall = np.mean([
             len(set(rows_h[b].tolist()) & set(gt[b].tolist())) / k
             for b in range(nq)])
+        # Coarse-only recall: fraction of true neighbors whose PARTITION
+        # was probed (truth-in-candidates rate). The end recall@10 can
+        # saturate on PQ error (plain PQ sat at 0.589 for nprobe >= 5 on
+        # this draw, VERDICT r4 weak #5) — this column still moves with
+        # the coarse quantizer, so a centroid regression stays visible.
+        probed_h = np.asarray(probed)
+        coarse = np.mean([np.isin(pidx[gt[b]], probed_h[b]).mean()
+                          for b in range(nq)])
         reps = 10
         t0 = time.time()
         for _ in range(reps):
@@ -142,6 +150,7 @@ def run_sift(scale, rng, opq=False):
         dt = (time.time() - t0) / reps
         log({"config": cfg, "nprobe": nprobe,
              "recall@10": round(float(recall), 4),
+             "coarse@10": round(float(coarse), 4),
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 
     # IVFPQ + exact refine: re-score the top-100 ADC candidates against the

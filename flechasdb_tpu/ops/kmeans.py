@@ -472,6 +472,15 @@ def fit_with_events(x: jax.Array, k: int, key: jax.Array, handler, *,
     if rounds_per_step < 1:
         raise ValueError(
             f"rounds_per_step must be positive: {rounds_per_step}")
+    if rounds_per_step_max is not None and \
+            rounds_per_step_max < rounds_per_step:
+        # 0 would collapse cur_steps to an empty scan after the first
+        # program (IndexError on the grads fetch); anything below
+        # rounds_per_step would silently SHRINK the step instead of
+        # growing it — both are caller bugs, mirror the check above.
+        raise ValueError(
+            f"rounds_per_step_max ({rounds_per_step_max}) must be >= "
+            f"rounds_per_step ({rounds_per_step})")
     b, n, m = x.shape
     if n < k:
         raise ValueError(f"vs has fewer vectors than k: {n} < {k}")

@@ -45,8 +45,10 @@ _L_TILE = 2048
 #: overlap inside the step instead of serializing across the double
 #: buffer. Measured win (canary-gated interleaved A/B, min-of-3, v5e):
 #: SIFT indexed 0.766 → 0.627 ms, Deep10M packed 8.28 → 6.84 ms,
-#: pre-gathered 0.72 → 0.665 ms — ~15–18 %; the residual floor is the
-#: per-bucket DMA itself, which blocking cannot amortize further.
+#: pre-gathered 0.72 → 0.665 ms — ~15–18 %. Round 5 superseded the
+#: per-bucket-DMA floor this left with the manual pipeline
+#: (:func:`_pipe_kernel`); the constant now also sizes that pipeline's
+#: cell groups.
 _CELLS_PER_STEP = 8
 
 
@@ -55,15 +57,25 @@ def _gather_sum(codes, tab, nsub):
 
     ``codes: [R, 128]`` int32 in ``[0, nsub·128)``, ``tab: [R, nsub·128]``
     f32 → ``[128]``. The dynamic gather operates within one vreg of
-    lanes, so wider tables select across their 128-wide slices.
+    lanes, so wider tables select across their 128-wide slices. The
+    in-slice index is the low 7 bits and the slice id the remaining
+    high bits (round 5: one AND + one shift replace the per-slice
+    ``clip``s — the scans are VPU-issue-bound, measured ~37 cycles per
+    chunk against ~24 of algorithmic ops, so every glue op counts).
+    Garbage lanes (pad overhang) stay in-bounds by construction of the
+    mask; their selects may all miss, leaving slice-0 values — callers
+    discard those lanes.
     """
-    vals = None
-    for s in range(nsub):
+    lo = codes & (_LANE - 1)
+    v0 = jnp.take_along_axis(tab[:, :_LANE], lo, axis=1)  # dynamic_gather
+    if nsub == 1:
+        return jnp.sum(v0, axis=0)
+    hi = codes >> 7
+    vals = v0
+    for s in range(1, nsub):
         sub = tab[:, s * _LANE:(s + 1) * _LANE]           # [R, 128]
-        idx = jnp.clip(codes - s * _LANE, 0, _LANE - 1)
-        v = jnp.take_along_axis(sub, idx, axis=1)         # dynamic_gather
-        vals = v if vals is None else jnp.where(
-            codes >= s * _LANE, v, vals)
+        v = jnp.take_along_axis(sub, lo, axis=1)
+        vals = jnp.where(hi == s, v, vals)
     return jnp.sum(vals, axis=0)
 
 
@@ -77,19 +89,38 @@ def _cell_chunks(codes, tab, *, t: int, cp: int, packed: bool):
     the VMEM block and the unrolled chunk loop regardless of bucket size.
 
     Packed codes (``rows = ceil(D/4)`` words of four byte codes) unpack
-    vreg-shaped: four shift/mask byte planes ``[DP, 128]`` concatenated
+    vreg-shaped: four shifted byte planes ``[DP, 128]`` concatenated
     along sublanes give ``[4·DP, 128]`` codes whose row ``b·DP + w`` is
     division ``4w + b`` — the caller hands the table with its rows
     permuted to that order (pad rows zeroed, so the pad bytes' code 0
-    contributes nothing).
+    contributes nothing). The byte isolation (``& 0xFF``) is deferred:
+    :func:`_gather_sum`'s ``& 0x7F`` masks the low bits anyway, and its
+    slice id needs only ``(code >> 7) & 1`` for C ≤ 256 — one AND on
+    the concatenated planes replaces four per-plane ANDs.
     """
+    nsub = cp // _LANE
     for j in range(t // _LANE):
         sl = slice(j * _LANE, (j + 1) * _LANE)
         wc = codes[:, sl]
         if packed:
-            wc = jnp.concatenate(
-                [(wc >> (8 * bb)) & 0xFF for bb in range(4)], axis=0)
-        yield sl, _gather_sum(wc, tab, cp // _LANE)
+            planes = jnp.concatenate(
+                [wc >> (8 * bb) for bb in range(4)], axis=0)
+            if nsub <= 2:
+                # byte isolation deferred: & 0x7F in the gather, slice
+                # id = bit 7 only
+                lo = planes & (_LANE - 1)
+                tab0 = tab[:, :_LANE]
+                v0 = jnp.take_along_axis(tab0, lo, axis=1)
+                if nsub == 1:
+                    yield sl, jnp.sum(v0, axis=0)
+                    continue
+                v1 = jnp.take_along_axis(tab[:, _LANE:2 * _LANE], lo,
+                                         axis=1)
+                vals = jnp.where((planes & _LANE) != 0, v1, v0)
+                yield sl, jnp.sum(vals, axis=0)
+                continue
+            wc = planes & 0xFF
+        yield sl, _gather_sum(wc, tab, nsub)
 
 
 def _lookup_kernel(codes_ref, tab_ref, out_ref, *, t: int, cp: int,
@@ -129,21 +160,26 @@ def _prep_table(ftab: jax.Array, d: int, rows: int, packed: bool,
 
 def _pick_gb(g: int, rows: int, tab_rows: int, cp: int, lt: int,
              cells: int | None) -> int:
-    """Cells per step: ``cells`` (or :data:`_CELLS_PER_STEP`) halved
-    until the step's blocks (gb buckets + gb tables + gb out tiles) fit
-    ~6 MB of VMEM."""
+    """Cells per step: ``cells`` (or :data:`_CELLS_PER_STEP`)
+    decremented until the step's blocks (gb buckets + gb tables + gb out
+    tiles) fit ~6 MB of VMEM (decrement, not halve: an odd user-passed
+    cells_per_step should degrade to the next size down, not skip
+    straight past it)."""
     gb = min(cells if cells is not None else _CELLS_PER_STEP, max(g, 1))
     while gb > 1 and gb * (rows * lt + tab_rows * cp + lt) * 4 > 6 << 20:
-        gb //= 2
+        gb -= 1
     return gb
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "interpret", "cells_per_step"))
+                   static_argnames=("d", "interpret", "cells_per_step",
+                                    "pipeline", "pipe_bufs"))
 def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
                d: int | None = None,
                interpret: bool | None = None,
-               cells_per_step: int | None = None) -> jax.Array:
+               cells_per_step: int | None = None,
+               pipeline: str | None = None,
+               pipe_bufs: int | None = None) -> jax.Array:
     """Batched ADC lookup-sum.
 
     ``codes: [G, D, L] int32`` (values in ``[0, C)``) — or packed
@@ -168,6 +204,18 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
         interpret = _platform() != "tpu"
 
     tab, tab_rows, cp = _prep_table(ftab, d, rows, packed)
+
+    if not interpret and pipeline in (None, "dma"):
+        # On TPU the pre-gathered scan is just the indexed scan with an
+        # identity bucket index — route it through the manual DMA
+        # pipeline (round 5), which replaced the auto-pipeline's
+        # serialized per-operand copies (see adc_lookup_indexed).
+        res = _pipe_call(codes, tab, jnp.arange(g, dtype=jnp.int32),
+                         rows=rows, tab_rows=tab_rows, cp=cp,
+                         packed=packed, l=l, cells=cells_per_step,
+                         nbuf=pipe_bufs, interpret=interpret)
+        if res is not None:
+            return res
 
     # Grid tiles (cell-groups, L): gb cells per step (see
     # _CELLS_PER_STEP); the table block index is constant across the
@@ -207,6 +255,175 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
     return out.reshape(gp * gb, l)[:g]
 
 
+#: In-flight depth of the manual DMA pipeline (round 5): bucket blocks
+#: for the next ``_PIPE_BUFS - 1`` grid steps are prefetched with
+#: explicit ``make_async_copy`` while the current step computes. The
+#: round-4 scalar-prefetch auto-pipeline was measured at ~1 µs PER
+#: OPERAND DMA per step (0.92 ms / 80 steps / 10 copies at the SIFT
+#: shape ≈ serialized issue+wait) — 4 % of HBM peak; deep manual
+#: lookahead removes the serialization, leaving issue cost + bandwidth.
+_PIPE_BUFS = 4
+
+#: Compile-time unroll budget for one kernel body: ``gb · (lt/128)``
+#: gather chunks. Bounds Mosaic compile time (a compile-time blowup can
+#: wedge the TPU tunnel, CLAUDE.md) while letting the L-tile grow to the
+#: whole bucket for the headline shapes — fewer, larger DMAs.
+_UNROLL_CAP = 144
+
+
+def _pick_pipe_lt(l: int, rows: int, gb: int, nbuf: int,
+                  scratch_cap: int = 4 << 20) -> int | None:
+    """Largest L-tile that (a) divides ``l`` exactly (manual DMAs cannot
+    read past the bucket's end, so overhang tiles are not allowed),
+    (b) keeps the body unroll within :data:`_UNROLL_CAP`, and (c) fits
+    the ``nbuf``-deep code scratch in ``scratch_cap`` bytes. ``None`` if
+    no multiple of 128 qualifies (caller falls back to the blocked
+    kernel)."""
+    k = l // _LANE
+    floor = min(l, 4 * _LANE)   # tiles under 512 lanes mean tiny DMAs —
+    best = None                 # worse than the blocked fallback
+    for q in range(1, k + 1):
+        if k % q:
+            continue
+        if gb * q > _UNROLL_CAP:
+            break
+        if nbuf * gb * rows * q * _LANE * 4 > scratch_cap:
+            break
+        if q * _LANE >= floor:
+            best = q * _LANE
+    return best
+
+
+def _pipe_kernel(bidx_ref, bcodes_ref, tab_ref, out_ref, cscr, tscr,
+                 csem, tsem, *, t: int, cp: int, gb: int, packed: bool,
+                 nbuf: int, nj: int, nsteps: int,
+                 debug: str | None = None):
+    """Manually DMA-pipelined variant of :func:`_indexed_kernel`.
+
+    ``bcodes_ref [P, rows, L]`` and ``tab_ref [gp, gb, tab_rows, Cp]``
+    stay in HBM (``pl.ANY``); ``bidx_ref [gp·gb]`` lives in SMEM. Each
+    grid step ``s = i·nj + j`` computes cells ``i·gb..i·gb+gb-1`` on
+    L-tile ``j`` from VMEM scratch rings: bucket tiles are prefetched
+    ``nbuf - 1`` steps ahead (one sliced ``make_async_copy`` per cell
+    into ``cscr[s % nbuf, tt]``), tables once per ``i`` (one contiguous
+    copy of all ``gb`` cells' tables into ``tscr[i % nbuf]``, issued at
+    that ``i``'s first tile). Slot reuse is safe because the lookahead
+    (``nbuf - 1`` steps) never wraps past the slot the current step
+    reads, and a table slot is next overwritten ``(nbuf-1)(nj-1) ≥ 0``
+    steps after its last use. Only the output rides the auto-pipeline
+    (write-back DMAs double-buffer without stalling the body)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    step = i * nj + j
+
+    def code_dma(s, tt, static: bool):
+        si, sj = (s // nj, s % nj) if not static else divmod(s, nj)
+        b = bidx_ref[si * gb + tt]
+        src = (bcodes_ref.at[b] if nj == 1
+               else bcodes_ref.at[b, :, pl.ds(sj * t, t)])
+        return pltpu.make_async_copy(src, cscr.at[s % nbuf, tt],
+                                     csem.at[s % nbuf, tt])
+
+    def tab_dma(si):
+        return pltpu.make_async_copy(tab_ref.at[si], tscr.at[si % nbuf],
+                                     tsem.at[si % nbuf])
+
+    def issue(s, static: bool):
+        for tt in range(gb):
+            code_dma(s, tt, static).start()
+        if static:
+            if s % nj == 0:
+                tab_dma(s // nj).start()
+        else:
+            @pl.when(s % nj == 0)
+            def _():
+                tab_dma(s // nj).start()
+
+    if debug != "nodma":   # "nodma": perf diagnostic, compute-only
+        @pl.when(step == 0)
+        def _():
+            for k in range(min(nbuf - 1, nsteps)):
+                issue(k, static=True)
+
+        @pl.when(step + (nbuf - 1) < nsteps)
+        def _():
+            issue(step + (nbuf - 1), static=False)
+
+        for tt in range(gb):
+            code_dma(step, tt, static=False).wait()
+
+        @pl.when(j == 0)
+        def _():
+            tab_dma(i).wait()
+
+    if debug == "nocompute":   # perf diagnostic, DMA-only
+        out_ref[0, :, :] = jnp.zeros((gb, t), jnp.float32)
+        return
+
+    slot = step % nbuf
+    tslot = i % nbuf
+    for tt in range(gb):
+        for sl, vals in _cell_chunks(cscr[slot, tt], tscr[tslot, tt],
+                                     t=t, cp=cp, packed=packed):
+            out_ref[0, tt, sl] = vals
+
+
+def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
+               packed: bool, l: int, cells: int | None,
+               nbuf: int | None, interpret: bool,
+               debug: str | None = None):
+    """Invokes :func:`_pipe_kernel`; ``None`` if no exact L-tile exists
+    (ragged ``L`` whose only divisors blow the unroll/scratch budget —
+    the caller falls back to the blocked kernel)."""
+    g = tab.shape[0]
+    gb = min(cells if cells is not None else _CELLS_PER_STEP, max(g, 1))
+    nbuf = max(2, nbuf if nbuf is not None else _PIPE_BUFS)
+    lt = _pick_pipe_lt(l, rows, gb, nbuf)
+    while lt is None and gb > 1:
+        gb //= 2
+        lt = _pick_pipe_lt(l, rows, gb, nbuf)
+    if lt is None:
+        return None
+    nj = l // lt
+    gp = -(-g // gb)
+    if gp * gb != g:
+        pad = gp * gb - g
+        # Pad cells re-scan the last cell's bucket against zero tables;
+        # their out rows are sliced off below.
+        bidx = jnp.concatenate([bidx, jnp.broadcast_to(bidx[-1:], (pad,))])
+        tab = jnp.pad(tab, ((0, pad), (0, 0), (0, 0)))
+    tab4 = tab.reshape(gp, gb, tab_rows, cp)
+    d_eff = 4 * rows if packed else rows
+    kernel = functools.partial(_pipe_kernel, t=lt, cp=cp, gb=gb,
+                               packed=packed, nbuf=nbuf, nj=nj,
+                               nsteps=gp * nj, debug=debug)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gp, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, gb, lt), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((gp, gb, l), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, gb, rows, lt), jnp.int32),
+            pltpu.VMEM((nbuf, gb, tab_rows, cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf, gb)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * l * d_eff * (cp // _LANE),
+            bytes_accessed=g * rows * l * 4 + g * tab_rows * cp * 4
+            + g * l * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(bidx, jnp.int32), bcodes, tab4)
+    return out.reshape(gp * gb, l)[:g]
+
+
 def _indexed_kernel(bidx_ref, *refs, t: int, cp: int, gb: int,
                     packed: bool):
     """Same math as :func:`_lookup_kernel`, but each of the ``gb`` cells'
@@ -223,12 +440,15 @@ def _indexed_kernel(bidx_ref, *refs, t: int, cp: int, gb: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "interpret", "cells_per_step"))
+                   static_argnames=("d", "interpret", "cells_per_step",
+                                    "pipeline", "pipe_bufs"))
 def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
                        bidx: jax.Array, *,
                        d: int | None = None,
                        interpret: bool | None = None,
-                       cells_per_step: int | None = None) -> jax.Array:
+                       cells_per_step: int | None = None,
+                       pipeline: str | None = None,
+                       pipe_bufs: int | None = None) -> jax.Array:
     """ADC lookup-sum reading buckets IN PLACE from the resident layout.
 
     ``bcodes: [P, D, L] int32`` (or packed ``[P, ceil(D/4), L]``, then
@@ -248,6 +468,14 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
     peak, `benchmarks/roofline.py`). A bucket repeated at the SAME cell
     position ``t`` in consecutive steps still skips its re-fetch (e.g. a
     sharded device's unowned probe slots clamped to one bucket).
+
+    Since round 5 the default on-TPU path is the MANUAL pipeline
+    (:func:`_pipe_kernel`): the round-4 auto-pipeline serialized to
+    ~1 µs per operand DMA per step, capping the scan at ~4 % of HBM
+    peak; explicit ``make_async_copy`` with :data:`_PIPE_BUFS`-deep
+    lookahead removes that. ``pipeline`` forces a path ("dma" |
+    "blocked"); ``pipe_bufs`` overrides the lookahead depth. The blocked
+    kernel remains for L shapes with no exact tile divisor.
     """
     p, rows, l = bcodes.shape
     g = ftab.shape[0]
@@ -265,12 +493,15 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
     if interpret is None:  # Mosaic needs real TPU; interpret elsewhere
         from .bucketed import _platform
         interpret = _platform() != "tpu"
-    if interpret:
+    if interpret and pipeline != "dma":
         # Interpret-mode pallas hangs at compile under scalar prefetch in
         # this jax version (measured: a minimal PrefetchScalarGridSpec
         # case never finishes lowering->compile on CPU). Off-TPU the
         # point of the kernel — skipping the HBM gather copy — is moot
-        # anyway, so compute the identical result in XLA.
+        # anyway, so compute the identical result in XLA. (An explicit
+        # ``pipeline="dma"`` still runs the manual-DMA kernel under the
+        # interpreter — it uses no scalar prefetch, and the tests use
+        # this to cover the pipeline logic off-TPU.)
         c = ftab.shape[1] // d
         codes = jnp.take(bcodes, bidx, axis=0)              # [G, rows, L]
         if packed:
@@ -281,6 +512,19 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
         return vals.reshape(g, d, l).sum(axis=1)
 
     tab, tab_rows, cp = _prep_table(ftab, d, rows, packed)
+
+    if pipeline in (None, "dma"):
+        res = _pipe_call(bcodes, tab, jnp.asarray(bidx, jnp.int32),
+                         rows=rows, tab_rows=tab_rows, cp=cp,
+                         packed=packed, l=l, cells=cells_per_step,
+                         nbuf=pipe_bufs, interpret=interpret)
+        if res is not None:
+            return res
+        if pipeline == "dma":
+            raise ValueError(
+                f"pipeline='dma' but no exact L-tile divides L={l}")
+    elif pipeline != "blocked":
+        raise ValueError(f"unknown pipeline: {pipeline!r}")
 
     lt = min(l, _L_TILE)
     l_steps = -(-l // lt)

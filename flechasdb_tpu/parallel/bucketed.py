@@ -36,7 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.bucketed import Buckets, bucket_scan, probed_tables
-from .mesh import AXIS, merge_topk
+from .mesh import AXIS, merge_topk, put_global
 
 
 def shard_buckets(mesh: Mesh, buckets: Buckets) -> Buckets:
@@ -55,9 +55,9 @@ def shard_buckets(mesh: Mesh, buckets: Buckets) -> Buckets:
         rows = np.pad(rows, ((0, pad), (0, 0)), constant_values=-1)
         lens = np.pad(lens, ((0, pad),))
     return Buckets(
-        jax.device_put(codes, NamedSharding(mesh, P(AXIS, None, None))),
-        jax.device_put(rows, NamedSharding(mesh, P(AXIS, None))),
-        jax.device_put(lens, NamedSharding(mesh, P(AXIS))),
+        put_global(codes, NamedSharding(mesh, P(AXIS, None, None))),
+        put_global(rows, NamedSharding(mesh, P(AXIS, None))),
+        put_global(lens, NamedSharding(mesh, P(AXIS))),
     )
 
 

@@ -342,13 +342,13 @@ def build_sharded(x, p: int, d: int, c: int, key: jax.Array, *,
     :func:`..ops.kmeans._fused_round`: default auto-selects Pallas on TPU
     per device, XLA elsewhere.
     """
-    from .mesh import pad_rows
+    from .mesh import pad_rows, put_global
 
     if not isinstance(x, jax.Array):
         arr = np.asarray(x, np.float32)
         n = arr.shape[0]
-        x = jax.device_put(pad_rows(arr, mesh.devices.size, 0.0),
-                           NamedSharding(mesh, P(AXIS, None)))
+        x = put_global(pad_rows(arr, mesh.devices.size, 0.0),
+                       NamedSharding(mesh, P(AXIS, None)))
     else:
         n = x.shape[0]
         x = jnp.asarray(x, jnp.float32)

@@ -16,14 +16,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.exact import exact_topk
-from .mesh import AXIS, merge_topk, pad_rows
+from .mesh import AXIS, merge_topk, pad_rows, put_global
 
 
 def shard_flat(mesh: Mesh, x: np.ndarray) -> tuple[jax.Array, int]:
     """Row-shards the corpus; returns ``(sharded [N_pad, M], true_n)``."""
     n = len(x)
     xp = pad_rows(np.asarray(x, np.float32), mesh.devices.size, 0.0)
-    xs = jax.device_put(xp, NamedSharding(mesh, P(AXIS, None)))
+    xs = put_global(xp, NamedSharding(mesh, P(AXIS, None)))
     return xs, n
 
 

@@ -26,6 +26,31 @@ def corpus_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def put_global(arr, sharding: NamedSharding) -> jax.Array:
+    """``device_put`` that also works on MULTI-PROCESS (DCN) meshes.
+
+    On a single-process mesh this is exactly ``jax.device_put``. On a
+    ``jax.distributed`` mesh whose devices span several processes,
+    ``device_put`` rejects the partly non-addressable sharding; the
+    multi-controller contract is instead that every process holds the
+    SAME full host value and contributes its addressable shards —
+    ``jax.make_array_from_process_local_data`` with global-shaped input.
+    (Values numpy cannot hold, e.g. typed PRNG keys, go through a
+    replicate-then-reshard jit instead.) Every shard helper in
+    :mod:`..parallel` routes through here, which is what lets the same
+    build/query programs run unchanged on a multi-host mesh
+    (``docs/SCALING.md``; exercised by ``tests/test_multihost.py``).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
+    try:
+        host = np.asarray(arr)
+    except Exception:
+        return jax.jit(lambda a: a, out_shardings=sharding)(arr)
+    return jax.make_array_from_process_local_data(sharding, host,
+                                                  host.shape)
+
+
 def pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
     """Pads the leading axis up to a multiple so shards divide evenly."""
     pad = (-arr.shape[0]) % multiple
@@ -48,8 +73,8 @@ def shard_corpus(mesh: Mesh, codes: np.ndarray, pidx: np.ndarray,
     # serving kernels gather with int32 indices, so widen here.
     codes = pad_rows(np.asarray(codes, np.int32), n_dev, 0)
     pidx = pad_rows(np.asarray(pidx, np.int32), n_dev, -1)
-    codes_s = jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
-    pidx_s = jax.device_put(pidx, NamedSharding(mesh, P(AXIS)))
+    codes_s = put_global(codes, NamedSharding(mesh, P(AXIS, None)))
+    pidx_s = put_global(pidx, NamedSharding(mesh, P(AXIS)))
     return codes_s, pidx_s
 
 
@@ -60,7 +85,7 @@ def shard_mask(mesh: Mesh, mask: np.ndarray) -> jax.Array:
     ``pidx == -1``; ``False`` keeps the invariant explicit).
     """
     mask = pad_rows(np.asarray(mask, bool), mesh.devices.size, False)
-    return jax.device_put(mask, NamedSharding(mesh, P(AXIS)))
+    return put_global(mask, NamedSharding(mesh, P(AXIS)))
 
 
 def merge_topk(neg: "jax.Array", rows: "jax.Array", k: int,

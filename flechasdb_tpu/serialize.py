@@ -14,6 +14,8 @@ and self-verifying; the root manifest names everything else.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import List
 
 import numpy as np
@@ -35,23 +37,39 @@ from .protos.wire import encode_uuid_records as wire_encode_uuid_records
 PROTOBUF_EXTENSION = "binpb"
 
 
+def _pack_workers(tasks: int) -> int:
+    """Thread count for the per-artifact pack (encode + deflate + SHA +
+    write). The native ``fastio`` one-pass pack releases the GIL and the
+    payload encodes are numpy-bulk, so artifact packing scales across
+    host cores; the reference packs serially (``db/build/proto.rs:25-63``
+    walks artifacts one by one), which is the row this beats."""
+    return max(1, min(8, tasks, os.cpu_count() or 1))
+
+
 def save_database(db: Database, fs: FileSystem) -> str:
     """Serializes ``db`` into ``fs``; returns the root manifest hash.
 
     Mirrors ``serialize_database`` (``db/build/proto.rs:25-63``): partitions
     first, then partition centroids, codebooks, attribute logs, finally the
-    root manifest.
+    root manifest. Independent artifacts are packed on a small thread
+    pool (content addressing makes write order irrelevant to the tree,
+    and each artifact lands via tempfile + rename): the bytes are
+    byte-identical to the serial walk — ``test_golden*`` resave checks
+    pin that — only the wall time changes.
     """
-    partition_ids = _save_partitions(db, fs)
-    partition_centroids_id = _save_vector_set(
-        db.partition_centroids, fs, "partitions")
-    codebook_ids = [
-        _save_vector_set(db.codebooks[d], fs, "codebooks")
-        for d in range(db.num_divisions)
-    ]
     attribute_names = _sorted_attribute_names(db)
-    attributes_log_ids = _save_attribute_logs(
-        db, partition_ids, attribute_names, fs)
+    with ThreadPoolExecutor(_pack_workers(db.num_partitions + 4)) as pool:
+        partition_ids = _save_partitions(db, fs, pool)
+        cents_f = pool.submit(_save_vector_set, db.partition_centroids,
+                              fs, "partitions")
+        codebook_fs = [
+            pool.submit(_save_vector_set, db.codebooks[d], fs, "codebooks")
+            for d in range(db.num_divisions)
+        ]
+        attributes_log_ids = _save_attribute_logs(
+            db, partition_ids, attribute_names, fs, pool)
+        partition_centroids_id = cents_f.result()
+        codebook_ids = [f.result() for f in codebook_fs]
     rotation_id = ""
     if getattr(db, "rotation", None) is not None:
         # OPQ extension artifact; see protos.messages.PDatabase.rotation_id.
@@ -121,15 +139,19 @@ def _uuid_raw(db: Database) -> np.ndarray:
         b"".join(u.bytes for u in db.vector_ids), np.uint8).reshape(-1, 16)
 
 
-def _save_partitions(db: Database, fs: FileSystem) -> List[str]:
+def _save_partitions(db: Database, fs: FileSystem,
+                     pool: ThreadPoolExecutor | None = None) -> List[str]:
     """One compressed file per partition (``db/build/proto.rs:66-98``)."""
-    ids: List[str] = []
     uuid_raw = _uuid_raw(db)
-    for pi in range(db.num_partitions):
+
+    def one(pi: int) -> str:
         f = fs.create_hashed_file("partitions", compress=True)
         f.write(_partition_payload(db, pi, uuid_raw))
-        ids.append(f.persist(PROTOBUF_EXTENSION))
-    return ids
+        return f.persist(PROTOBUF_EXTENSION)
+
+    if pool is None:
+        return [one(pi) for pi in range(db.num_partitions)]
+    return list(pool.map(one, range(db.num_partitions)))
 
 
 def _save_vector_set(arr: np.ndarray, fs: FileSystem, subdir: str) -> str:
@@ -167,7 +189,14 @@ def _attributed_by_partition(db: Database) -> dict:
     for vid, attrs in db.attribute_table.items():
         if not attrs:
             continue
-        vi = vid_to_vi[vid]
+        vi = vid_to_vi.get(vid)
+        if vi is None:
+            # A stale table entry whose vector is gone (e.g. a future
+            # update path that removes vectors without pruning the
+            # table): the old per-partition walk silently skipped it, so
+            # skipping preserves behavior — a KeyError mid-save would
+            # leave a partial tree.
+            continue
         by_part.setdefault(int(db.partition_indices[vi]), []).append(
             (vi, vid, attrs))
     for members in by_part.values():
@@ -200,15 +229,20 @@ def _attr_log_payload(db: Database, pi: int, partition_id: str,
 
 def _save_attribute_logs(db: Database, partition_ids: List[str],
                          attribute_names: List[str],
-                         fs: FileSystem) -> List[str]:
+                         fs: FileSystem,
+                         pool: ThreadPoolExecutor | None = None,
+                         ) -> List[str]:
     """One compressed set-op log per partition
     (``db/build/proto.rs:163-205``)."""
-    ids: List[str] = []
     name_index = {n: i for i, n in enumerate(attribute_names)}
     by_part = _attributed_by_partition(db)
-    for pi in range(db.num_partitions):
+
+    def one(pi: int) -> str:
         f = fs.create_hashed_file("attributes", compress=True)
         f.write(_attr_log_payload(db, pi, partition_ids[pi],
                                   attribute_names, name_index, by_part))
-        ids.append(f.persist(PROTOBUF_EXTENSION))
-    return ids
+        return f.persist(PROTOBUF_EXTENSION)
+
+    if pool is None:
+        return [one(pi) for pi in range(db.num_partitions)]
+    return list(pool.map(one, range(db.num_partitions)))

@@ -285,3 +285,69 @@ def test_async_save_phase1_concurrent(tmp_path):
     got = sdb.query(x[1], k=3, nprobe=4)
     want = db.query(x[1], k=3, nprobe=4)
     assert [r.vector_id for r in got] == [r.vector_id for r in want]
+
+
+def test_async_overlap_beats_sync_under_object_store_latency():
+    """WHY the async path exists (``asyncdb/stored/query.rs:208-356``):
+    against a high-latency object store, the overlapped query coroutine
+    must amortize per-object latency that the sync path pays serially.
+    With an injected per-open delay, a cold sync query at nprobe=10
+    pays ~(1 centroids + D codebooks + nprobe partitions) delays
+    back-to-back; the async query overlaps them into a few dependency
+    rounds. Asserts the measured overlap factor, not just ordering."""
+    import time
+
+    from flechasdb_tpu.memfs import AsyncMemoryFileSystem, MemoryFileSystem
+
+    delay = 0.03
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(12).with_divisions(4)
+          .with_clusters(8).with_seed(3).build())
+    store: dict = {}
+    fs = MemoryFileSystem(store)
+    root = fdb.save_database(db, fs)
+
+    class SlowFS(MemoryFileSystem):
+        def open_hashed_file(self, path, compressed=False):
+            time.sleep(delay)
+            return super().open_hashed_file(path, compressed)
+
+    class SlowAsyncFS(AsyncMemoryFileSystem):
+        async def open_hashed_file(self, path, compressed=False):
+            await asyncio.sleep(delay)
+            return await super().open_hashed_file(path, compressed)
+
+    # Warm the jit caches on a zero-latency store so only IO differs.
+    warm = fdb.load_database(MemoryFileSystem(store), f"{root}.binpb")
+    warm_res = warm.query(x[3], k=5, nprobe=10)
+
+    async def warm_async():
+        adb = await load_database(AsyncMemoryFileSystem(store),
+                                  f"{root}.binpb")
+        return await adb.query(x[3], k=5, nprobe=10)
+
+    asyncio.run(warm_async())
+
+    sdb = fdb.load_database(SlowFS(store), f"{root}.binpb")
+    t0 = time.perf_counter()
+    sync_res = sdb.query(x[3], k=5, nprobe=10)
+    sync_s = time.perf_counter() - t0
+
+    async def cold_async():
+        adb = await load_database(SlowAsyncFS(store), f"{root}.binpb")
+        t0 = time.perf_counter()
+        res = await adb.query(x[3], k=5, nprobe=10)
+        return res, time.perf_counter() - t0
+
+    async_res, async_s = asyncio.run(cold_async())
+
+    assert [r.vector_id for r in async_res] == \
+        [r.vector_id for r in sync_res] == [r.vector_id for r in warm_res]
+    # Sync pays >= 15 serial delays (1 + D + nprobe); the coroutine's
+    # dependency depth is a handful. >= nprobe/2 with slack for CI
+    # scheduling jitter on the asyncio side.
+    assert sync_s >= 14 * delay, f"sync path too fast ({sync_s:.3f}s) — " \
+        "did loads stop going through the store?"
+    overlap = sync_s / async_s
+    assert overlap >= 3.0, (sync_s, async_s)

@@ -212,3 +212,94 @@ def test_adc_lookup_indexed_matches_direct(rng, pack):
     ref = np.asarray(adc_lookup(
         jnp.asarray(resident[bidx]), jnp.asarray(ftab), d=d))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def _pack_codes(bcodes, d):
+    p, _, l = bcodes.shape
+    dp = -(-d // 4)
+    packed = np.zeros((p, dp, l), np.int32)
+    for di in range(d):
+        w, bb = divmod(di, 4)
+        packed[:, w] |= bcodes[:, di] << (8 * bb)
+    return packed
+
+
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("cells,bufs", [(1, 2), (3, 4), (8, 4)])
+def test_adc_lookup_indexed_dma_pipeline(rng, pack, cells, bufs):
+    """The round-5 manual-DMA pipeline kernel (``pipeline="dma"``) must
+    match the XLA fallback for every (cells_per_step, pipe_bufs)
+    grouping, packed and unpacked, including a padded ragged G tail.
+    Off-TPU it runs under the pallas interpreter — the manual
+    ``make_async_copy`` pipeline simulates fine (unlike scalar
+    prefetch), so the pipeline logic is covered on CPU."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed
+
+    p, d, c, l, g = 6, 8, 256, 384, 11
+    bcodes = rng.integers(0, c, (p, d, l)).astype(np.int32)
+    resident = _pack_codes(bcodes, d) if pack else bcodes
+    ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+    bidx = rng.integers(0, p, (g,)).astype(np.int32)
+
+    args = (jnp.asarray(resident), jnp.asarray(ftab), jnp.asarray(bidx))
+    got = np.asarray(adc_lookup_indexed(
+        *args, d=d, pipeline="dma", cells_per_step=cells, pipe_bufs=bufs,
+        interpret=True))
+    ref = np.asarray(adc_lookup_indexed(*args, d=d))   # XLA fallback
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_adc_lookup_indexed_dma_multi_tile(rng):
+    """An L too large for one tile under the unroll cap must stream
+    through several exact L-tiles (nj > 1) — the pipeline's table ring
+    is only re-fetched at each cell-group's first tile."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed
+
+    p, d, c, l, g = 3, 4, 64, 4608, 5    # gb=8: lt=2304, nj=2
+    bcodes = rng.integers(0, c, (p, d, l)).astype(np.int32)
+    ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+    bidx = rng.integers(0, p, (g,)).astype(np.int32)
+    args = (jnp.asarray(bcodes), jnp.asarray(ftab), jnp.asarray(bidx))
+    got = np.asarray(adc_lookup_indexed(*args, pipeline="dma",
+                                        interpret=True))
+    ref = np.asarray(adc_lookup_indexed(*args))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_adc_lookup_indexed_dma_rejects_tileless_l():
+    """pipeline="dma" on an L whose only exact tiles blow the budgets
+    must raise (the default path falls back to the blocked kernel)."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed, _LANE
+
+    p, d, c, g = 2, 4, 64, 2
+    l = 509 * _LANE   # prime tile count: whole-L blows the unroll cap,
+    #                   and the only other divisor (128 lanes) is under
+    #                   the minimum-tile floor
+    bcodes = jnp.zeros((p, d, l), jnp.int32)
+    ftab = jnp.zeros((g, d * c), jnp.float32)
+    bidx = jnp.zeros((g,), jnp.int32)
+    with pytest.raises(ValueError, match="no exact L-tile"):
+        adc_lookup_indexed(bcodes, ftab, bidx, pipeline="dma",
+                           interpret=True)
+
+
+@pytest.mark.skipif(
+    __import__("flechasdb_tpu.ops.bucketed", fromlist=["_platform"])
+    ._platform() != "tpu",
+    reason="real-TPU Mosaic lowering of the DMA pipeline")
+@pytest.mark.parametrize("cells", [2, 8])
+def test_adc_lookup_indexed_dma_on_tpu(rng, cells):
+    """TPU-gated parity of the Mosaic-lowered DMA pipeline against the
+    blocked kernel (ADVICE r4: the prefetch/pipeline path must be
+    covered by any real-TPU run, not only benchmarks)."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed
+
+    p, d, c, l, g = 12, 8, 256, 512, 19
+    bcodes = rng.integers(0, c, (p, d, l)).astype(np.int32)
+    ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+    bidx = rng.integers(0, p, (g,)).astype(np.int32)
+    args = (jnp.asarray(bcodes), jnp.asarray(ftab), jnp.asarray(bidx))
+    got = np.asarray(adc_lookup_indexed(*args, pipeline="dma",
+                                        cells_per_step=cells))
+    ref = np.asarray(adc_lookup_indexed(*args, pipeline="blocked"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
