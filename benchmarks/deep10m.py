@@ -32,6 +32,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000_000)
     ap.add_argument("--nq", type=int, default=200)
+    ap.add_argument("--fast", action="store_true",
+                    help="fast_math build (impl='_fast' on both fits); the"
+                         " recall rows then show the quality cost")
     args = ap.parse_args()
 
     import jax
@@ -88,16 +91,18 @@ def main():
         if isinstance(e, ev.FinishedCentroidUpdate) and e.round % 20 == 0:
             print(f"  round {e.round}", file=sys.stderr, flush=True)
 
+    impl = "_fast" if args.fast else None
     t0 = time.time()
-    built = build_staged(xd, p, d, c, jax.random.key(0), progress)
+    built = build_staged(xd, p, d, c, jax.random.key(0), progress, impl=impl)
     pidx = np.asarray(built.partition_indices)
     cold = time.time() - t0
     t0 = time.time()
-    built = build_staged(xd, p, d, c, jax.random.key(1))
+    built = build_staged(xd, p, d, c, jax.random.key(1), impl=impl)
     pidx = np.asarray(built.partition_indices)
     build_s = time.time() - t0
     pops = np.unique(pidx).size
-    log({"config": "deep10m", "metric": f"build {n}x{m} P={p} D={d} C={c}",
+    cfgname = "deep10m-fast" if args.fast else "deep10m"
+    log({"config": cfgname, "metric": f"build {n}x{m} P={p} D={d} C={c}",
          "value": round(build_s, 2), "unit": "s",
          "compile_s": round(cold - build_s, 1),
          "partitions_populated": int(pops)})
@@ -107,7 +112,7 @@ def main():
     t0 = time.time()
     gt_d, gt_rows = exact_topk(qd, xd, k=k)
     gt = np.asarray(gt_rows)
-    log({"config": "deep10m", "metric": f"exact scan {nq} queries",
+    log({"config": cfgname, "metric": f"exact scan {nq} queries",
          "value": round(time.time() - t0, 2), "unit": "s",
          "qps": round(nq / (time.time() - t0))})
 
@@ -117,7 +122,7 @@ def main():
     buckets = bucketize(codes, pidx, p, pack="auto")
     l_pad = int(buckets.codes.shape[2])
     words = int(buckets.codes.shape[1])
-    log({"config": "deep10m", "metric": "bucket stats",
+    log({"config": cfgname, "metric": "bucket stats",
          "avg_len": round(float(counts.mean()), 1),
          "max_len": int(counts.max()), "l_pad": l_pad,
          "packed_words": words,
@@ -154,7 +159,7 @@ def main():
         for _ in range(reps):
             _, rows_h = run_batched(qd, k, nprobe)
         dt = (time.time() - t0) / reps
-        log({"config": "deep10m", "nprobe": nprobe,
+        log({"config": cfgname, "nprobe": nprobe,
              "recall@10": round(float(recall), 4),
              "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2),
              "query_chunk": chunk_for(nprobe)})
@@ -185,7 +190,7 @@ def main():
     for _ in range(reps):
         rr_h = run_rerank()
     dt = (time.time() - t0) / reps
-    log({"config": "deep10m", "nprobe": nprobe, "rerank": rerank,
+    log({"config": cfgname, "nprobe": nprobe, "rerank": rerank,
          "recall@10": round(float(recall), 4),
          "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
 

@@ -117,38 +117,49 @@ def main():
              "step_programs": programs})
         return res
 
-    k_coarse, k_pq, k_sub = jax.random.split(jax.random.key(0), 3)
+    # Two identical passes: the first pays the per-fit step-program
+    # compiles (the adaptive schedule dispatches ~5 distinct scan
+    # lengths per fit — through the tunnel's remote compiler that is
+    # tens of seconds on this 1-vCPU host, and it lands inside the
+    # round timers), the second is the honest device-wall
+    # decomposition — the number comparable to deep10m.py's WARM build
+    # wall. Round-4's stale "20.6 s compute floor" came from reading a
+    # cold pass as compute (VERDICT r4 weak #3).
+    for tag in ("cold", "warm"):
+        k_coarse, k_pq, k_sub = jax.random.split(jax.random.key(0), 3)
 
-    coarse = timed_fit("coarse fit (cap 2M, K=4096) + full assign",
-                       xd[None], p, k_coarse,
-                       train_cap=pbuild.COARSE_TRAIN_CAP)
-    cents, idx = coarse.centroids[0], coarse.indices[0]
+        coarse = timed_fit(
+            f"{tag} coarse fit (cap 2M, K={p}) + full assign",
+            xd[None], p, k_coarse, train_cap=pbuild.COARSE_TRAIN_CAP)
+        cents, idx = coarse.centroids[0], coarse.indices[0]
 
-    t0 = time.time()
-    rows = jax.random.randint(k_sub, (pq_cap,), 0, n)
-    sample = pbuild._sample_residuals(xd, cents, idx, rows)
-    divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
-    divided = jax.jit(lambda a: a)(divided)   # materialize the transpose
-    fence(divided)
-    log({"phase": f"residual sample + divide ({pq_cap} rows)",
-         "s": round(time.time() - t0, 2)})
+        t0 = time.time()
+        rows = jax.random.randint(k_sub, (pq_cap,), 0, n)
+        sample = pbuild._sample_residuals(xd, cents, idx, rows)
+        divided = sample.reshape(pq_cap, d, m // d).transpose(1, 0, 2)
+        divided = jax.jit(lambda a: a)(divided)  # materialize the transpose
+        fence(divided)
+        log({"phase": f"{tag} residual sample + divide ({pq_cap} rows)",
+             "s": round(time.time() - t0, 2)})
 
-    pq = timed_fit(f"pq fit ([{d}, {pq_cap}, {m // d}], C={c})",
-                   divided, c, k_pq)
+        pq = timed_fit(f"{tag} pq fit ([{d}, {pq_cap}, {m // d}], C={c})",
+                       divided, c, k_pq)
 
-    t0 = time.time()
-    codes = pbuild._encode_jit(xd, cents, idx, pq.centroids)
-    fence(codes)
-    log({"phase": "encode 10M codes", "s": round(time.time() - t0, 2)})
+        t0 = time.time()
+        codes = pbuild._encode_jit(xd, cents, idx, pq.centroids)
+        fence(codes)
+        log({"phase": f"{tag} encode 10M codes",
+             "s": round(time.time() - t0, 2)})
 
-    t0 = time.time()
-    # Fetch what build_staged hands back: narrow dtypes (uint16 pidx,
-    # uint8 codes — parallel/build.ShardedBuild), not fit's raw int32.
-    pidx = np.asarray(idx.astype(pbuild._pidx_dtype(p)))
-    codes_h = np.asarray(codes)
-    log({"phase": "fetch idx+codes to host",
-         "s": round(time.time() - t0, 2),
-         "mb": round((pidx.nbytes + codes_h.nbytes) / 1e6, 1)})
+        t0 = time.time()
+        # Fetch what build_staged hands back: narrow dtypes (uint16 pidx,
+        # uint8 codes — parallel/build.ShardedBuild), not fit's raw int32.
+        pidx = np.asarray(idx.astype(pbuild._pidx_dtype(p)))
+        codes_h = np.asarray(codes)
+        log({"phase": f"{tag} fetch idx+codes to host",
+             "s": round(time.time() - t0, 2),
+             "mb": round((pidx.nbytes + codes_h.nbytes) / 1e6, 1)})
+        del coarse, cents, idx, sample, divided, pq, codes
 
 
 if __name__ == "__main__":

@@ -375,6 +375,17 @@ def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
     """Invokes :func:`_pipe_kernel`; ``None`` if no exact L-tile exists
     (ragged ``L`` whose only divisors blow the unroll/scratch budget —
     the caller falls back to the blocked kernel)."""
+    def _sublane_ok(r: int) -> bool:
+        # Mosaic can DMA-slice a (8,128)-tiled operand at a dynamic
+        # leading index only when the second-minor extent stays inside
+        # one sublane tile or is tile-aligned: rows=12 fails with
+        # "Slice shape along dimension 1 must be aligned to tiling (8)"
+        # (caught by bench.py's D=12 headline shape), while rows=2 and
+        # 8 are the proven-on-hardware envelope.
+        return r <= 8 or r % 8 == 0
+
+    if not (_sublane_ok(rows) and _sublane_ok(tab_rows)):
+        return None
     g = tab.shape[0]
     gb = min(cells if cells is not None else _CELLS_PER_STEP, max(g, 1))
     nbuf = max(2, nbuf if nbuf is not None else _PIPE_BUFS)
@@ -522,7 +533,9 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
             return res
         if pipeline == "dma":
             raise ValueError(
-                f"pipeline='dma' but no exact L-tile divides L={l}")
+                "pipeline='dma' but the shape has no DMA-pipeline-"
+                f"compatible tiling (L={l} exact tiles / sublane-"
+                "sliceable code+table rows)")
     elif pipeline != "blocked":
         raise ValueError(f"unknown pipeline: {pipeline!r}")
 

@@ -183,7 +183,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
                  pq_cap: int = PQ_TRAIN_CAP,
                  coarse_cap: int = COARSE_TRAIN_CAP,
                  rounds_per_step: int = 8,
-                 rounds_per_step_max: int = 32) -> ShardedBuild:
+                 rounds_per_step_max: int = 32,
+                 impl: str | None = None) -> ShardedBuild:
     """Host-stepped build for very large corpora (Deep10M-class).
 
     Identical math to :func:`_build_fn`, but each Lloyd round / stage runs
@@ -210,6 +211,10 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     per-fit round-trips were ~2/3 of the 63 s round-3 build wall
     (VERDICT round-3 #3; the 906 s path this replaces:
     ``db/build.rs:78-129``).
+
+    ``impl`` as in :func:`..ops.kmeans.fit` (kernel / numerics override;
+    ``"_fast"`` = auto kernel + fast_math, re-resolved per phase for the
+    PQ sub-shape like the one-program builds).
     """
     from .. import events as ev
 
@@ -221,6 +226,7 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
     coarse = kmeans.fit_with_events(x[None], p, k_coarse, handler,
                                     rounds_per_step=rounds_per_step,
                                     rounds_per_step_max=rounds_per_step_max,
+                                    impl=impl,
                                     train_cap=coarse_cap)
     cents, idx = coarse.centroids[0], coarse.indices[0]
 
@@ -236,7 +242,8 @@ def build_staged(x: jax.Array, p: int, d: int, c: int, key: jax.Array,
 
     pq = kmeans.fit_with_events(divided, c, k_pq, handler,
                                 rounds_per_step=rounds_per_step,
-                                rounds_per_step_max=rounds_per_step_max)
+                                rounds_per_step_max=rounds_per_step_max,
+                                impl=_pq_impl(impl, m // d))
     if n > pq_cap:
         codes = _encode_jit(x, cents, idx, pq.centroids)
     else:

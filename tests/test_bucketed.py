@@ -278,8 +278,16 @@ def test_adc_lookup_indexed_dma_rejects_tileless_l():
     bcodes = jnp.zeros((p, d, l), jnp.int32)
     ftab = jnp.zeros((g, d * c), jnp.float32)
     bidx = jnp.zeros((g,), jnp.int32)
-    with pytest.raises(ValueError, match="no exact L-tile"):
+    with pytest.raises(ValueError, match="no DMA-pipeline-compatible"):
         adc_lookup_indexed(bcodes, ftab, bidx, pipeline="dma",
+                           interpret=True)
+    # rows neither <= 8 nor 8-aligned (the headline's D=12): Mosaic
+    # cannot DMA-slice the tiled operand — must fall back, and a forced
+    # "dma" must say so rather than fail at Mosaic compile
+    bc12 = jnp.zeros((2, 12, 256), jnp.int32)
+    ft12 = jnp.zeros((2, 12 * 64), jnp.float32)
+    with pytest.raises(ValueError, match="no DMA-pipeline-compatible"):
+        adc_lookup_indexed(bc12, ft12, bidx, pipeline="dma",
                            interpret=True)
 
 

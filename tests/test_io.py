@@ -160,3 +160,33 @@ def test_interrupted_save_leaves_old_tree_intact(tmp_path):
     (tmp_path / f"{root}.binpb").unlink()
     assert main(["gc", str(tmp_path)]) == 0
     assert main(["verify", str(tmp_path)]) == 0
+
+
+def test_save_skips_stale_attribute_entries(tmp_path):
+    """An attribute_table entry whose vector no longer exists must be
+    silently skipped by the per-partition log writer (the pre-round-4
+    per-corpus walk skipped it implicitly; the indexed walk must not
+    KeyError mid-save and strand a partial tree)."""
+    import uuid
+
+    import numpy as np
+
+    import flechasdb_tpu as fdb
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((60, 16)).astype(np.float32)
+    db = (fdb.DatabaseBuilder(x).with_partitions(3).with_divisions(2)
+          .with_clusters(4).with_seed(1).build())
+    db.set_attribute_at(0, ("keep", "yes"))
+    db.attribute_table[uuid.uuid4()] = {"stale": "entry"}
+    root = fdb.save_database(db, fdb.LocalFileSystem(tmp_path))
+    sdb = fdb.load_database(fdb.LocalFileSystem(tmp_path), f"{root}.binpb")
+    assert sdb.get_attribute(db.vector_ids[0], "keep") == "yes"
+    # the stale id was not serialized: the stored tier has never heard
+    # of it (unknown-id contract), rather than resurrecting the entry
+    import pytest
+
+    stale = next(vid for vid in db.attribute_table
+                 if vid not in db.vector_ids)
+    with pytest.raises(fdb.InvalidArgs):
+        sdb.get_attribute(stale, "stale")

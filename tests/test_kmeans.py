@@ -174,6 +174,14 @@ def test_multi_round_stepping_matches_single(rng):
 
     with pytest.raises(ValueError):
         kmeans.fit_with_events(x, 7, key, lambda e: None, rounds_per_step=0)
+    # max below the base step would silently SHRINK (or, at 0, collapse
+    # to an empty scan + IndexError) — must raise like the 0-step case
+    with pytest.raises(ValueError):
+        kmeans.fit_with_events(x, 7, key, lambda e: None,
+                               rounds_per_step=4, rounds_per_step_max=0)
+    with pytest.raises(ValueError):
+        kmeans.fit_with_events(x, 7, key, lambda e: None,
+                               rounds_per_step=4, rounds_per_step_max=2)
 
 
 def test_adaptive_stepping_matches_single(rng):
