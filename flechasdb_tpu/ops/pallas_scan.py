@@ -105,6 +105,13 @@ def _cell_chunks(codes, tab, *, t: int, cp: int, packed: bool):
         if packed:
             planes = jnp.concatenate(
                 [wc >> (8 * bb) for bb in range(4)], axis=0)
+            if planes.shape[0] < tab.shape[0]:
+                # match the table's sublane-padded rows (zero codes hit
+                # the table's zero pad rows — contribute nothing)
+                planes = jnp.concatenate(
+                    [planes, jnp.zeros((tab.shape[0] - planes.shape[0],
+                                        planes.shape[1]), planes.dtype)],
+                    axis=0)
             if nsub <= 2:
                 # byte isolation deferred: & 0x7F in the gather, slice
                 # id = bit 7 only
@@ -151,11 +158,17 @@ def _prep_table(ftab: jax.Array, d: int, rows: int, packed: bool,
     if not packed:
         return tab, d, cp
     import numpy as np
-    perm = np.array([4 * w + bb for bb in range(4) for w in range(rows)])
+    # Sublane-pad the byte-plane rows to a multiple of 8 (zero rows, so
+    # the pad planes' code 0 contributes nothing): 4·words can be
+    # unaligned (D=12 → 12 rows), and the DMA pipeline can only slice
+    # tiled operands whose second-minor extent is <= 8 or 8-aligned.
+    rp = -(-4 * rows // 8) * 8
+    perm = np.full(rp, d, dtype=np.int64)
+    perm[:4 * rows] = [4 * w + bb for bb in range(4) for w in range(rows)]
     tab = jnp.where(
         (perm < d)[None, :, None],
         jnp.take(tab, jnp.minimum(perm, d - 1), axis=1), 0.0)
-    return tab, 4 * rows, cp
+    return tab, rp, cp
 
 
 def _pick_gb(g: int, rows: int, tab_rows: int, cp: int, lt: int,
@@ -376,13 +389,15 @@ def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
     (ragged ``L`` whose only divisors blow the unroll/scratch budget —
     the caller falls back to the blocked kernel)."""
     def _sublane_ok(r: int) -> bool:
-        # Mosaic can DMA-slice a (8,128)-tiled operand at a dynamic
-        # leading index only when the second-minor extent stays inside
-        # one sublane tile or is tile-aligned: rows=12 fails with
-        # "Slice shape along dimension 1 must be aligned to tiling (8)"
-        # (caught by bench.py's D=12 headline shape), while rows=2 and
-        # 8 are the proven-on-hardware envelope.
-        return r <= 8 or r % 8 == 0
+        # Mosaic can DMA-slice a tiled operand at a dynamic leading
+        # index only when the second-minor extent is aligned to the
+        # memref's sublane tile — which for extents < 8 is the NEXT
+        # POWER OF TWO: rows=12 fails with "Slice shape along dimension
+        # 1 must be aligned to tiling (8)" (bench.py's D=12 headline
+        # shape) and rows=3 with "... tiling (4), but is 3" (packed
+        # D=12), while 1/2/4/8 and multiples of 8 are the
+        # proven-on-hardware envelope.
+        return r in (1, 2, 4, 8) or r % 8 == 0
 
     if not (_sublane_ok(rows) and _sublane_ok(tab_rows)):
         return None
