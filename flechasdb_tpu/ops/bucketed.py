@@ -156,14 +156,18 @@ def probed_tables(q: jax.Array, centroids: jax.Array, codebooks: jax.Array,
     return jnp.maximum(rr[..., None] + cc[None, None] - 2.0 * rc, 0.0)
 
 
-def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array, *,
+def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array,
+                lengths: jax.Array | None = None, *,
                 d: int, impl: str) -> jax.Array:
     """Lookup-sum of ``ftab`` over the buckets selected by ``bidx``.
 
     ``codes [P, D|DP, L]`` resident buckets, ``ftab [G, D*C]``, ``bidx
-    [G]`` → ``[G, L]``. ``impl="pallas"`` streams buckets in place via
-    scalar prefetch (:func:`.pallas_scan.adc_lookup_indexed`);
-    ``"gather"`` materializes the gathered copy then looks up.
+    [G]`` → ``[G, L]``. ``impl="pallas"`` streams buckets in place
+    (:func:`.pallas_scan.adc_lookup_indexed`); ``"gather"``
+    materializes the gathered copy then looks up. ``lengths [G]``
+    (optional): per-cell fill counts — slots beyond them come back
+    ``+inf`` (fused into the pipeline kernel where available; an
+    explicit mask otherwise).
     """
     g = ftab.shape[0]
     l = codes.shape[2]
@@ -171,7 +175,7 @@ def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array, *,
     packed = codes.shape[1] != d
     if impl == "pallas":
         from .pallas_scan import adc_lookup_indexed
-        return adc_lookup_indexed(codes, ftab, bidx, d=d)
+        return adc_lookup_indexed(codes, ftab, bidx, lengths, d=d)
     if impl != "gather":
         raise ValueError(f"unknown impl: {impl!r}")
     bcodes = jnp.take(codes, bidx, axis=0)              # [G, D|DP, L]
@@ -179,7 +183,8 @@ def bucket_scan(codes: jax.Array, ftab: jax.Array, bidx: jax.Array, *,
         bcodes = unpack_codes(bcodes, d)
     gidx = bcodes + jnp.arange(d, dtype=jnp.int32)[None, :, None] * c
     vals = jnp.take_along_axis(ftab, gidx.reshape(g, d * l), axis=-1)
-    return vals.reshape(g, d, l).sum(axis=1)
+    from .pallas_scan import _mask_lengths
+    return _mask_lengths(vals.reshape(g, d, l).sum(axis=1), lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "impl", "metric"))
@@ -292,21 +297,23 @@ def query_bucketed(
     # then looks up, as before.
     if impl is None:
         impl = _default_impl()
+    # Pad-slot masking from bucket lengths (bucketize fills slots
+    # [0, count) in order, so slot < length ⟺ the old brows >= 0 test)
+    # rides the scan itself (round 5: fused in-register on the pipeline
+    # kernel — the separate [B, nprobe, L] where-pass cost a full HBM
+    # round trip of vdist); the row gather is only paid on filtered
+    # queries.
+    lens = jnp.take(buckets.lengths, probed, axis=0)    # [B, nprobe]
     vdist = bucket_scan(
         buckets.codes, tables.reshape(b * nprobe, d * c),
-        probed.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
+        probed.reshape(b * nprobe).astype(jnp.int32),
+        lens.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
     ).reshape(b, nprobe, l)
 
-    # Pad-slot mask from bucket lengths (bucketize fills slots [0, count)
-    # in order, so slot < length ⟺ the old brows >= 0 test) — the full
-    # [B, nprobe, L] row gather is only paid on filtered queries.
-    lens = jnp.take(buckets.lengths, probed, axis=0)    # [B, nprobe]
-    keep = (jnp.arange(l, dtype=jnp.int32)[None, None, :]
-            < lens[..., None])
     if row_mask is not None:
         brows = jnp.take(buckets.rows, probed, axis=0)  # [B, nprobe, L]
-        keep &= jnp.take(row_mask, jnp.maximum(brows, 0), axis=0)
-    vdist = jnp.where(keep, vdist, jnp.inf)
+        keep = jnp.take(row_mask, jnp.maximum(brows, 0), axis=0)
+        vdist = jnp.where(keep, vdist, jnp.inf)
 
     # k may exceed the candidate count (reference returns fewer results
     # then); pad the tail with +inf instead of failing top_k.

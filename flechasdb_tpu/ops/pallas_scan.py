@@ -307,10 +307,10 @@ def _pick_pipe_lt(l: int, rows: int, gb: int, nbuf: int,
     return best
 
 
-def _pipe_kernel(bidx_ref, bcodes_ref, tab_ref, out_ref, cscr, tscr,
-                 csem, tsem, *, t: int, cp: int, gb: int, packed: bool,
-                 nbuf: int, nj: int, nsteps: int,
-                 debug: str | None = None):
+def _pipe_kernel(bidx_ref, lens_ref, bcodes_ref, tab_ref, out_ref, cscr,
+                 tscr, csem, tsem, *, t: int, cp: int, gb: int,
+                 packed: bool, nbuf: int, nj: int, nsteps: int,
+                 masked: bool = False, debug: str | None = None):
     """Manually DMA-pipelined variant of :func:`_indexed_kernel`.
 
     ``bcodes_ref [P, rows, L]`` and ``tab_ref [gp, gb, tab_rows, Cp]``
@@ -376,15 +376,27 @@ def _pipe_kernel(bidx_ref, bcodes_ref, tab_ref, out_ref, cscr, tscr,
     slot = step % nbuf
     tslot = i % nbuf
     for tt in range(gb):
+        if masked:
+            # Fused pad-slot masking (round 5): slots >= the bucket's
+            # fill count get +inf HERE instead of in a separate
+            # [B, nprobe, L] where-pass — that pass re-read and re-wrote
+            # the whole vdist array in HBM (measured 1.5 ms of the
+            # 11.5 ms Deep10M fused query); in-register it is 3 VPU ops
+            # per 128-lane chunk.
+            len_t = lens_ref[i * gb + tt]
         for sl, vals in _cell_chunks(cscr[slot, tt], tscr[tslot, tt],
                                      t=t, cp=cp, packed=packed):
+            if masked:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                good = (lane + (j * t + sl.start)) < len_t
+                vals = jnp.where(good[0], vals, jnp.float32(jnp.inf))
             out_ref[0, tt, sl] = vals
 
 
 def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
                packed: bool, l: int, cells: int | None,
                nbuf: int | None, interpret: bool,
-               debug: str | None = None):
+               lens=None, debug: str | None = None):
     """Invokes :func:`_pipe_kernel`; ``None`` if no exact L-tile exists
     (ragged ``L`` whose only divisors blow the unroll/scratch budget —
     the caller falls back to the blocked kernel)."""
@@ -412,21 +424,26 @@ def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
         return None
     nj = l // lt
     gp = -(-g // gb)
+    masked = lens is not None
+    if not masked:
+        lens = jnp.zeros((g,), jnp.int32)   # dummy SMEM operand
     if gp * gb != g:
         pad = gp * gb - g
         # Pad cells re-scan the last cell's bucket against zero tables;
         # their out rows are sliced off below.
         bidx = jnp.concatenate([bidx, jnp.broadcast_to(bidx[-1:], (pad,))])
         tab = jnp.pad(tab, ((0, pad), (0, 0), (0, 0)))
+        lens = jnp.pad(lens, (0, pad))
     tab4 = tab.reshape(gp, gb, tab_rows, cp)
     d_eff = 4 * rows if packed else rows
     kernel = functools.partial(_pipe_kernel, t=lt, cp=cp, gb=gb,
                                packed=packed, nbuf=nbuf, nj=nj,
-                               nsteps=gp * nj, debug=debug)
+                               nsteps=gp * nj, masked=masked, debug=debug)
     out = pl.pallas_call(
         kernel,
         grid=(gp, nj),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -446,7 +463,8 @@ def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(bidx, jnp.int32), bcodes, tab4)
+    )(jnp.asarray(bidx, jnp.int32), jnp.asarray(lens, jnp.int32),
+      bcodes, tab4)
     return out.reshape(gp * gb, l)[:g]
 
 
@@ -469,7 +487,8 @@ def _indexed_kernel(bidx_ref, *refs, t: int, cp: int, gb: int,
                    static_argnames=("d", "interpret", "cells_per_step",
                                     "pipeline", "pipe_bufs"))
 def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
-                       bidx: jax.Array, *,
+                       bidx: jax.Array,
+                       lengths: jax.Array | None = None, *,
                        d: int | None = None,
                        interpret: bool | None = None,
                        cells_per_step: int | None = None,
@@ -501,7 +520,14 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
     peak; explicit ``make_async_copy`` with :data:`_PIPE_BUFS`-deep
     lookahead removes that. ``pipeline`` forces a path ("dma" |
     "blocked"); ``pipe_bufs`` overrides the lookahead depth. The blocked
-    kernel remains for L shapes with no exact tile divisor.
+    kernel remains for L shapes with no exact tile divisor or
+    sublane-unsliceable row counts.
+
+    ``lengths [G] int32`` (optional): per-CELL bucket fill counts; slots
+    ``>= lengths[g]`` come back ``+inf``. On the pipeline path the mask
+    fuses into the kernel (in-register, saving the caller's separate
+    full-array where-pass over ``[B·nprobe, L]`` in HBM); fallback paths
+    apply the identical mask on the result.
     """
     p, rows, l = bcodes.shape
     g = ftab.shape[0]
@@ -535,7 +561,7 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
             codes = unpack_codes(codes, d)                  # [G, D, L]
         gidx = codes + jnp.arange(d, dtype=jnp.int32)[None, :, None] * c
         vals = jnp.take_along_axis(ftab, gidx.reshape(g, d * l), axis=-1)
-        return vals.reshape(g, d, l).sum(axis=1)
+        return _mask_lengths(vals.reshape(g, d, l).sum(axis=1), lengths)
 
     tab, tab_rows, cp = _prep_table(ftab, d, rows, packed)
 
@@ -543,7 +569,8 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
         res = _pipe_call(bcodes, tab, jnp.asarray(bidx, jnp.int32),
                          rows=rows, tab_rows=tab_rows, cp=cp,
                          packed=packed, l=l, cells=cells_per_step,
-                         nbuf=pipe_bufs, interpret=interpret)
+                         nbuf=pipe_bufs, interpret=interpret,
+                         lens=lengths)
         if res is not None:
             return res
         if pipeline == "dma":
@@ -595,4 +622,15 @@ def adc_lookup_indexed(bcodes: jax.Array, ftab: jax.Array,
         ),
         interpret=interpret,
     )(bidx, *([bcodes] * gb), tab4)
-    return out.reshape(gp * gb, l)[:g]
+    return _mask_lengths(out.reshape(gp * gb, l)[:g], lengths)
+
+
+def _mask_lengths(vdist: jax.Array, lengths: jax.Array | None,
+                  ) -> jax.Array:
+    """External pad-slot mask for the paths that cannot fuse it:
+    ``vdist[g, l] = +inf`` for ``l >= lengths[g]`` (identical condition
+    to the pipeline kernel's in-register mask)."""
+    if lengths is None:
+        return vdist
+    lane = jnp.arange(vdist.shape[1], dtype=jnp.int32)
+    return jnp.where(lane[None, :] < lengths[:, None], vdist, jnp.inf)

@@ -80,19 +80,20 @@ def _local_bucket_scan(q, centroids, codebooks, bcodes, brows, lens,
     owned = (lidx >= 0) & (lidx < ploc)
     slot = jnp.where(owned, lidx, 0).astype(jnp.int32)  # local bucket id
 
+    # Unowned probe slots fuse into the scan's pad-slot mask as length 0
+    # (round 5: the mask rides the kernel; the separate [B, nprobe, L]
+    # where-pass is gone from the unfiltered path).
+    lens_g = jnp.where(owned, jnp.take(lens, slot, axis=0), 0)
     vdist = bucket_scan(
         bcodes, tables.reshape(b * nprobe, d * c),
-        slot.reshape(b * nprobe), d=d, impl=impl,
+        slot.reshape(b * nprobe),
+        lens_g.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
     ).reshape(b, nprobe, l)
 
-    lens_g = jnp.take(lens, slot, axis=0)               # [B, nprobe]
-    keep = (owned[..., None]
-            & (jnp.arange(l, dtype=jnp.int32)[None, None, :]
-               < lens_g[..., None]))
     if row_mask is not None:  # replicated [N] over GLOBAL corpus rows
         rows_g = jnp.take(brows, slot, axis=0)          # [B, nprobe, L]
-        keep &= jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0)
-    vdist = jnp.where(keep, vdist, jnp.inf)
+        keep = jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0)
+        vdist = jnp.where(keep, vdist, jnp.inf)
 
     kk = min(k, nprobe * l)
     neg, flat = jax.lax.top_k(-vdist.reshape(b, nprobe * l), kk)
@@ -136,20 +137,24 @@ def _local_range_scan(q, centroids, codebooks, bcodes, brows, lens,
     owned = (lidx >= 0) & (lidx < ploc)
     slot = jnp.where(owned, lidx, 0).astype(jnp.int32)
 
+    # Unowned slots as fused length-0 mask, as in _local_bucket_scan.
+    lens_g = jnp.where(owned, jnp.take(lens, slot, axis=0), 0)
     vdist = bucket_scan(
         bcodes, tables.reshape(b * nprobe, d * c),
-        slot.reshape(b * nprobe), d=d, impl=impl,
+        slot.reshape(b * nprobe),
+        lens_g.reshape(b * nprobe).astype(jnp.int32), d=d, impl=impl,
     ).reshape(b, nprobe, l)
 
-    lens_g = jnp.take(lens, slot, axis=0)               # [B, nprobe]
-    keep = (owned[..., None]
-            & (jnp.arange(l, dtype=jnp.int32)[None, None, :]
-               < lens_g[..., None]))
     rows_g = jnp.take(brows, slot, axis=0)              # [B, nprobe, L]
     if row_mask is not None:  # replicated [N] over GLOBAL corpus rows
-        keep &= jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0)
+        vdist = jnp.where(
+            jnp.take(row_mask, jnp.maximum(rows_g, 0), axis=0),
+            vdist, jnp.inf)
+    # kept ⟺ finite: ADC sums of finite tables are finite, and every
+    # masked slot (pad, unowned, filtered) is exactly +inf.
+    keep = jnp.isfinite(vdist)
 
-    keys = jax.lax.pmin(jnp.where(keep, vdist, jnp.inf), AXIS)
+    keys = jax.lax.pmin(vdist, AXIS)
     rows = jax.lax.psum(
         jnp.where(keep, rows_g + 1, 0).astype(jnp.int32), AXIS) - 1
     return (keys.reshape(b, nprobe * l),

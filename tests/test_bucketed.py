@@ -311,3 +311,32 @@ def test_adc_lookup_indexed_dma_on_tpu(rng, cells):
                                         cells_per_step=cells))
     ref = np.asarray(adc_lookup_indexed(*args, pipeline="blocked"))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_adc_lookup_indexed_fused_length_mask(rng, pack):
+    """``lengths`` must +inf-mask slots >= the per-cell fill count
+    identically on every path: the DMA pipeline fuses it in-register;
+    the fallbacks apply the same mask on the result."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed
+
+    p, d, c, l, g = 6, 8, 256, 384, 11
+    bcodes = rng.integers(0, c, (p, d, l)).astype(np.int32)
+    resident = _pack_codes(bcodes, d) if pack else bcodes
+    ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+    bidx = rng.integers(0, p, (g,)).astype(np.int32)
+    lens = rng.integers(0, l + 1, (g,)).astype(np.int32)
+    lens[0] = 0                      # fully masked cell
+    lens[1] = l                      # fully live cell
+
+    args = (jnp.asarray(resident), jnp.asarray(ftab), jnp.asarray(bidx),
+            jnp.asarray(lens))
+    plain = np.asarray(adc_lookup_indexed(args[0], args[1], args[2], d=d))
+    want = np.where(np.arange(l)[None, :] < lens[:, None], plain, np.inf)
+    # XLA fallback (default off-TPU)
+    got_xla = np.asarray(adc_lookup_indexed(*args, d=d))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-6, atol=1e-6)
+    # interpreted DMA pipeline (in-register mask)
+    got_dma = np.asarray(adc_lookup_indexed(*args, d=d, pipeline="dma",
+                                            interpret=True))
+    np.testing.assert_allclose(got_dma, want, rtol=1e-6, atol=1e-6)
