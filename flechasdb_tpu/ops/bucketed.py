@@ -80,6 +80,15 @@ def bucketize(codes: np.ndarray, pidx: np.ndarray, p: int,
     counts = np.bincount(pidx, minlength=p)
     l = int(max(counts.max() if n else 1, 1))
     l = -(-l // lane) * lane
+    if l > 2048:
+        # Round large L up to a 1024-multiple (round 5): a bare
+        # lane-multiple can land on 128·prime (observed L = 10624 =
+        # 128·83 on a Deep10M draw), which leaves the DMA-pipelined scan
+        # no mid-size exact tile — it then scans whole buckets and its
+        # dead-TILE skip (slots past the fill count) never fires
+        # mid-bucket. 8 | (L/128) guarantees ~1–2K tiles exist; the pad
+        # cost is < 1024 slots per partition of an already-padded array.
+        l = -(-l // 1024) * 1024
     bcodes = np.zeros((p, d, l), np.int32)
     brows = np.full((p, l), -1, np.int32)
     order = np.argsort(pidx, kind="stable")

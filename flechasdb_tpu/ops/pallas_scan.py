@@ -341,9 +341,25 @@ def _pipe_kernel(bidx_ref, lens_ref, bcodes_ref, tab_ref, out_ref, cscr,
         return pltpu.make_async_copy(tab_ref.at[si], tscr.at[si % nbuf],
                                      tsem.at[si % nbuf])
 
+    def live(s_i, s_j, tt):
+        """This (cell, L-tile) holds at least one live slot. bucketize
+        fills slots [0, count) contiguously, so everything at/after the
+        fill count is pad — whole dead tiles skip their bucket DMA and
+        their gather compute (Deep10M buckets average ~23 % fill of the
+        padded L: the skip converts ~4× of wasted scan work into
+        ~1.5×, the boundary-tile roundup)."""
+        return s_j * t < lens_ref[s_i * gb + tt]
+
     def issue(s, static: bool):
+        si, sj = (s // nj, s % nj) if not static else divmod(s, nj)
         for tt in range(gb):
-            code_dma(s, tt, static).start()
+            dma = code_dma(s, tt, static)
+            if masked:
+                @pl.when(live(si, sj, tt))
+                def _(dma=dma):
+                    dma.start()
+            else:
+                dma.start()
         if static:
             if s % nj == 0:
                 tab_dma(s // nj).start()
@@ -363,7 +379,13 @@ def _pipe_kernel(bidx_ref, lens_ref, bcodes_ref, tab_ref, out_ref, cscr,
             issue(step + (nbuf - 1), static=False)
 
         for tt in range(gb):
-            code_dma(step, tt, static=False).wait()
+            dma = code_dma(step, tt, static=False)
+            if masked:
+                @pl.when(live(i, j, tt))   # wait iff started
+                def _(dma=dma):
+                    dma.wait()
+            else:
+                dma.wait()
 
         @pl.when(j == 0)
         def _():
@@ -375,14 +397,15 @@ def _pipe_kernel(bidx_ref, lens_ref, bcodes_ref, tab_ref, out_ref, cscr,
 
     slot = step % nbuf
     tslot = i % nbuf
-    for tt in range(gb):
+
+    def emit(tt):
+        """Gather-sum one cell's tile; fused pad-slot masking (round 5):
+        slots >= the bucket's fill count get +inf HERE instead of in a
+        separate [B, nprobe, L] where-pass — that pass re-read and
+        re-wrote the whole vdist array in HBM (measured 1.5 ms of the
+        11.5 ms Deep10M fused query); in-register it is 3 VPU ops per
+        128-lane chunk."""
         if masked:
-            # Fused pad-slot masking (round 5): slots >= the bucket's
-            # fill count get +inf HERE instead of in a separate
-            # [B, nprobe, L] where-pass — that pass re-read and re-wrote
-            # the whole vdist array in HBM (measured 1.5 ms of the
-            # 11.5 ms Deep10M fused query); in-register it is 3 VPU ops
-            # per 128-lane chunk.
             len_t = lens_ref[i * gb + tt]
         for sl, vals in _cell_chunks(cscr[slot, tt], tscr[tslot, tt],
                                      t=t, cp=cp, packed=packed):
@@ -391,6 +414,19 @@ def _pipe_kernel(bidx_ref, lens_ref, bcodes_ref, tab_ref, out_ref, cscr,
                 good = (lane + (j * t + sl.start)) < len_t
                 vals = jnp.where(good[0], vals, jnp.float32(jnp.inf))
             out_ref[0, tt, sl] = vals
+
+    for tt in range(gb):
+        if not masked:
+            emit(tt)
+            continue
+
+        @pl.when(live(i, j, tt))
+        def _(tt=tt):
+            emit(tt)
+
+        @pl.when(jnp.logical_not(live(i, j, tt)))
+        def _(tt=tt):
+            out_ref[0, tt, :] = jnp.full((t,), jnp.inf, jnp.float32)
 
 
 def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
