@@ -135,7 +135,7 @@ def main():
         per_q = nprobe * l_pad * (d + 2) * 4
         return max(1, min(nq, int(1.5e9 / per_q)))
 
-    def run_batched(qdev, kk, nprobe):
+    def run_batched(qdev, kk, nprobe, approx=False):
         cb = chunk_for(nprobe)
         outs = []
         for i in range(0, len(qdev), cb):
@@ -144,7 +144,7 @@ def main():
                 qc = jnp.pad(qc, ((0, cb - len(qc)), (0, 0)))
             outs.append(query_bucketed(
                 qc, built.partition_centroids, built.codebooks, buckets,
-                k=kk, nprobe=nprobe))
+                k=kk, nprobe=nprobe, approx=approx))
         dists = np.concatenate([np.asarray(o[0]) for o in outs])[:len(qdev)]
         rows = np.concatenate([np.asarray(o[1]) for o in outs])[:len(qdev)]
         return dists, rows
@@ -175,24 +175,45 @@ def main():
         return -neg, jnp.take_along_axis(rows, sel, axis=1)
 
     nprobe, rerank = 32, 100
+    from flechasdb_tpu.serving import _query_rerank_fused
 
-    def run_rerank():
-        _, rows = run_batched(qd, rerank, nprobe)
-        _, rr = refine(qd, jnp.asarray(rows), xd, k=k)
-        return np.asarray(rr)
+    def run_rerank(approx=False):
+        # The production fused path (serving.query_rerank): ADC query +
+        # exact re-score + final top-k in ONE program per chunk — the
+        # old bench round-tripped candidates through the host between
+        # the stages (a full tunnel RTT per chunk).
+        cb = chunk_for(nprobe)
+        outs = []
+        for i in range(0, len(qd), cb):
+            qc = qd[i:i + cb]
+            if len(qc) < cb:
+                qc = jnp.pad(qc, ((0, cb - len(qc)), (0, 0)))
+            _, rr = _query_rerank_fused(
+                qc, built.partition_centroids, built.codebooks, buckets,
+                None, None, xd, k=k, nprobe=nprobe, rerank=rerank,
+                metric="l2", approx=approx)
+            outs.append(np.asarray(rr))
+        return np.concatenate(outs)[:len(qd)]
 
-    rr_h = run_rerank()
-    recall = np.mean([
-        len(set(rr_h[b].tolist()) & set(gt[b].tolist())) / k
-        for b in range(nq)])
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        rr_h = run_rerank()
-    dt = (time.time() - t0) / reps
-    log({"config": cfgname, "nprobe": nprobe, "rerank": rerank,
-         "recall@10": round(float(recall), 4),
-         "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)})
+    for approx in (False, True):
+        rr_h = run_rerank(approx)
+        recall = np.mean([
+            len(set(rr_h[b].tolist()) & set(gt[b].tolist())) / k
+            for b in range(nq)])
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            rr_h = run_rerank(approx)
+        dt = (time.time() - t0) / reps
+        row = {"config": cfgname, "nprobe": nprobe, "rerank": rerank,
+               "recall@10": round(float(recall), 4),
+               "qps": round(nq / dt), "batch_ms": round(dt * 1e3, 2)}
+        if approx:
+            # ANN candidate selection (approx_max_k) + exact re-scoring:
+            # the high-recall operating point with the exact final top-k
+            # swapped out (it binds at this nprobe*L).
+            row["approx"] = True
+        log(row)
 
 
 if __name__ == "__main__":

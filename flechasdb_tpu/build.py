@@ -607,13 +607,14 @@ class Database:
             raise InvalidArgs(f"rerank ({rerank}) must be >= k ({k})")
         if self.residues is None:
             raise InvalidArgs("rerank requires retained residues")
-        adc, rows, _ = self._device_state().query(
-            vs, rerank, nprobe, row_mask=mask)
-        dists, rows = _rerank_exact(
-            jnp.asarray(vs), jnp.asarray(rows),
-            jnp.asarray(np.isfinite(adc)), self._device_originals(), k=k,
-            metric="dot" if self.metric == "dot" else "l2")
-        dists, rows = np.asarray(dists), np.asarray(rows)
+        # Fused on the bucketed layout (round 5): the ADC query, the
+        # candidate gather + exact re-score, and the final top-k run as
+        # ONE device program — the old two-step form fetched the
+        # [B, rerank] candidates to the host between the stages, a full
+        # round trip (~25 ms through the tunnel) per batch.
+        dists, rows = self._device_state().query_rerank(
+            vs, self._device_originals(), k=k, nprobe=nprobe,
+            rerank=rerank, row_mask=mask)
         return [self._to_results(dists[b], rows[b]) for b in range(len(vs))]
 
     def query_range(self, v, radius: float, nprobe: int,

@@ -261,7 +261,7 @@ def _default_impl() -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
-                                              "metric"))
+                                              "metric", "approx"))
 def query_bucketed(
     q: jax.Array,
     centroids: jax.Array,
@@ -274,6 +274,7 @@ def query_bucketed(
     nprobe: int,
     impl: str | None = None,
     metric: str = "l2",
+    approx: bool | float = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched pruned IVF-PQ k-NN.
 
@@ -327,7 +328,20 @@ def query_bucketed(
     # k may exceed the candidate count (reference returns fewer results
     # then); pad the tail with +inf instead of failing top_k.
     kk = min(k, nprobe * l)
-    neg, flat_idx = jax.lax.top_k(-vdist.reshape(b, nprobe * l), kk)
+    if approx and _platform() == "tpu":
+        # Opt-in ANN candidate selection (round 5): TPU's PartialReduce
+        # approx_max_k measured 0.6–0.8 ms where exact top_k takes
+        # ~30 ms standalone at [64, 360k] — the binding stage of
+        # high-nprobe Deep10M serving. ~0.98 candidate recall at the
+        # default target; pair with rerank (exact re-scoring) to keep
+        # the end operating point. ``approx`` may be a float recall
+        # target in (0, 1); True = lax default (0.95). Off-TPU the op
+        # has no fast lowering — exact is used regardless.
+        rt = approx if isinstance(approx, float) else 0.95
+        neg, flat_idx = jax.lax.approx_max_k(
+            -vdist.reshape(b, nprobe * l), kk, recall_target=rt)
+    else:
+        neg, flat_idx = jax.lax.top_k(-vdist.reshape(b, nprobe * l), kk)
     # Winners → corpus rows: a [B, kk] gather instead of the full per-slot
     # row matrix (pad slots map to buckets.rows == -1, as before).
     win_part = jnp.take_along_axis(probed, flat_idx // l, axis=1)

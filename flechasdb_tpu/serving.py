@@ -22,6 +22,40 @@ import numpy as np
 #: Max tolerated padded-to-real ratio before falling back to the flat scan.
 PAD_LIMIT = 4.0
 
+#: Lazily-built jitted fused query+rerank program (jax is imported
+#: lazily throughout this module; see :func:`_query_rerank_fused`).
+_FUSED_RERANK = None
+
+
+def _query_rerank_fused(*args, **kw):
+    """One device program: bucketed ADC query (k=rerank candidates) →
+    exact re-scoring against the originals → final top-k. Built lazily
+    so importing :mod:`.serving` stays jax-free."""
+    global _FUSED_RERANK
+    if _FUSED_RERANK is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .build import _rerank_exact
+        from .ops.bucketed import query_bucketed
+
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "nprobe", "rerank",
+                                            "metric", "approx"))
+        def fused(q, centroids, codebooks, buckets, rotation, row_mask,
+                  originals, *, k, nprobe, rerank, metric, approx):
+            adc, rows, _ = query_bucketed(
+                q, centroids, codebooks, buckets, rotation, row_mask,
+                k=rerank, nprobe=nprobe, metric=metric, approx=approx)
+            return _rerank_exact(
+                q, rows, jnp.isfinite(adc), originals, k=k,
+                metric="dot" if metric == "dot" else "l2")
+
+        _FUSED_RERANK = fused
+    return _FUSED_RERANK(*args, **kw)
+
 #: HBM budget for per-batch masked-scan transients (ADC tables are
 #: ``[B, P, D, C]`` f32 — at SIFT shape and B=1000 that alone is ~8 GB).
 #: Query batches are chunked so transients stay under this; override per
@@ -160,11 +194,19 @@ class DeviceIndex:
                              self.metric)
 
     def query(self, q: np.ndarray, k: int, nprobe: int,
-              row_mask=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+              row_mask=None, approx: bool | float = False,
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched k-NN: ``q [B, M]`` → host ``(dists, rows, probed)``.
 
         ``row_mask [N] bool`` (device array or numpy, optional) excludes
         corpus rows before top-k (attribute filtering, :mod:`.filters`).
+
+        ``approx`` (bucketed layout, TPU): ANN candidate selection via
+        ``approx_max_k`` — ~0.95–0.98 of the exact candidate set at a
+        fraction of the final top-k's cost (its exact form is the
+        binding stage of large-``nprobe·L`` serving). Pair with a rerank
+        stage for an exact-re-scored operating point. ``False`` (the
+        default) keeps exact reference-parity results.
 
         Masked-layout batches are chunked so per-batch transients stay
         under ``hbm_budget_bytes`` (VERDICT.md round-1 #8: a skewed corpus
@@ -183,7 +225,7 @@ class DeviceIndex:
             d, r, p = query_bucketed(
                 qd, self.centroids, self.codebooks, self.buckets,
                 self.rotation, row_mask, k=k, nprobe=nprobe,
-                metric=self.metric)
+                metric=self.metric, approx=approx)
             return np.asarray(d), np.asarray(r), np.asarray(p)
 
         return _run_chunked(
@@ -192,6 +234,40 @@ class DeviceIndex:
                 self.rotation, row_mask, k=k, nprobe=nprobe,
                 metric=self.metric),
             qd, self._masked_batch_limit())
+
+    def query_rerank(self, q: np.ndarray, originals, k: int, nprobe: int,
+                     rerank: int, row_mask=None,
+                     approx: bool | float = False,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """ADC query + EXACT re-scoring of the top ``rerank`` candidates
+        against ``originals [N, M]`` (device array), fused into ONE
+        device program on the bucketed layout.
+
+        The two-step form (query → fetch candidates to host → re-score)
+        pays a full host round trip between the stages — ~25 ms through
+        the tunnel, and a dispatch + transfer anywhere. Returns host
+        ``(dists [B, k], rows [B, k])``.
+        """
+        import jax.numpy as jnp
+
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        if row_mask is not None:
+            row_mask = jnp.asarray(row_mask, bool)
+        if self.layout == "bucketed":
+            d, r = _query_rerank_fused(
+                qd, self.centroids, self.codebooks, self.buckets,
+                self.rotation, row_mask, originals, k=k, nprobe=nprobe,
+                rerank=rerank, metric=self.metric, approx=approx)
+            return np.asarray(d), np.asarray(r)
+        # Masked layout: keep the two-step path (rare fallback; its
+        # batches are chunked for HBM anyway).
+        from .build import _rerank_exact
+        adc, rows, _ = self.query(q, rerank, nprobe, row_mask=row_mask)
+        d, r = _rerank_exact(
+            qd, jnp.asarray(rows), jnp.asarray(np.isfinite(adc)),
+            originals, k=k,
+            metric="dot" if self.metric == "dot" else "l2")
+        return np.asarray(d), np.asarray(r)
 
     def query_range(self, q: np.ndarray, radius: float, nprobe: int,
                     row_mask=None) -> list:

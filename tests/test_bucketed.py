@@ -340,3 +340,19 @@ def test_adc_lookup_indexed_fused_length_mask(rng, pack):
     got_dma = np.asarray(adc_lookup_indexed(*args, d=d, pipeline="dma",
                                             interpret=True))
     np.testing.assert_allclose(got_dma, want, rtol=1e-6, atol=1e-6)
+
+
+def test_query_bucketed_approx_kwarg_off_tpu(rng):
+    """``approx=True`` must be accepted everywhere and fall back to the
+    EXACT top-k off-TPU (approx_max_k has no fast CPU lowering):
+    results are bit-identical to the default path there."""
+    centroids, codebooks, codes, pidx = _random_index(rng, n=600, p=5)
+    q = rng.standard_normal((4, centroids.shape[1])).astype(np.float32)
+    buckets = bucketize(codes, pidx, 5)
+    a = query_bucketed(jnp.asarray(q), jnp.asarray(centroids),
+                       jnp.asarray(codebooks), buckets, k=8, nprobe=3)
+    b = query_bucketed(jnp.asarray(q), jnp.asarray(centroids),
+                       jnp.asarray(codebooks), buckets, k=8, nprobe=3,
+                       approx=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
