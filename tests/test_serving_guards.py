@@ -124,3 +124,29 @@ def test_sharded_masked_scan_chunks_to_hbm_budget():
     np.testing.assert_allclose(d_chunk, d_full, rtol=1e-6)
     np.testing.assert_array_equal(r_chunk, r_full)
     np.testing.assert_array_equal(p_chunk, p_full)
+
+
+def test_query_rerank_fused_matches_masked_fallback(rng):
+    """`DeviceIndex.query_rerank` must return identical results on the
+    fused bucketed path and the masked-layout two-step fallback (the
+    exact re-score makes ties well-separated on random data)."""
+    import jax.numpy as jnp
+
+    from flechasdb_tpu.serving import DeviceIndex
+
+    n, m, p, d, c = 400, 32, 6, 4, 16
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    centroids = rng.standard_normal((p, m)).astype(np.float32)
+    codebooks = rng.standard_normal((d, c, m // d)).astype(np.float32)
+    codes = rng.integers(0, c, (n, d)).astype(np.int32)
+    pidx = rng.integers(0, p, n).astype(np.int32)
+    q = x[:5] + 0.01 * rng.standard_normal((5, m)).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    buck = DeviceIndex(centroids, codebooks, codes, pidx,
+                       layout="bucketed")
+    mask = DeviceIndex(centroids, codebooks, codes, pidx, layout="masked")
+    db_, rb = buck.query_rerank(q, xd, k=5, nprobe=4, rerank=30)
+    dm, rm = mask.query_rerank(q, xd, k=5, nprobe=4, rerank=30)
+    np.testing.assert_array_equal(rb, rm)
+    np.testing.assert_allclose(db_, dm, rtol=1e-5, atol=1e-5)
