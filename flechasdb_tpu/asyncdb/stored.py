@@ -241,17 +241,44 @@ class AsyncStoredDatabase:
         replay_attributes_log(
             payload, self.root.partition_ids[index],
             self.root.attribute_names, partition,
-            self._attribute_table, index)
+            self._attribute_table, index, populate_defaults=False)
+
+    def _vid_known(self, vector_id: _uuid.UUID) -> bool:
+        """Membership of ``vector_id`` in any partition whose attribute
+        log is replayed (attribute-less vectors are not pre-populated
+        into the table — same lazy-defaults contract as the sync tier,
+        ``stored.replay_attributes_log``): raw-bytes probe per loaded
+        partition; the attrlog task having completed implies its
+        partition task is done, so ``.result()`` never blocks."""
+        import numpy as np
+
+        raw = np.frombuffer(vector_id.bytes, np.uint8)
+        for pi, t in self._attrlog_tasks.items():
+            if not t.done() or t.exception() is not None:
+                continue
+            part = self._partition_tasks[pi].result()
+            if part._ids_raw is not None:
+                if bool((part._ids_raw == raw).all(axis=1).any()):
+                    return True
+            elif vector_id in part.vector_ids:
+                return True
+        return False
+
+    def _lookup_loaded(self, vector_id: _uuid.UUID,
+                       key: str) -> Optional[AttributeValue]:
+        try:
+            attrs = self._attribute_table[vector_id]
+        except KeyError:
+            if self._vid_known(vector_id):
+                return None
+            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
+        return attrs.get(key)
 
     async def _get_attribute_in_partition(
             self, partition_index: int, vector_id: _uuid.UUID,
             key: str) -> Optional[AttributeValue]:
         await self._attrlog(partition_index)
-        try:
-            attrs = self._attribute_table[vector_id]
-        except KeyError:
-            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
-        return attrs.get(key)
+        return self._lookup_loaded(vector_id, key)
 
     async def get_attribute(self, vector_id: _uuid.UUID,
                             key: str) -> Optional[AttributeValue]:
@@ -259,11 +286,7 @@ class AsyncStoredDatabase:
         :meth:`AsyncQueryResult.get_attribute` after a query."""
         await asyncio.gather(
             *(self._attrlog(pi) for pi in range(self.num_partitions)))
-        try:
-            attrs = self._attribute_table[vector_id]
-        except KeyError:
-            raise InvalidArgs(f"no such vector ID: {vector_id}") from None
-        return attrs.get(key)
+        return self._lookup_loaded(vector_id, key)
 
     # -- query ---------------------------------------------------------------
 

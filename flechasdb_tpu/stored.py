@@ -159,7 +159,8 @@ def decode_partition(payload: bytes, vector_size: int,
 def replay_attributes_log(payload: bytes, expected_partition_id: str,
                           names: List[str], partition: StoredPartition,
                           table: AttributeTable,
-                          partition_index: int) -> None:
+                          partition_index: int,
+                          populate_defaults: bool = True) -> None:
     """Replays one partition's set-op log into ``table``, last write wins
     (``db/stored.rs:185-260``)."""
     log = PAttributesLog.decode(payload)
@@ -180,9 +181,15 @@ def replay_attributes_log(payload: bytes, expected_partition_id: str,
         vid = entry.vector_id.to_uuid()
         table.setdefault(vid, {})[names[entry.name_index]] = entry.value.value
     # Vectors without attributes default to an empty map so lookups on
-    # existing vectors never fail (db/stored.rs:251-257).
-    for vid in partition.vector_ids:
-        table.setdefault(vid, {})
+    # existing vectors never fail (db/stored.rs:251-257). The sync
+    # stored DB opts out (round 5): materializing ~L UUID objects + dict
+    # inserts per partition dominated the COLD attribute fetch (~1.5 ms
+    # per 1k-member partition, 5-partition fetch ≈ 7 ms); it answers
+    # attribute-less lookups with a raw-bytes membership probe instead
+    # (`StoredDatabase._vid_known`) — observable behavior identical.
+    if populate_defaults:
+        for vid in partition.vector_ids:
+            table.setdefault(vid, {})
 
 
 def _query_io_threads() -> bool:
@@ -568,8 +575,30 @@ class StoredDatabase:
         try:
             attrs = table[vector_id]
         except KeyError:
+            # Attribute-less vectors are not pre-populated (see
+            # replay_attributes_log populate_defaults); an existing
+            # vector without attributes answers None, an unknown id
+            # raises — same contract as the eager-defaults form.
+            if self._vid_known(vector_id):
+                return None
             raise InvalidArgs(f"no such vector ID: {vector_id}") from None
         return attrs.get(key)
+
+    def _vid_known(self, vector_id: _uuid.UUID) -> bool:
+        """Membership of ``vector_id`` in any partition whose attribute
+        log is loaded (the same visibility the eager empty-map defaults
+        gave): one vectorized raw-bytes probe per loaded partition."""
+        raw = np.frombuffer(vector_id.bytes, np.uint8)
+        for pi, loaded in enumerate(self._attr_loaded):
+            if not loaded:
+                continue
+            part = self.get_partition(pi)
+            if part._ids_raw is not None:
+                if bool((part._ids_raw == raw).all(axis=1).any()):
+                    return True
+            elif vector_id in part.vector_ids:
+                return True
+        return False
 
     def _load_attributes_log(self, partition_index: int) -> None:
         """Replays one partition's set-op log, last write wins
@@ -587,7 +616,7 @@ class StoredDatabase:
         replay_attributes_log(
             payload, self.root.partition_ids[partition_index],
             self.root.attribute_names, partition, self._attribute_table,
-            partition_index)
+            partition_index, populate_defaults=False)
         self._attr_loaded[partition_index] = True
 
     # -- attribute filtering (EXTENSION, see filters.py) ----------------------
