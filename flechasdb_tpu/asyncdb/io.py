@@ -33,8 +33,16 @@ class AsyncHashedFileReader:
         self._compressed = compressed
         self._hash = None
 
+    #: Payloads at or under this run inline on the event loop: the
+    #: executor round trip of ``asyncio.to_thread`` costs ~0.1–0.3 ms on
+    #: a 1-core host — more than inflating a small artifact (the root
+    #: manifest is a few KB) takes outright. Larger artifacts (partition
+    #: files) keep the off-loop pass so concurrent loads overlap.
+    _INLINE_BYTES = 16 << 10
+
     async def read(self) -> bytes:
-        """Returns the (decompressed) payload; inflation runs off-loop.
+        """Returns the (decompressed) payload; inflation runs off-loop
+        for large payloads (small ones inline — see ``_INLINE_BYTES``).
 
         With the native runtime, inflate + verification hash happen in one
         C++ pass with the GIL released — concurrent partition reads
@@ -49,7 +57,10 @@ class AsyncHashedFileReader:
             return self._raw, None
 
         try:
-            payload, hash_ = await asyncio.to_thread(work)
+            if len(self._raw) <= self._INLINE_BYTES:
+                payload, hash_ = work()
+            else:
+                payload, hash_ = await asyncio.to_thread(work)
         except (zlib.error, ValueError) as e:
             raise IOError_(f"zlib decompression failed: {e}") from e
         if hash_ is not None:
@@ -153,12 +164,19 @@ class AsyncLocalFileSystem(AsyncFileSystem):
                                ) -> AsyncHashedFileReader:
         full = self.base_path / path
         try:
-            size = await asyncio.to_thread(
-                lambda: full.stat().st_size)
+            # stat is a metadata syscall (µs even cold) — inline; each
+            # asyncio.to_thread executor round trip costs ~0.1–0.3 ms on
+            # a 1-core host, which dominated small-artifact opens (the
+            # root manifest load). Small files read inline too; larger
+            # ones keep the off-loop read so concurrent loads overlap.
+            size = full.stat().st_size
             if size >= self.streaming_threshold:
                 return AsyncStreamingHashedFileReader(
                     full, full.name, compressed)
-            raw = await asyncio.to_thread(full.read_bytes)
+            if size <= AsyncHashedFileReader._INLINE_BYTES:
+                raw = full.read_bytes()
+            else:
+                raw = await asyncio.to_thread(full.read_bytes)
         except OSError as e:
             raise IOError_(str(e)) from e
         return AsyncHashedFileReader(raw, full.name, compressed)
