@@ -60,8 +60,10 @@ def bucketize(codes: np.ndarray, pidx: np.ndarray, p: int,
               lane: int = 128, pack: bool | str = False) -> Buckets:
     """Host-side bucketization of ``codes [N, D]`` by partition.
 
-    ``L`` = max partition size rounded up to ``lane`` so the scan axis tiles
-    cleanly onto the VPU/MXU.
+    ``L`` = max partition size rounded up to ``lane`` so the scan axis
+    tiles cleanly onto the VPU/MXU (large ``L`` further rounds to a
+    1024-multiple so the DMA-pipelined scan always has mid-size exact
+    tiles — see below).
 
     ``pack``: ``True`` packs four codes per int32 word (requires every
     code < 256 and D > 1, else raises); ``"auto"`` packs when possible;
