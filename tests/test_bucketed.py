@@ -356,3 +356,42 @@ def test_query_bucketed_approx_kwarg_off_tpu(rng):
                        approx=True)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_adc_lookup_indexed_dma_randomized_shapes(rng):
+    """Randomized-shape parity fuzz for the DMA pipeline (interpret
+    mode): packed/unpacked × ragged G × assorted L-tilings × lengths,
+    against the XLA fallback. The pipeline has shape-dependent paths
+    (tile choice, sublane gates, pad rows, dead-tile skip) that a few
+    hand-picked shapes undersample."""
+    from flechasdb_tpu.ops.pallas_scan import adc_lookup_indexed
+
+    for trial in range(6):
+        d = int(rng.choice([2, 4, 5, 8, 9, 16]))
+        c = int(rng.choice([16, 64, 256]))
+        l = 128 * int(rng.choice([1, 2, 3, 4, 6, 8]))
+        p = int(rng.integers(2, 9))
+        g = int(rng.integers(1, 20))
+        pack = bool(rng.integers(0, 2)) and c <= 256 and d > 1
+        raw = rng.integers(0, c, (p, d, l)).astype(np.int32)
+        resident = _pack_codes(raw, d) if pack else raw
+        ftab = rng.standard_normal((g, d * c)).astype(np.float32)
+        bidx = rng.integers(0, p, (g,)).astype(np.int32)
+        lens = (rng.integers(0, l + 1, (g,)).astype(np.int32)
+                if rng.integers(0, 2) else None)
+        args = [jnp.asarray(resident), jnp.asarray(ftab),
+                jnp.asarray(bidx)]
+        if lens is not None:
+            args.append(jnp.asarray(lens))
+        ref = np.asarray(adc_lookup_indexed(*args, d=d))  # XLA fallback
+        try:
+            got = np.asarray(adc_lookup_indexed(
+                *args, d=d, pipeline="dma", interpret=True))
+        except ValueError:
+            continue   # shape legitimately pipeline-incompatible
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(ref),
+                                      err_msg=str((d, c, l, p, g, pack)))
+        fin = np.isfinite(ref)
+        np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-5,
+                                   atol=1e-5,
+                                   err_msg=str((d, c, l, p, g, pack)))
