@@ -249,18 +249,20 @@ class AsyncStoredDatabase:
         into the table — same lazy-defaults contract as the sync tier,
         ``stored.replay_attributes_log``): raw-bytes probe per loaded
         partition; the attrlog task having completed implies its
-        partition task is done, so ``.result()`` never blocks."""
+        partition task is done, so ``.result()`` never blocks. A
+        cancelled or failed attrlog task contributes nothing (guarded
+        BEFORE ``exception()`` — calling it on a cancelled task would
+        raise CancelledError into an unrelated lookup)."""
         import numpy as np
+
+        from ..stored import vid_in_partition
 
         raw = np.frombuffer(vector_id.bytes, np.uint8)
         for pi, t in self._attrlog_tasks.items():
-            if not t.done() or t.exception() is not None:
+            if not t.done() or t.cancelled() or t.exception() is not None:
                 continue
             part = self._partition_tasks[pi].result()
-            if part._ids_raw is not None:
-                if bool((part._ids_raw == raw).all(axis=1).any()):
-                    return True
-            elif vector_id in part.vector_ids:
+            if vid_in_partition(part, vector_id, raw):
                 return True
         return False
 
@@ -270,6 +272,8 @@ class AsyncStoredDatabase:
             attrs = self._attribute_table[vector_id]
         except KeyError:
             if self._vid_known(vector_id):
+                # memoize: repeated attribute-less lookups stay O(1)
+                self._attribute_table[vector_id] = {}
                 return None
             raise InvalidArgs(f"no such vector ID: {vector_id}") from None
         return attrs.get(key)

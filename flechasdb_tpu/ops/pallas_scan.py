@@ -218,17 +218,27 @@ def adc_lookup(codes: jax.Array, ftab: jax.Array, *,
 
     tab, tab_rows, cp = _prep_table(ftab, d, rows, packed)
 
-    if not interpret and pipeline in (None, "dma"):
+    if pipeline not in (None, "dma", "blocked"):
+        raise ValueError(f"unknown pipeline: {pipeline!r}")
+    if pipeline == "dma" or (pipeline is None and not interpret):
         # On TPU the pre-gathered scan is just the indexed scan with an
         # identity bucket index — route it through the manual DMA
         # pipeline (round 5), which replaced the auto-pipeline's
-        # serialized per-operand copies (see adc_lookup_indexed).
+        # serialized per-operand copies (see adc_lookup_indexed). An
+        # explicit "dma" is honored under the interpreter too (test
+        # coverage) and raises when the shape cannot take it — same
+        # contract as adc_lookup_indexed.
         res = _pipe_call(codes, tab, jnp.arange(g, dtype=jnp.int32),
                          rows=rows, tab_rows=tab_rows, cp=cp,
                          packed=packed, l=l, cells=cells_per_step,
                          nbuf=pipe_bufs, interpret=interpret)
         if res is not None:
             return res
+        if pipeline == "dma":
+            raise ValueError(
+                "pipeline='dma' but the shape has no DMA-pipeline-"
+                f"compatible tiling (L={l} exact tiles / sublane-"
+                "sliceable code+table rows)")
 
     # Grid tiles (cell-groups, L): gb cells per step (see
     # _CELLS_PER_STEP); the table block index is constant across the
@@ -452,11 +462,22 @@ def _pipe_call(bcodes, tab, bidx, *, rows: int, tab_rows: int, cp: int,
     g = tab.shape[0]
     gb = min(cells if cells is not None else _CELLS_PER_STEP, max(g, 1))
     nbuf = max(2, nbuf if nbuf is not None else _PIPE_BUFS)
+
+    def _fits(gb_, lt_):
+        # FULL VMEM budget: code ring + TABLE ring + double-buffered out
+        # blocks. The table ring was unbudgeted until round 5's review —
+        # a wide table (e.g. C=2048: tab_rows·cp·4 = 64 KB/cell ×
+        # nbuf·gb slots) can blow the ~9 MB in-program scoped-VMEM
+        # envelope on its own, and a VMEM blowup is a COMPILE-time OOM
+        # that can wedge the tunnel (CLAUDE.md).
+        scratch = nbuf * gb_ * (rows * lt_ + tab_rows * cp) * 4
+        return scratch + 2 * gb_ * lt_ * 4 <= 7 << 20
+
     lt = _pick_pipe_lt(l, rows, gb, nbuf)
-    while lt is None and gb > 1:
+    while gb > 1 and (lt is None or not _fits(gb, lt)):
         gb //= 2
         lt = _pick_pipe_lt(l, rows, gb, nbuf)
-    if lt is None:
+    if lt is None or not _fits(gb, lt):
         return None
     nj = l // lt
     gp = -(-g // gb)

@@ -141,6 +141,11 @@ def _choose_layout(p: int, pidx: np.ndarray, n: int) -> str:
     policy both single-chip and sharded serving must agree on."""
     counts = np.bincount(pidx, minlength=p) if len(pidx) else [1]
     l_pad = -(-int(max(max(counts), 1)) // 128) * 128
+    if l_pad > 2048:
+        # Mirror bucketize's scan-friendly rounding (large L pads to a
+        # 1024-multiple) so the policy bounds the REAL allocation, not
+        # the pre-round-5 lane-multiple estimate.
+        l_pad = -(-l_pad // 1024) * 1024
     return "bucketed" if p * l_pad <= PAD_LIMIT * max(n, 128) else "masked"
 
 

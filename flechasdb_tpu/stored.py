@@ -156,6 +156,18 @@ def decode_partition(payload: bytes, vector_size: int,
     )
 
 
+def vid_in_partition(partition: StoredPartition, vector_id: _uuid.UUID,
+                     raw: "np.ndarray | None" = None) -> bool:
+    """Membership of ``vector_id`` among a partition's members — one
+    vectorized raw-bytes compare when the bulk-decoded id records are
+    available (shared by the sync and async lazy-attribute lookups)."""
+    if partition._ids_raw is not None:
+        if raw is None:
+            raw = np.frombuffer(vector_id.bytes, np.uint8)
+        return bool((partition._ids_raw == raw).all(axis=1).any())
+    return vector_id in partition.vector_ids
+
+
 def replay_attributes_log(payload: bytes, expected_partition_id: str,
                           names: List[str], partition: StoredPartition,
                           table: AttributeTable,
@@ -580,6 +592,10 @@ class StoredDatabase:
             # vector without attributes answers None, an unknown id
             # raises — same contract as the eager-defaults form.
             if self._vid_known(vector_id):
+                # Memoize the known-empty answer: repeated lookups on
+                # the same attribute-less vector must stay O(1) dict
+                # hits, not re-pay the membership scan.
+                table[vector_id] = {}
                 return None
             raise InvalidArgs(f"no such vector ID: {vector_id}") from None
         return attrs.get(key)
@@ -589,16 +605,9 @@ class StoredDatabase:
         log is loaded (the same visibility the eager empty-map defaults
         gave): one vectorized raw-bytes probe per loaded partition."""
         raw = np.frombuffer(vector_id.bytes, np.uint8)
-        for pi, loaded in enumerate(self._attr_loaded):
-            if not loaded:
-                continue
-            part = self.get_partition(pi)
-            if part._ids_raw is not None:
-                if bool((part._ids_raw == raw).all(axis=1).any()):
-                    return True
-            elif vector_id in part.vector_ids:
-                return True
-        return False
+        return any(
+            vid_in_partition(self.get_partition(pi), vector_id, raw)
+            for pi, loaded in enumerate(self._attr_loaded) if loaded)
 
     def _load_attributes_log(self, partition_index: int) -> None:
         """Replays one partition's set-op log, last write wins
